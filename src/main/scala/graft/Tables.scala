@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet fixtures (TESTDATA.md).
+  * A "table" in this engine is a parquet path — the Spark-native analog of
+  * the reference's Postgres tables (SURVEY.md §1.2). Scans are columnar and
+  * vectorized; filters/projections placed on these frames push down to the
+  * parquet reader (verified via `.explain("formatted")` → PushedFilters).
+  */
+object Tables {
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/customer.parquet")
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/nation.parquet")
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/region.parquet")
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.FloatType
+
+/** Column-level API for the engine's vector operators, mirroring the pgvector
+  * operator family the reference uses (/root/reference/README.md:9;
+  * SURVEY.md §2.10). Also registers the functions for `spark.sql(...)` use —
+  * the analog of `CREATE EXTENSION vector` bootstrap
+  * (/root/reference/demo/aws_rds_demo.py:53).
+  */
+package object functions {
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** pgvector `a <=> b` (cosine distance). */
+  def cosine_distance(a: Column, b: Column): Column = col(CosineDistance(expr(a), expr(b)))
+
+  /** The reference's `1 - (a <=> b) AS similarity` projection. */
+  def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+
+  /** pgvector `a <-> b` (Euclidean distance). */
+  def l2_distance(a: Column, b: Column): Column = col(L2Distance(expr(a), expr(b)))
+
+  /** Positive inner product; pgvector `a <#> b` = `-inner_product(a, b)`. */
+  def inner_product(a: Column, b: Column): Column = col(InnerProduct(expr(a), expr(b)))
+
+  /** pgvector `a <#> b` (negative inner product, ascending = max-IP). */
+  def neg_inner_product(a: Column, b: Column): Column = -inner_product(a, b)
+
+  /** Parse a pgvector text literal `'[0.1,0.2,...]'` into array<float> —
+    * the `'[...]'::vector` cast at /root/reference/demo/aws_rds_demo.py:68. */
+  def parse_vector(s: Column): Column =
+    F.transform(
+      F.split(F.regexp_replace(F.trim(s), "^\\[|\\]$", ""), ",\\s*"),
+      x => x.cast(FloatType))
+
+  /** Render array<float> as the pgvector literal text `[x1,x2,...]` —
+    * `','.join(map(str, emb))` at /root/reference/demo/aws_rds_demo.py:68. */
+  def vector_literal(v: Column): Column =
+    F.concat(F.lit("["), F.concat_ws(",", F.transform(v, _.cast("string"))), F.lit("]"))
+
+  /** `vector_dims(v)` (/root/reference/demo/README.md:96). */
+  def vector_dims(v: Column): Column = F.size(v)
+
+  /** Enforce pgvector's `VECTOR(n)` fixed-dimension typing at ingest:
+    * errors on mismatch like pgvector, passes the value through otherwise. */
+  def validate_vector(v: Column, dim: Int): Column =
+    F.when(F.size(v) === dim, v)
+      .otherwise(F.raise_error(F.concat(
+        F.lit(s"vector dimension mismatch: expected $dim, got "), F.size(v).cast("string"))))
+
+  /** Constant `Array[Float]` query vector as a Column literal. */
+  def vector_lit(v: Array[Float]): Column = F.typedLit(v)
+
+  private val registered = ConcurrentHashMap.newKeySet[String]()
+
+  /** Idempotently register the vector functions in `spark`'s session
+    * function registry so `spark.sql("... cosine_distance(a,b) ...")` works. */
+  def registerAll(spark: SparkSession): Unit = {
+    if (registered.add(spark.sessionState.toString)) {
+      val r = spark.sessionState.functionRegistry
+      r.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es(0), es(1)), "scala_udf")
+      r.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+      r.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
+      r.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "scala_udf")
+    }
+  }
+}

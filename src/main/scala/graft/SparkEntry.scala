@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.ReferenceQueries
+import graft.operators.{ReferenceQueries, StarSchemaQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,12 +12,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ReferenceQueries.knnTopK(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.1.8 extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.all
+    ReferenceQueries.all ++ StarSchemaQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles
+    ReferenceQueries.oracles ++ StarSchemaQueries.oracles
 }

@@ -13,8 +13,16 @@ object Tables {
     spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to a micros timestamp (UTC
+    * session). DuckDB keeps full ns — queries must not emit raw `ts`, only
+    * values truncated to ≥1s granularity (e.g. date_trunc), which agree. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/lineitem.parquet")
   def orders(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Extension surface beyond the reference (SURVEY.md §7.1.8): classic
+  * OLAP equi-join / aggregation / window queries over the TESTDATA star
+  * schema — the workloads a user of the reference's Postgres tables would
+  * also run, expressed Spark-first.
+  *
+  * Scale design:
+  *  - dimension tables (region/nation/customer/part) are `broadcast()` —
+  *    no shuffle of the fact table for dim joins at any scale;
+  *  - aggregations are partial (map-side) + final hash aggregates —
+  *    Catalyst's default — so shuffle volume is |groups|, not |rows|;
+  *  - top-k always via orderBy+limit → TakeOrderedAndProject (bounded heap
+  *    per partition, k-row driver merge), never a global sort;
+  *  - window functions shuffle once on the partition key (user_id), the
+  *    natural key distribution at 100 TB.
+  *
+  * Oracle exactness: every float aggregate goes through
+  * `CAST(x AS DECIMAL(18,2))` per row → exact integer-scaled SUM → single
+  * `CAST(... AS DOUBLE)` (and one double division for AVG), which both
+  * Spark and DuckDB reproduce bit-for-bit regardless of row order. No
+  * double can sit exactly on a half-ulp boundary of a scale≥2 decimal
+  * (midpoints require a factor-5 denominator, impossible in binary), so
+  * the per-row cast is also collision-free.
+  */
+object StarSchemaQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact revenue sum: Σ price·(1−discount) in decimal, cast to double. */
+  private def revenue: Column =
+    sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast("double")
+
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1999-12-31 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        revenue.as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: top-10 open orders by revenue for one segment. */
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-06-30 00:00:00")))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-06-30 00:00:00")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation within one region. */
+  def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, sfDir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-10 customers by total order spend. */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(
+        sum(dec2(col("o_totalprice"))).cast("double").as("spend"),
+        count(lit(1)).as("n_orders"))
+    spend.join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "spend", "n_orders")
+      .orderBy(col("spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Window: top-3 events per user by value (row_number over user_id). */
+  def eventsTopPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "event_type", "value")
+      .orderBy("user_id", "rn")
+  }
+
+  /** Hourly event rollup (batch form of the streaming windowed agg). */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type", "hour")
+
+  /** Semi-structured: JSON props extraction + rollup. */
+  def eventsPropsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Catalog-style rollup over part. */
+  def partsByBrand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (sum(dec2(col("p_retailprice"))).cast("double") / count(lit(1))).as("avg_price"))
+      .orderBy("p_brand")
+
+  /** Anti join: customers that never ordered. */
+  def customersNoOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Semi join: orders containing at least one high-value line item. */
+  def ordersSemiHighValue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir).filter(col("l_extendedprice") > 90000.0),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => q1Agg(s, d)),
+    "q3_top_orders" -> ((s, d) => q3TopOrders(s, d)),
+    "q5_nation_revenue" -> ((s, d) => q5NationRevenue(s, d)),
+    "top_customers" -> ((s, d) => topCustomers(s, d)),
+    "events_top_per_user" -> ((s, d) => eventsTopPerUser(s, d)),
+    "events_hourly" -> ((s, d) => eventsHourly(s, d)),
+    "events_props_agg" -> ((s, d) => eventsPropsAgg(s, d)),
+    "parts_by_brand" -> ((s, d) => partsByBrand(s, d)),
+    "customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
+    "orders_semi_high_value" -> ((s, d) => ordersSemiHighValue(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  $revenueSql AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+         |  $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY spend DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+    "events_top_per_user" ->
+      """SELECT user_id, rn, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+    "events_hourly" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, hour""".stripMargin,
+    "events_props_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "parts_by_brand" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "orders_semi_high_value" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

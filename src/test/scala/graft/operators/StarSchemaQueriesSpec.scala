@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class StarSchemaQueriesSpec extends SparkSpec {
+
+  test("q1_agg: 6 flag/status groups with exact decimal sums") {
+    val rows = StarSchemaQueries.q1Agg(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+    // exact-decimal invariant: sum_qty is a whole number scaled at .00
+    assert(rows.forall(r => (r.getAs[Double]("sum_qty") * 100) % 1 == 0.0))
+  }
+
+  test("q3/q5/top_customers join queries return bounded deterministic results") {
+    val q3 = StarSchemaQueries.q3TopOrders(spark, Sf0001).collect()
+    assert(q3.length <= 10)
+    val q5 = StarSchemaQueries.q5NationRevenue(spark, Sf0001).collect()
+    assert(q5.nonEmpty && q5.length <= 25)
+    val tc = StarSchemaQueries.topCustomers(spark, Sf0001).collect()
+    assert(tc.length === 10)
+    val spends = tc.map(_.getAs[Double]("spend"))
+    assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("events window caps at 3 rows per user, ordered") {
+    val rows = StarSchemaQueries.eventsTopPerUser(spark, Sf0001).collect()
+    val perUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(perUser.values.forall(_.length <= 3))
+    assert(rows.forall(_.getAs[Long]("rn") <= 3))
+  }
+
+  test("hourly/props/brand rollups + semi/anti joins run") {
+    assert(StarSchemaQueries.eventsHourly(spark, Sf0001).count() > 0)
+    val props = StarSchemaQueries.eventsPropsAgg(spark, Sf0001).collect()
+    assert(props.length === 5) // 5 event types
+    assert(props.forall(!_.isNullAt(1))) // JSON k extracted everywhere
+    assert(StarSchemaQueries.partsByBrand(spark, Sf0001).count() > 0)
+    val anti = StarSchemaQueries.customersNoOrders(spark, Sf0001).count()
+    val semi = StarSchemaQueries.ordersSemiHighValue(spark, Sf0001).count()
+    assert(anti >= 0 && semi >= 0)
+  }
+
+  test("fact-dim joins broadcast the dimension side (scale audit)") {
+    val plan = StarSchemaQueries.q5NationRevenue(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text primitives for the LLM-data-pipeline operators (dedup, language ID,
+  * quality scoring). All are compositions of codegen'd builtins — no UDFs —
+  * and each has an exact DuckDB-SQL mirror used by the oracle (the engine's
+  * token/shingle definitions are deliberately regex-simple so both engines
+  * agree byte-for-byte).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization: `string_split_regex(trim(text), '\s+')`. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct 3-gram token shingles via the codegen'd [[Shingles]]
+    * expression (the higher-order-function formulation is CodegenFallback
+    * and ~20× slower; see ShinglesExpression.scala). */
+  def shingles3(t: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      Shingles(org.apache.spark.sql.graftshim.ColumnBridge.expression(t), 3))
+
+  /** Stopword lists for the n-gram language-ID heuristic (SURVEY-extension:
+    * a deterministic, oracle-checkable stand-in for fasttext-style lang ID). */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  /** Count of tokens found in `words` (the hit score for one language). */
+  def stopwordHits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(words))).cast("long")
+}

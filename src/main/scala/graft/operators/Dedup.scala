@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql => O, Tables}
+import graft.functions.cosine_similarity
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core
+  * pre-training-data pipeline pass (builder brief).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup = hash aggregation on a fingerprint, one shuffle on the
+  *    group key;
+  *  - n-gram Jaccard = inverted-index self-join on shingles (shuffle on
+  *    shingle, then on pair) — the exact-verification path. Hot shingles
+  *    are the skew risk; production caps document frequency per shingle
+  *    (dropping a stop-shingle cannot create false pairs above threshold —
+  *    it only reduces candidate generation for ubiquitous n-grams);
+  *  - MinHash LSH = the scale path: 64 permutations banded 16×4, candidate
+  *    pairs only where a band matches, then exact-Jaccard verification of
+  *    candidates — linear-ish work instead of all-pairs;
+  *  - SimHash = 64-bit signature; candidate pairs via 4×16-bit chunk
+  *    equality (pigeonhole: complete for hamming ≤ 3), verified by exact
+  *    hamming — again no all-pairs compare;
+  *  - embedding near-dup keeps the reference's exact cosine semantics
+  *    (oracle-checkable); its scale path is the IVF index probe.
+  *
+  * dedup_exact / dedup_ngram / dedup_embedding have bit-exact DuckDB
+  * oracles. dedup_minhash / dedup_simhash are deterministic (fixed hash
+  * constants) but depend on xxhash64, which DuckDB lacks → verified by
+  * ScalaTest against the exact pipelines instead (SURVEY.md §7.2).
+  */
+object Dedup {
+
+  val NgramThreshold = 0.1
+  val MinhashVerifyThreshold = 0.5
+  val EmbeddingThreshold = 0.45
+  val SimhashMaxHamming = 3
+
+  /** (doc_id, shingle) exploded distinct 3-gram shingle relation. */
+  private def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+
+  /** All candidate pairs sharing ≥1 shingle, with exact Jaccard. */
+  private def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRel(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
+  }
+
+  /** Exact duplicate audit: total rows, distinct normalized texts, dup groups. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    Tables.documents(spark, sfDir)
+      .select(fp.as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct_text"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs above threshold. */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(spark, sfDir)
+      .filter(col("jaccard") >= NgramThreshold)
+      .orderBy("a", "b")
+
+  /** Embedding cosine near-dup pairs (exact; IVF probe is the scale path). */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e1 = Tables.embeddings(spark, sfDir).select(col("vec_id").as("a"), col("embedding").as("v1"))
+    val e2 = Tables.embeddings(spark, sfDir).select(col("vec_id").as("b"), col("embedding").as("v2"))
+    e1.crossJoin(e2)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine_similarity(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= EmbeddingThreshold)
+      .orderBy("a", "b")
+  }
+
+  // ---- MinHash LSH ---------------------------------------------------------
+
+  val NumPerms = 64
+  val BandRows = 4 // → 16 bands; s-curve threshold (1/16)^(1/4) = 0.5
+  private val MinhashPrime = 2038074743L
+
+  /** MinHash-LSH near-dup pairs: banded signature match → candidates →
+    * exact-Jaccard verification (≥ [[MinhashVerifyThreshold]]).
+    * Permutation i: hᵢ(x) = ((i·2654435761 | 1)·x + i·40503 + 7) mod P —
+    * derived from i inline, no lookup tables. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRel(spark, sfDir)
+    val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
+    val perms = hashed
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(NumPerms - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        // reduce the multiplier mod P first: P² < 2⁶³ keeps ANSI-safe longs
+        pmod(
+          pmod((col("i").cast("long") * lit(2654435761L)).bitwiseOR(lit(1L)), lit(MinhashPrime))
+            * col("h")
+            + (col("i").cast("long") * lit(40503L) + lit(7L)),
+          lit(MinhashPrime)).as("hv"))
+    val sig = perms.groupBy("doc_id", "i").agg(min("hv").as("mh"))
+    val bands = sig
+      .withColumn("band", expr(s"i div $BandRows"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))), s => s.getField("mh").cast("string")))
+        .as("band_sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // Verify ONLY candidates (the LSH point): per-pair shingle intersection
+    // via two candidate-restricted joins — never the all-pairs self-join.
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val commons = cand
+      .join(sh.as("cx"), col("a") === col("cx.doc_id"))
+      .join(sh.as("cy"),
+        col("b") === col("cy.doc_id") && col("cx.shingle") === col("cy.shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    commons
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= MinhashVerifyThreshold)
+      .orderBy("a", "b")
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** SimHash near-dup pairs: 64-bit signature over distinct-token hashes,
+    * candidates via 4×16-bit chunk equality (complete for hamming ≤ 3),
+    * verified by exact hamming distance. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val bitSums = tokh
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("i"))
+      .select(col("doc_id"), col("i"),
+        (expr("shiftright(h, i)").bitwiseAND(lit(1L)) * 2 - 1).as("sgn"))
+      .groupBy("doc_id", "i").agg(sum("sgn").as("s"))
+    val sig = bitSums
+      .select(col("doc_id"), expr("shiftleft(IF(s >= 0, 1L, 0L), i)").as("bit"))
+      .groupBy("doc_id").agg(sum("bit").as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("doc_id"), col("sig"), col("k"),
+        expr("shiftright(sig, CAST(k * 16 AS INT)) & 65535").as("chunk"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .distinct()
+    cand
+      .select(col("a"), col("b"), expr("bit_count(siga ^ sigb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .orderBy("a", "b")
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "dedup_ngram" -> ((s, d) => dedupNgram(s, d)),
+    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
+    "dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
+  )
+
+  /** Oracles for the exactly-reproducible subset; minhash/simhash are
+    * deliberately omitted (xxhash64 has no DuckDB equivalent) → the driver
+    * records a rows-only check and ScalaTest covers them against the exact
+    * pipelines. */
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH g AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, count(*) AS cnt
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       COUNT(*) AS n_distinct_text,
+        |       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM g""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
+         |  )) AS shingle FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON a = sa.doc_id
+         |JOIN sizes sb ON b = sb.doc_id
+         |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $NgramThreshold
+         |ORDER BY a, b""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT e1.vec_id AS a, e2.vec_id AS b,
+         |  ${O.cosSim("e1.embedding", "e2.embedding")} AS sim
+         |FROM embeddings e1, embeddings e2
+         |WHERE e1.vec_id < e2.vec_id
+         |  AND ${O.cosSim("e1.embedding", "e2.embedding")} >= $EmbeddingThreshold
+         |ORDER BY a, b""".stripMargin,
+  )
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` — the quality/metadata pass of a
+  * large-scale training-data pipeline (builder brief; SURVEY.md §7.1.8).
+  * Every op is a narrow projection over one scan: at 100 TB these run as a
+  * single embarrassingly-parallel map with no shuffle (the ORDER BY here is
+  * only for the deterministic oracle compare; production use drops it).
+  *
+  * All arithmetic is int-count ratios with single double divisions and
+  * left-associated weighted sums, written identically in the DuckDB oracle
+  * → bit-exact cross-engine.
+  */
+object TextAnalysis {
+
+  private val punctClass = "[.,;:!?]"
+
+  /** Per-document stats: token count, stopword ratio, punctuation ratio,
+    * average token length, and a composite quality score (length/punct/
+    * stopword mix — the classic C4/Gopher-style heuristics, deterministic). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nStop = stopwordHits(t, StopwordsByLang.toMap.apply("en"))
+    val nPunct = (length(col("text")) - length(regexp_replace(col("text"), punctClass, ""))).cast("long")
+    val stopRatio = nStop.cast("double") / nTok
+    val punctRatio = nPunct.cast("double") / length(col("text")).cast("long")
+    val avgTokLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+    val quality = lit(0.5) * stopRatio + lit(0.3) * least(lit(1.0), nTok.cast("double") / lit(100.0)) +
+      lit(0.2) * (lit(1.0) - punctRatio)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stop"),
+      stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"),
+      avgTokLen.as("avg_token_len"),
+      quality.as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: stopword-hit votes per language, argmax with alphabetical
+    * tie-break (deterministic; mirrors fasttext-style scoring shape). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val hits: Seq[(String, Column)] =
+      StopwordsByLang.map { case (lang, words) => lang -> stopwordHits(t, words) }
+    // argmax in fixed alphabetical order: first lang whose hits >= all others
+    val pred = hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
+      val isMax = hits.filter(_._1 != lang).map { case (_, o) => h >= o }.reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    Tables.documents(spark, sfDir).select(
+      (col("doc_id") +: hits.map { case (l, h) => h.as(s"hits_$l") } :+ pred.as("pred_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (both engines share md5 hex output). */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, d) => textStats(s, d)),
+    "lang_id" -> ((s, d) => langId(s, d)),
+    "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
+  )
+
+  def oracles: Map[String, String] = {
+    val tok = """string_split_regex(trim(text), '\s+')"""
+    def hitsSql(words: Seq[String]) =
+      s"CAST(len(list_filter($tok, x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+    val langs = StopwordsByLang
+    val predSql = {
+      // same alphabetical-first argmax as the Spark fold
+      val cases = langs.map { case (lang, _) =>
+        val others = langs.filter(_._1 != lang)
+          .map { case (o, _) => s"hits_$lang >= hits_$o" }.mkString(" AND ")
+        s"WHEN $others THEN '$lang'"
+      }
+      s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+    }
+    Map(
+      "text_stats" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text,
+           |    CAST(len($tok) AS BIGINT) AS n_tokens,
+           |    ${hitsSql(langs.toMap.apply("en"))} AS n_stop,
+           |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+           |  FROM documents)
+           |SELECT doc_id, n_tokens, n_stop,
+           |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           |  CAST(n_punct AS DOUBLE) / CAST(length(text) AS BIGINT) AS punct_ratio,
+           |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens AS avg_token_len,
+           |  0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+           |    + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+           |    + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(length(text) AS BIGINT)) AS quality_score
+           |FROM base ORDER BY doc_id""".stripMargin,
+      "lang_id" ->
+        s"""SELECT doc_id,
+           |  ${langs.map { case (l, ws) => s"${hitsSql(ws)} AS hits_$l" }.mkString(",\n  ")},
+           |  $predSql AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "doc_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+    )
+  }
+}

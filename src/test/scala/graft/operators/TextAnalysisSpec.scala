@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("text_stats ratios bounded and token counts positive") {
+    val rows = TextAnalysis.textStats(spark, Sf0001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(sr >= 0.0 && sr <= 1.0)
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("lang_id predicts a language for every doc with deterministic tie-break") {
+    val rows = TextAnalysis.langId(spark, Sf0001).collect()
+    assert(rows.length === 500)
+    val langs = rows.map(_.getAs[String]("pred_lang")).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh", "und")))
+    // fixture vocabulary is English-ish filler: 'the'/'a'/'in' dominate
+    assert(rows.count(_.getAs[String]("pred_lang") == "en") > 250)
+  }
+
+  test("doc_fingerprint is stable md5 hex and collides only for identical text") {
+    val rows = TextAnalysis.docFingerprint(spark, Sf0001).collect()
+    assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
+  }
+
+  test("knn_batch: rank 1 of each query is itself at distance ~0") {
+    val rows = SimilarityQueries.knnBatch(spark, Sf0001).collect()
+    assert(rows.length === SimilarityQueries.BatchQueries * SimilarityQueries.BatchK)
+    val rank1 = rows.filter(_.getAs[Long]("rank") == 1L)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("dist")) < 1e-9)
+    }
+  }
+}

@@ -59,6 +59,13 @@ package object functions {
   /** Constant `Array[Float]` query vector as a Column literal. */
   def vector_lit(v: Array[Float]): Column = F.typedLit(v)
 
+  /** Distinct n-gram shingles of a token array (codegen'd; dedup unit). */
+  def shingles(tokens: Column, n: Int): Column = col(Shingles(expr(tokens), n))
+
+  /** Deterministic feature-hashing sentence embedding (offline default for
+    * the reference's EmbeddingGenerator; mean-pool + L2-normalize). */
+  def hash_embed(text: Column, dim: Int = 384): Column = col(HashEmbed(expr(text), dim))
+
   private val registered = ConcurrentHashMap.newKeySet[String]()
 
   /** Idempotently register the vector functions in `spark`'s session
@@ -70,6 +77,10 @@ package object functions {
       r.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "scala_udf")
+      r.createOrReplaceTempFunction("shingles",
+        es => Shingles(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
+      r.createOrReplaceTempFunction("hash_embed",
+        es => HashEmbed(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
     }
   }
 }

@@ -1,0 +1,100 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.Normalizer
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_distance
+import graft.util.Timing.timeIt
+
+/** IVFFLAT-analog batch vector index (the reference's
+  * `CREATE INDEX ... USING ivfflat (embedding vector_cosine_ops) WITH
+  * (lists = 100)` — /root/reference/README.md:185,
+  * demo/aws_rds_similarity_search_demo.py:135-139), built as a Spark batch
+  * job per the BASELINE.json north star ("batch index creation fits Spark").
+  *
+  * Build: L2-normalize (cosine ≡ Euclidean on the unit sphere) → KMeans
+  * (k = lists, FIXED seed for reproducible verify runs, SURVEY.md §7.2) →
+  * assign each vector its nearest-centroid `list_id` → write the index
+  * dataset **Hive-partitioned by list_id** + a tiny centroid sidecar.
+  *
+  * Probe: rank centroids by cosine distance to the query → read ONLY the
+  * `nprobe` nearest list partitions (directory-level partition pruning — at
+  * 100 TB a probe touches nprobe/lists of the data) → exact cosine top-k
+  * within them. `nprobe = lists` degrades to exact search (tested).
+  */
+object IvfIndex {
+
+  val DefaultLists = 100 // pgvector demo default (README.md:185)
+  val Seed = 42L
+
+  /** Build the index dataset at `indexPath`. Returns (rows, lists). */
+  def build(embeddings: DataFrame, indexPath: String,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            lists: Int = DefaultLists): (Long, Int) = timeIt("ivf_build") {
+    val spark = embeddings.sparkSession
+    val feats = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val normed = new Normalizer().setInputCol("fv").setOutputCol("nfv").setP(2.0)
+      .transform(feats)
+    val model = new KMeans()
+      .setK(lists).setSeed(Seed).setFeaturesCol("nfv").setPredictionCol("list_id")
+      .fit(normed)
+    val assigned = model.transform(normed)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    spark.createDataFrame(centroids.toIndexedSeq).toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    (assigned.count(), lists)
+  }
+
+  /** Top-k cosine probe of `nprobe` lists for one query vector. */
+  def probe(spark: SparkSession, indexPath: String, query: Array[Float],
+            k: Int, nprobe: Int): DataFrame = {
+    // index metadata lookup: |lists| rows, driver-side by design
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("list_id"),
+        cosine_distance(col("centroid"), typedLit(query)).as("cdist"))
+      .orderBy(col("cdist"), col("list_id"))
+      .limit(nprobe)
+      .collect().map(_.getInt(0))
+    spark.read.parquet(s"$indexPath/lists")
+      .filter(col("list_id").isin(centroids.toIndexedSeq: _*)) // partition pruning
+      .select(col("vec_id"),
+        cosine_distance(col("embedding"), typedLit(query)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Batch probe: many queries in one distributed pass — centroid ranking
+    * via broadcast + window (no driver loop), then a list_id equi-join
+    * against the index and a per-query top-k window. */
+  def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
+                qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val wq = Window.partitionBy("qid").orderBy(col("cdist"), col("list_id"))
+    val probed = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("list_id"),
+        cosine_distance(col("centroid"), col("qv")).as("cdist"))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select("qid", "qv", "list_id")
+    val wk = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+    spark.read.parquet(s"$indexPath/lists")
+      .join(broadcast(probed), Seq("list_id"))
+      .select(col("qid"), col("vec_id"),
+        cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "dist")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.index.IvfIndex
+
+/** IVF index queries for the driver gate. The index is built once per
+  * (session, sfDir) and cached — mirroring a persisted `CREATE INDEX`
+  * whose lifetime outlives individual queries.
+  *
+  * `ivf_build` is oracle-checked on its cardinality contract (every vector
+  * lands in exactly one list). `ivf_knn` is approximate by design → no
+  * exact oracle (SURVEY.md §7.2); its correctness envelope — probe-all
+  * equals exact, recall thresholds — is pinned in IvfIndexSpec.
+  */
+object IndexQueries {
+
+  /** lists sized ~sqrt(n) for the small fixtures (pgvector guidance is
+    * rows/1000 for big tables, sqrt(n) for small). */
+  val Lists = 16
+  val K = 10
+  val NProbe = 4
+
+  private val cache = new ConcurrentHashMap[String, String]()
+
+  def indexFor(spark: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_ivf").resolve("index").toString
+      IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists)
+      path
+    })
+
+  /** Build (cached) + report the index cardinality contract (list-count
+    * bounds are asserted in IvfIndexSpec; KMeans may leave a list empty). */
+  def ivfBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = indexFor(spark, sfDir)
+    spark.read.parquet(s"$path/lists")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  /** Approximate top-k for the vec_id=0 query through the index. */
+  def ivfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = indexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfIndex.probe(spark, path, q, K, NProbe)
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_build" -> ((s, d) => ivfBuild(s, d)),
+    "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    // cardinality contract: every embedding vector indexed exactly once
+    "ivf_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // ivf_knn: approximate — deliberately no oracle (rows-only check)
+  )
+}

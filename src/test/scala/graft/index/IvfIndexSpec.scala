@@ -1,0 +1,82 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{IndexQueries, ReferenceQueries}
+
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val indexPath = IndexQueries.indexFor(spark, Sf0001)
+
+  private def queryVec: Array[Float] =
+    graft.Tables.embeddings(spark, Sf0001).filter(col("vec_id") === 0)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+
+  test("build partitions every vector into exactly one list") {
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    assert(lists.count() === 500L)
+    assert(lists.select("vec_id").distinct().count() === 500L)
+    val used = lists.select("list_id").distinct().count()
+    assert(used > 1 && used <= IndexQueries.Lists)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    assert(cents.count() === IndexQueries.Lists.toLong)
+  }
+
+  test("probe with nprobe = lists equals exact brute-force top-k") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val probed = IvfIndex.probe(spark, indexPath, queryVec, 10, IndexQueries.Lists)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed === exact, "probing all lists must degrade to exact search")
+  }
+
+  test("probe recall@10 with nprobe=4/16 meets threshold; deterministic") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSet
+    val r1 = IvfIndex.probe(spark, indexPath, queryVec, 10, IndexQueries.NProbe)
+      .collect().map(_.getLong(0)).toSeq
+    val r2 = IvfIndex.probe(spark, indexPath, queryVec, 10, IndexQueries.NProbe)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1 === r2, "probe must be deterministic")
+    // Random (unclustered) fixture vectors are IVF's worst case: true
+    // neighbors scatter uniformly, so E[recall] ≈ nprobe/lists. Assert
+    // that floor plus the monotone scaling law instead of a clustered-data
+    // fantasy threshold.
+    val recall4 = r1.toSet.intersect(exact).size / 10.0
+    assert(recall4 >= IndexQueries.NProbe.toDouble / IndexQueries.Lists,
+      s"recall@10 $recall4 below the nprobe/lists floor")
+    val r8 = IvfIndex.probe(spark, indexPath, queryVec, 10, 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall8 = r8.intersect(exact).size / 10.0
+    assert(recall8 >= recall4, s"recall must not decrease with nprobe ($recall4 → $recall8)")
+    assert(recall8 >= 0.45, s"recall@10 at nprobe=8/16 was $recall8")
+    // the query vector itself is always in the probed cluster
+    assert(r1.head === 0L)
+  }
+
+  test("probe plan prunes partitions (reads nprobe lists, not all)") {
+    val df = IvfIndex.probe(spark, indexPath, queryVec, 10, 2)
+    val scan = df.queryExecution.executedPlan.toString
+    // partition filter on list_id must appear in the parquet scan
+    assert(scan.contains("list_id"), s"expected list_id partition filter:\n$scan")
+    assert(df.count() <= 10)
+  }
+
+  test("probeMany matches single-query probe per qid") {
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+    val batch = IvfIndex.probeMany(spark, indexPath, queries, "qid", "embedding",
+        k = 5, nprobe = IndexQueries.NProbe)
+      .collect().groupBy(_.getAs[Long]("qid"))
+    (0L until 3L).foreach { qid =>
+      val single = IvfIndex.probe(spark, indexPath,
+          graft.Tables.embeddings(spark, Sf0001).filter(col("vec_id") === qid)
+            .head().getAs[collection.Seq[Float]]("embedding").toArray,
+          5, IndexQueries.NProbe)
+        .collect().map(_.getLong(0)).toSeq
+      val fromBatch = batch(qid).sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(fromBatch === single, s"qid $qid")
+    }
+  }
+}

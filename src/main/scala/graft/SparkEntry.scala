@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, IndexQueries, IngestQueries, ReferenceQueries, SimilarityQueries, StarSchemaQueries, TextAnalysis}
+import graft.operators.{Dedup, IndexQueries, IngestQueries, MultimodalQueries, ReferenceQueries, SimilarityQueries, StarSchemaQueries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.1.8 extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.all ++ StarSchemaQueries.all ++ TextAnalysis.all ++
-      Dedup.all ++ SimilarityQueries.all ++ IngestQueries.all ++ IndexQueries.all
+      Dedup.all ++ SimilarityQueries.all ++ IngestQueries.all ++ IndexQueries.all ++
+      MultimodalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ StarSchemaQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ SimilarityQueries.oracles ++ IngestQueries.oracles ++ IndexQueries.oracles
+      Dedup.oracles ++ SimilarityQueries.oracles ++ IngestQueries.oracles ++ IndexQueries.oracles ++
+      MultimodalQueries.oracles
 }

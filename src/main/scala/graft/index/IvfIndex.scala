@@ -30,21 +30,23 @@ object IvfIndex {
   val DefaultLists = 100 // pgvector demo default (README.md:185)
   val Seed = 42L
 
-  /** Build the index dataset at `indexPath`. Returns (rows, lists). */
+  /** Build the index dataset at `indexPath`. The lists dataset keeps ALL
+    * source columns (so an index scan can substitute for a table scan in
+    * the transparent ANN rewrite) plus `list_id`. Returns (rows, lists). */
   def build(embeddings: DataFrame, indexPath: String,
             idCol: String = "vec_id", vecCol: String = "embedding",
             lists: Int = DefaultLists): (Long, Int) = timeIt("ivf_build") {
     val spark = embeddings.sparkSession
+    val srcCols = embeddings.columns.toSeq
     val feats = embeddings
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-      .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+      .withColumn("fv", array_to_vector(col(vecCol).cast("array<double>")))
     val normed = new Normalizer().setInputCol("fv").setOutputCol("nfv").setP(2.0)
       .transform(feats)
     val model = new KMeans()
       .setK(lists).setSeed(Seed).setFeaturesCol("nfv").setPredictionCol("list_id")
       .fit(normed)
     val assigned = model.transform(normed)
-      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .select((srcCols :+ "list_id").map(col): _*)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))

@@ -142,6 +142,19 @@ object ReferenceQueries {
       .drop("neg_ip")
   }
 
+  /** P9 vector literal parity: `'[...]'::vector` text round-trip
+    * (/root/reference/demo/aws_rds_demo.py:68). Float32→string→float32 is
+    * exact in Spark (shortest round-trip repr), so mismatches must be 0. */
+  def vectorParseRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{parse_vector, vector_literal}
+    Tables.embeddings(spark, sfDir)
+      .select((parse_vector(vector_literal(col("embedding"))) === col("embedding"))
+        .as("same"))
+      .agg(
+        sum(when(col("same"), 0L).otherwise(1L)).as("n_mismatch"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for every query above; fragments built by
     * [[graft.OracleSql]] are bit-exact with the Catalyst expressions. */
   def oracles: Map[String, String] = {
@@ -195,6 +208,8 @@ object ReferenceQueries {
            |FROM embeddings e, q
            |ORDER BY -${O.innerProduct("e.embedding", "q.qv")}, e.vec_id
            |LIMIT 10""".stripMargin,
+      "vector_parse_roundtrip" ->
+        "SELECT CAST(0 AS BIGINT) AS n_mismatch, COUNT(*) AS n_rows FROM embeddings",
     )
   }
 
@@ -210,5 +225,6 @@ object ReferenceQueries {
     "vector_dims" -> ((s, d) => vectorDims(s, d)),
     "l2_topk" -> ((s, d) => l2TopK(s, d)),
     "ip_topk" -> ((s, d) => ipTopK(s, d)),
+    "vector_parse_roundtrip" -> ((s, d) => vectorParseRoundtrip(s, d)),
   )
 }

@@ -66,6 +66,14 @@ package object functions {
     * the reference's EmbeddingGenerator; mean-pool + L2-normalize). */
   def hash_embed(text: Column, dim: Int = 384): Column = col(HashEmbed(expr(text), dim))
 
+  /** Single-pass MinHash signature aggregate (input: pmod'ed hash ∈ [0,P)). */
+  def minhash_signature(h: Column, numPerms: Int, prime: Long): Column =
+    col(MinhashSignature(expr(h), numPerms, prime).toAggregateExpression())
+
+  /** Single-pass 64-bit SimHash aggregate over token hashes. */
+  def simhash64(h: Column): Column =
+    col(SimhashSignature(expr(h)).toAggregateExpression())
+
   private val registered = ConcurrentHashMap.newKeySet[String]()
 
   /** Idempotently register the vector functions in `spark`'s session

@@ -96,27 +96,20 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs: banded signature match → candidates →
     * exact-Jaccard verification (≥ [[MinhashVerifyThreshold]]).
-    * Permutation i: hᵢ(x) = ((i·2654435761 | 1)·x + i·40503 + 7) mod P —
-    * derived from i inline, no lookup tables. */
+    * Permutation i: hᵢ(x) = ((i·2654435761 | 1)·x + i·40503 + 7) mod P.
+    * The 64-lane signature folds in ONE aggregation pass
+    * ([[graft.functions.MinhashSignature]]) — the naive form explodes every
+    * shingle into 64 rows (64× shuffle amplification). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleRel(spark, sfDir)
     val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
-    val perms = hashed
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(NumPerms - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        // reduce the multiplier mod P first: P² < 2⁶³ keeps ANSI-safe longs
-        pmod(
-          pmod((col("i").cast("long") * lit(2654435761L)).bitwiseOR(lit(1L)), lit(MinhashPrime))
-            * col("h")
-            + (col("i").cast("long") * lit(40503L) + lit(7L)),
-          lit(MinhashPrime)).as("hv"))
-    val sig = perms.groupBy("doc_id", "i").agg(min("hv").as("mh"))
+    val sig = hashed.groupBy("doc_id")
+      .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))
     val bands = sig
-      .withColumn("band", expr(s"i div $BandRows"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))), s => s.getField("mh").cast("string")))
-        .as("band_sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumPerms / BandRows - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * BandRows + 1, lit(BandRows))
+          .cast("array<string>")).as("band_sig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -141,21 +134,16 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** SimHash near-dup pairs: 64-bit signature over distinct-token hashes,
+  /** SimHash near-dup pairs: 64-bit signature over distinct-token hashes
+    * (single-pass [[graft.functions.SimhashSignature]] aggregate),
     * candidates via 4×16-bit chunk equality (complete for hamming ≤ 3),
     * verified by exact hamming distance. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val tokh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
       .select(col("doc_id"), xxhash64(col("token")).as("h"))
-    val bitSums = tokh
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("i"))
-      .select(col("doc_id"), col("i"),
-        (expr("shiftright(h, i)").bitwiseAND(lit(1L)) * 2 - 1).as("sgn"))
-      .groupBy("doc_id", "i").agg(sum("sgn").as("s"))
-    val sig = bitSums
-      .select(col("doc_id"), expr("shiftleft(IF(s >= 0, 1L, 0L), i)").as("bit"))
-      .groupBy("doc_id").agg(sum("bit").as("sig"))
+    val sig = tokh.groupBy("doc_id")
+      .agg(graft.functions.simhash64(col("h")).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .select(col("doc_id"), col("sig"), col("k"),

@@ -160,7 +160,35 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Corpus cleaning (the operator a pipeline actually runs): drop exact
+    * duplicates by normalized fingerprint (keep min doc_id), then drop the
+    * larger id of every near-dup pair. Greedy per-pair removal — at 100 TB
+    * the pair list is small relative to the corpus, broadcastable, and the
+    * result is deterministic. */
+  def dropNearDuplicates(docs: DataFrame, nearDupPairs: DataFrame): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val exactDeduped = docs
+      .withColumn("fp", fp)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("fp", "_rn")
+    val toDrop = nearDupPairs.select(col("b").as("doc_id")).distinct()
+    exactDeduped.join(broadcast(toDrop), Seq("doc_id"), "left_anti")
+  }
+
+  /** Cleaned-corpus cardinality through the full dedup stack (exact +
+    * minhash near-dup removal) — oracle-checked via the exact pipeline. */
+  def dedupClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val cleaned = dropNearDuplicates(
+      Tables.documents(spark, sfDir),
+      dedupNgram(spark, sfDir)) // exact pair list → exact oracle below
+    cleaned.agg(count(lit(1)).as("n_clean"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clean" -> ((s, d) => dedupClean(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => dedupNgram(s, d)),
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
@@ -173,6 +201,31 @@ object Dedup {
     * records a rows-only check and ScalaTest covers them against the exact
     * pipelines. */
   def oracles: Map[String, String] = Map(
+    "dedup_clean" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents),
+         |keep1 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+         |  WHERE rn = 1),
+         |tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
+         |  )) AS shingle FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT DISTINCT b FROM common
+         |  JOIN sizes sa ON a = sa.doc_id
+         |  JOIN sizes sb ON b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $NgramThreshold)
+         |SELECT COUNT(*) AS n_clean FROM keep1
+         |WHERE doc_id NOT IN (SELECT b FROM drops)""".stripMargin,
     "dedup_exact" ->
       """WITH g AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, count(*) AS cnt

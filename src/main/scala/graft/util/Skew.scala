@@ -1,0 +1,36 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key equi-joins (builder brief: "skewed keys →
+  * salting or AQE skew-join"). AQE handles sort-merge skew splits
+  * automatically; explicit salting is the tool when one side has a few
+  * pathological keys and the other side is small enough to replicate.
+  *
+  * `saltedEquiJoin(big, small, key, n)`: the big side gets a uniform salt
+  * in [0, n); the small side is replicated n times with every salt value;
+  * the join key becomes (key, salt), splitting each hot key's row group
+  * across n reducers. Result is row-identical to the plain equi-join.
+  */
+object Skew {
+
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig
+      .join(replicatedSmall, Seq(key, "_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Top-n heavy hitters of a key column with their frequencies — the
+    * diagnostic that decides whether salting is needed. */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topN)
+}

@@ -40,6 +40,20 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed strong dups: $missed")
   }
 
+  test("dropNearDuplicates removes pair 'b' sides and exact dups, keeps the rest") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val pairs = Dedup.dedupNgram(spark, Sf0001)
+    val cleaned = Dedup.dropNearDuplicates(docs, pairs)
+    val dropped = pairs.select("b").distinct().collect().map(_.getLong(0)).toSet
+    val keptIds = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(dropped).isEmpty, "no near-dup 'b' may survive")
+    assert(cleaned.count() === docs.count() - dropped.size,
+      "fixture texts are exact-unique, so only near-dups are removed")
+    // every surviving pair representative ('a' side) is retained
+    val reps = pairs.select("a").distinct().collect().map(_.getLong(0)).toSet -- dropped
+    assert(reps.subsetOf(keptIds))
+  }
+
   test("dedup_simhash: deterministic, bounded hamming, finds strong dups") {
     val r1 = Dedup.dedupSimhash(spark, Sf0001).collect()
     val r2 = Dedup.dedupSimhash(spark, Sf0001).collect()

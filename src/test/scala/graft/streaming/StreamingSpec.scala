@@ -44,6 +44,44 @@ class StreamingSpec extends SparkSpec {
     assert(DocumentStore.read(cfg)(spark).count() === 20L)
   }
 
+  test("rate-source simulation feeds the embed sink (ST3 analog)") {
+    // the reference simulates a stream by sampling fixture texts
+    // (notebook cell 7); rate source + modular lookup reproduces that shape
+    import org.apache.spark.sql.streaming.Trigger
+    val texts = graft.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").limit(20)
+    val cfg = graft.sources.TableConfig(tmp("rate_table"))
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .withColumn("doc_id", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.lit(20L)))
+      .join(texts, "doc_id")
+      .writeStream
+      .option("checkpointLocation", s"${cfg.tablePath}_ckpt")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.DocumentStore.insert(
+            graft.embed.HashingSentenceEmbedder(16).embedFrame(batch.select("text")), cfg)
+        }
+        ()
+      }
+      .start()
+    try {
+      // generous window: suites run in parallel and the first micro-batch
+      // can be slow under load (observed flake at 30s)
+      var waited = 0
+      while (waited < 90000 &&
+        (!java.nio.file.Files.exists(java.nio.file.Paths.get(cfg.tablePath)) ||
+          spark.read.parquet(cfg.tablePath).count() == 0)) {
+        Thread.sleep(500); waited += 500
+      }
+    } finally q.stop()
+    val n = graft.sources.DocumentStore.read(cfg)(spark).count()
+    assert(n > 0, "rate-driven ingest must land rows")
+  }
+
   test("streaming hourly rollup matches the batch aggregation (parity)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source requires a DIRECTORY of files

@@ -70,11 +70,13 @@ class StreamingSpec extends SparkSpec {
       .start()
     try {
       // generous window: suites run in parallel and the first micro-batch
-      // can be slow under load (observed flake at 30s)
+      // can be slow under load (observed flake at 30s). The table dir can
+      // also exist with zero committed files mid-batch → read throws
+      // UNABLE_TO_INFER_SCHEMA; treat that as "not ready yet".
+      def landed: Boolean = scala.util.Try(
+        spark.read.parquet(cfg.tablePath).count() > 0).getOrElse(false)
       var waited = 0
-      while (waited < 90000 &&
-        (!java.nio.file.Files.exists(java.nio.file.Paths.get(cfg.tablePath)) ||
-          spark.read.parquet(cfg.tablePath).count() == 0)) {
+      while (waited < 90000 && !landed) {
         Thread.sleep(500); waited += 500
       }
     } finally q.stop()

@@ -77,6 +77,38 @@ object Dedup {
       .filter(col("jaccard") >= NgramThreshold)
       .orderBy("a", "b")
 
+  /** The production-scale variant: drop "stop-shingles" whose document
+    * frequency exceeds [[MaxShingleDf]] BEFORE the pair join — hot shingles
+    * are quadratic candidate generators with no dedup signal. Jaccard is
+    * then computed over the capped shingle space (sizes and intersections
+    * both filtered — a consistent, well-defined similarity), which the
+    * oracle mirrors exactly.
+    *
+    * Honest caveat measured at sf0.1: the fixtures have max df = 25, so the
+    * cap removes almost nothing and the df-profile join is pure overhead
+    * (3.1s vs 2.7s uncapped). The technique pays only when real web-corpus
+    * skew exists (boilerplate shingles with df in the millions). */
+  val MaxShingleDf = 20
+  def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRel(spark, sfDir)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("shingle")
+    val capped = sh.join(rare, Seq("shingle"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = capped.as("x").join(capped.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+      .orderBy("a", "b")
+  }
+
   /** Embedding cosine near-dup pairs (exact; IVF probe is the scale path). */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e1 = Tables.embeddings(spark, sfDir).select(col("vec_id").as("a"), col("embedding").as("v1"))
@@ -191,6 +223,7 @@ object Dedup {
     "dedup_clean" -> ((s, d) => dedupClean(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => dedupNgram(s, d)),
+    "dedup_ngram_capped" -> ((s, d) => dedupNgramCapped(s, d)),
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
@@ -234,6 +267,26 @@ object Dedup {
         |       COUNT(*) AS n_distinct_text,
         |       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
         |FROM g""".stripMargin,
+    "dedup_ngram_capped" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
+         |  )) AS shingle FROM tok),
+         |rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare ON sh0.shingle = rare.shingle),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON a = sa.doc_id
+         |JOIN sizes sb ON b = sb.doc_id
+         |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $NgramThreshold
+         |ORDER BY a, b""".stripMargin,
     "dedup_ngram" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_distance, hash_embed}
+
+/** Scale smoke: the fixture tables are small, so synthesize a 1M-row × 64-dim
+  * corpus with the engine's own embedder and prove the core access paths
+  * hold their plan shape and finish at interactive latency on local[4].
+  * This is the "would it survive 100×" canary the fixtures can't provide. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private val N = 1000000L
+
+  private lazy val corpus = {
+    val df = spark.range(N).select(
+      col("id").as("vec_id"),
+      hash_embed(concat(lit("synthetic document number "), col("id").cast("string")), 64)
+        .as("embedding"))
+    df.persist()
+  }
+
+  test("exact top-k over 1M vectors stays a TakeOrderedAndProject and returns fast") {
+    val q = graft.functions.vector_lit(
+      graft.functions.HashEmbed.embedToFloats("synthetic document number 12345", 64))
+    val topk = corpus
+      .select(col("vec_id"), cosine_distance(col("embedding"), q).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    val t0 = System.nanoTime()
+    val rows = topk.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // at 1M texts into 64 dims many docs share the exact feature pattern, so
+    // the nearest is a dist≈0 tie (id-break), not necessarily doc 12345
+    assert(rows.head.getDouble(1) < 1e-9)
+    assert(rows.forall(_.getDouble(1) <= rows.last.getDouble(1)))
+    info(f"1M-vector exact top-10: $secs%.2f s")
+    assert(secs < 120.0, s"unreasonably slow: $secs s")
+  }
+
+  test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
+    val texts = spark.range(N).select(
+      concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))
+    val dupGroups = texts
+      .groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val t0 = System.nanoTime()
+    val n = dupGroups.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === 500000L) // every text appears exactly twice
+    info(f"1M-row exact-dedup group: $secs%.2f s")
+    assert(secs < 120.0)
+  }
+}

@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -74,12 +72,17 @@ package object functions {
   def simhash64(h: Column): Column =
     col(SimhashSignature(expr(h)).toAggregateExpression())
 
-  private val registered = ConcurrentHashMap.newKeySet[String]()
+  // weak identity set of SessionStates already registered — keying on an
+  // identity-hash STRING could collide across sessions in a long-lived JVM
+  // and silently skip registration
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
 
   /** Idempotently register the vector functions in `spark`'s session
     * function registry so `spark.sql("... cosine_distance(a,b) ...")` works. */
   def registerAll(spark: SparkSession): Unit = {
-    if (registered.add(spark.sessionState.toString)) {
+    if (registered.add(spark.sessionState)) {
       val r = spark.sessionState.functionRegistry
       r.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")

@@ -53,7 +53,9 @@ object IvfIndex {
     }
     spark.createDataFrame(centroids.toIndexedSeq).toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    (assigned.count(), lists)
+    // metadata-only count of what was just written — NOT assigned.count(),
+    // which would re-run normalization + KMeans assignment over the corpus
+    (spark.read.parquet(s"$indexPath/lists").count(), lists)
   }
 
   /** Top-k cosine probe of `nprobe` lists for one query vector. */

@@ -33,13 +33,19 @@ object AnnIndexRegistry {
   final case class Entry(indexPath: String, nprobe: Int)
   private val byPath = new ConcurrentHashMap[String, Entry]()
   // memoized centroid rankings: (indexPath, nprobe, query hash) → list ids
-  private val probeMemo = new ConcurrentHashMap[(String, Int, Int), Seq[Int]]()
+  // keyed by the FULL query vector (content equality — a 32-bit hash key
+  // would silently serve another query's lists on collision); invalidated
+  // whenever an index path is re-registered (possible rebuild).
+  private val probeMemo =
+    new ConcurrentHashMap[(String, Int, collection.immutable.ArraySeq[Float]), Seq[Int]]()
 
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  def register(tablePath: String, indexPath: String, nprobe: Int): Unit =
+  def register(tablePath: String, indexPath: String, nprobe: Int): Unit = {
     byPath.put(norm(tablePath), Entry(indexPath, nprobe))
+    probeMemo.keySet.removeIf(_._1 == indexPath)
+  }
 
   def unregister(tablePath: String): Unit = byPath.remove(norm(tablePath))
 
@@ -48,7 +54,8 @@ object AnnIndexRegistry {
 
   def probedLists(spark: SparkSession, entry: Entry, q: Array[Float]): Seq[Int] =
     probeMemo.computeIfAbsent(
-      (entry.indexPath, entry.nprobe, java.util.Arrays.hashCode(q)), { _ =>
+      (entry.indexPath, entry.nprobe,
+        collection.immutable.ArraySeq.unsafeWrapArray(q.clone())), { _ =>
       spark.read.parquet(s"${entry.indexPath}/centroids")
         .select(col("list_id"), cosine_distance(col("centroid"), typedLit(q)).as("d"))
         .orderBy(col("d"), col("list_id"))

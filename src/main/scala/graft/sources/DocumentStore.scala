@@ -50,17 +50,22 @@ object DocumentStore {
         "(contract from pg_insert.py:26-28)")
   }
 
-  /** Batched-INSERT analog. Returns the row count written. */
+  /** Batched-INSERT analog. Returns the row count written. The input is
+    * persisted around count+write so an expensive upstream (e.g. the embed
+    * pipeline) executes once, not once per action. */
   def insert(df: DataFrame, config: TableConfig): Long = timeIt("insert") {
     validate(df)
-    val n = df.count()
-    df.select(col("text"), col("embedding"))
-      .withColumn("id", monotonically_increasing_id())
-      .write
-      .option("maxRecordsPerFile", config.batchSize.toLong)
-      .mode(SaveMode.Append)
-      .parquet(config.tablePath)
-    n
+    val materialized = df.persist()
+    try {
+      val n = materialized.count()
+      materialized.select(col("text"), col("embedding"))
+        .withColumn("id", monotonically_increasing_id())
+        .write
+        .option("maxRecordsPerFile", config.batchSize.toLong)
+        .mode(SaveMode.Append)
+        .parquet(config.tablePath)
+      n
+    } finally materialized.unpersist()
   }
 
   /** Bulk-COPY analog: frame or parquet path in, staged atomic append. */

@@ -21,8 +21,13 @@ import graft.sources.{DocumentStore, TableConfig}
   * a bug we deliberately do not replicate — SURVEY.md §2.9).
   *
   * At scale this is the engine's continuous-ingest story: micro-batches
-  * append parquet files partition-parallel; exactly-once via the streaming
-  * commit log + idempotent file naming.
+  * append parquet files partition-parallel. Delivery is AT-LEAST-ONCE: the
+  * checkpoint log makes the source side exactly-once, but a crash between
+  * the parquet append and the checkpoint commit replays the batch and
+  * duplicates its rows (foreachBatch sinks are not idempotent by default).
+  * Exactly-once requires an idempotent sink — e.g. keying files by batchId
+  * or post-hoc dedup on a content fingerprint (`Dedup.dedupExact`); the
+  * reference's own per-batch-commit pg_insert has the same replay window.
   */
 object StreamingIngest {
 

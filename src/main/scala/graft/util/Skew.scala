@@ -18,6 +18,13 @@ object Skew {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    // right/full outer would emit `salt` null-padded copies of every
+    // unmatched small-side row (it is replicated before the join)
+    val supported = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
+        supported.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left/left_semi join types, got '$joinType' " +
+        "(unmatched replicated small-side rows would duplicate under right/full outer)")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",

@@ -22,12 +22,13 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
 for name, sql in sorted(oracle.items()):
-    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    spark_files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not spark_files:
         print(f"FAIL {name}: no spark output")
         fail += 1
         continue
-    got = pq.read_table(spark_files[0]).to_pandas()
+    got = pd.concat(
+        [pq.read_table(f).to_pandas() for f in spark_files], ignore_index=True)
     try:
         want = con.execute(sql).fetchdf()
     except Exception as e:

@@ -36,8 +36,34 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Per-label centroid components: element-wise mean of each label's
+    * vectors, exploded to (label, dim, value) rows — the class-prototype
+    * computation (retrieval eval, cluster drift monitoring). posexplode +
+    * partial hash agg; shuffle carries |labels|·dim rows. Cross-engine sum
+    * order differs → rounded to 6dp on both sides. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("centroid_val"))
+      .orderBy("label", "dim")
+
+  /** Histogram of all pairwise cosine similarities in 0.1-wide buckets —
+    * the corpus-redundancy diagnostic. Bucket ids floor bit-exact doubles,
+    * so cross-engine counts match exactly. */
+  def simHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val e1 = Tables.embeddings(spark, sfDir).select(col("vec_id").as("a"), col("embedding").as("v1"))
+    val e2 = Tables.embeddings(spark, sfDir).select(col("vec_id").as("b"), col("embedding").as("v2"))
+    e1.crossJoin(e2).filter(col("a") < col("b"))
+      .select(floor(graft.functions.cosine_similarity(col("v1"), col("v2")) * 10).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
+    "label_centroids" -> ((s, d) => labelCentroids(s, d)),
+    "sim_histogram" -> ((s, d) => simHistogram(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -52,5 +78,21 @@ object SimilarityQueries {
          |SELECT qid, rank, vec_id, dist FROM scored
          |WHERE rank <= $BatchK
          |ORDER BY qid, rank""".stripMargin,
+    "label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
+        |FROM ex GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin,
+    "sim_histogram" ->
+      s"""SELECT CAST(floor(${O.cosSim("e1.embedding", "e2.embedding")} * 10) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n
+         |FROM embeddings e1, embeddings e2
+         |WHERE e1.vec_id < e2.vec_id
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
   )
 }

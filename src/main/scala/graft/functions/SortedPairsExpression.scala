@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `sorted_pairs(ids)`: all ordered pairs (a < b) of a bigint array — the
+  * posting-list → candidate-pair expansion of an inverted-index join.
+  *
+  * Replaces the shingle-relation SELF-JOIN in the Jaccard dedup pipeline:
+  * `groupBy(shingle).agg(collect_list(doc_id))` + this expression generates
+  * the same (a, b) multiset with ONE shuffle of the shingle relation
+  * instead of two plus a join. Pair count per shingle is df·(df−1)/2 —
+  * bounded by the df cap at scale.
+  */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "sorted_pairs"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${o.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedPairs.build(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SortedPairs.build($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedPairs {
+  /** Shared by interpreted eval and generated code. */
+  def build(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val sorted = ids.toLongArray()
+    java.util.Arrays.sort(sorted)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](sorted(i), sorted(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -64,6 +64,9 @@ package object functions {
     * the reference's EmbeddingGenerator; mean-pool + L2-normalize). */
   def hash_embed(text: Column, dim: Int = 384): Column = col(HashEmbed(expr(text), dim))
 
+  /** All (a < b) pairs of a bigint array — posting-list pair expansion. */
+  def sorted_pairs(ids: Column): Column = col(SortedPairs(expr(ids)))
+
   /** Single-pass MinHash signature aggregate (input: pmod'ed hash ∈ [0,P)). */
   def minhash_signature(h: Column, numPerms: Int, prime: Long): Column =
     col(MinhashSignature(expr(h), numPerms, prime).toAggregateExpression())

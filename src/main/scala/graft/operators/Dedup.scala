@@ -44,14 +44,18 @@ object Dedup {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
 
-  /** All candidate pairs sharing ≥1 shingle, with exact Jaccard. */
+  /** All candidate pairs sharing ≥1 shingle, with exact Jaccard.
+    * Inverted-index formulation: group the shingle relation ONCE into
+    * posting lists and expand pairs with the codegen'd sorted_pairs
+    * expression — half the shuffle volume of the equivalent self-join
+    * (which shuffles the shingle strings twice and joins). */
   private def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleRel(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
+    val common = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
     common
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
@@ -90,16 +94,17 @@ object Dedup {
     * skew exists (boilerplate shingles with df in the millions). */
   val MaxShingleDf = 20
   def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleRel(spark, sfDir)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select("shingle")
-    val capped = sh.join(rare, Seq("shingle"))
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = capped.as("x").join(capped.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
+    // ONE posting-list pass serves the df-cap, the per-doc sizes over the
+    // capped space, and the pair expansion
+    val postings = shingleRel(spark, sfDir)
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= MaxShingleDf)
+    val sizes = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = postings
+      .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
     common
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))

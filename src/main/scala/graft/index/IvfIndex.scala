@@ -58,6 +58,34 @@ object IvfIndex {
     (spark.read.parquet(s"$indexPath/lists").count(), lists)
   }
 
+  /** Incremental maintenance — the batch analog of pgvector's ivfflat
+    * index update on INSERT (SURVEY.md §4.2): assign NEW vectors to the
+    * EXISTING centroids (no re-clustering — exactly ivfflat's behavior,
+    * which never moves centroids after build) and append them to their
+    * list partitions. Periodic full rebuilds re-balance, as in Postgres.
+    * Returns the number of vectors appended. */
+  def append(newRows: DataFrame, indexPath: String,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    timeIt("ivf_append") {
+      val spark = newRows.sparkSession
+      val cents = spark.read.parquet(s"$indexPath/centroids")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("cdist"), col("list_id"))
+      val srcCols = newRows.columns.toSeq
+      val assigned = newRows
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist", cosine_distance(col(vecCol), col("centroid")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select((srcCols :+ "list_id").map(col): _*)
+        .persist() // single execution across write + count
+      try {
+        assigned.write.mode("append").partitionBy("list_id")
+          .parquet(s"$indexPath/lists")
+        assigned.count()
+      } finally assigned.unpersist()
+    }
+
   /** Top-k cosine probe of `nprobe` lists for one query vector. */
   def probe(spark: SparkSession, indexPath: String, query: Array[Float],
             k: Int, nprobe: Int): DataFrame = {

@@ -62,6 +62,31 @@ object StreamingIngest {
     (query, metrics)
   }
 
+  /** Streaming similarity serving: a stream of query vectors is resolved
+    * against the IVF index per micro-batch with the distributed batch probe
+    * — the engine's nearest-serving story (true online ANN needs a
+    * specialized serving engine per the project north star; micro-batch
+    * probe latency is the Spark-native point on that curve). Results land
+    * in `resultPath` keyed by (batch_id, qid, rank). */
+  def startKnnServing(spark: SparkSession, querySrcDir: String, schema: StructType,
+                      indexPath: String, resultPath: String, k: Int, nprobe: Int,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val queries = spark.readStream.schema(schema).parquet(querySrcDir)
+    queries.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.index.IvfIndex
+            .probeMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(resultPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming windowed rollup over events (watermark + event-time window)
     * into a memory sink — the stream form of StarSchemaQueries.eventsHourly;
     * batch/stream parity is asserted in StreamingSpec. */

@@ -64,6 +64,21 @@ package object functions {
     * the reference's EmbeddingGenerator; mean-pool + L2-normalize). */
   def hash_embed(text: Column, dim: Int = 384): Column = col(HashEmbed(expr(text), dim))
 
+  /** SQ8 quantization: array<float> → struct(scale, codes array<tinyint>),
+    * value ≈ code·scale/127. Build-time op (one-off per corpus write), so
+    * the composable HOF form is fine here; the DISTANCE is the codegen'd
+    * hot path ([[sq_cosine_distance]]). */
+  def sq_quantize(v: Column): Column = {
+    val scale = F.array_max(F.transform(v, x => F.abs(x))).cast(FloatType)
+    F.struct(
+      scale.as("scale"),
+      F.transform(v, x => F.round(x / scale * 127).cast("tinyint")).as("codes"))
+  }
+
+  /** Cosine distance between SQ8 codes (+scale) and a float query vector. */
+  def sq_cosine_distance(codes: Column, scale: Column, q: Column): Column =
+    col(SqCosineDistance(expr(codes), expr(scale), expr(q)))
+
   /** All (a < b) pairs of a bigint array — posting-list pair expansion. */
   def sorted_pairs(ids: Column): Column = col(SortedPairs(expr(ids)))
 

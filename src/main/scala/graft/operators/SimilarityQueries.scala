@@ -60,10 +60,25 @@ object SimilarityQueries {
       .orderBy("bucket")
   }
 
+  /** SQ8-quantized top-k: 4× smaller vectors scanned, approximate ranking
+    * (rows-only check; recall pinned vs exact in SimilarityQueriesSpec). */
+  def sqKnnTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import graft.functions.{sq_quantize, sq_cosine_distance}
+    val e = Tables.embeddings(spark, sfDir)
+    val quantized = e.select(col("vec_id"), sq_quantize(col("embedding")).as("sq"))
+    val seed = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    quantized.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        sq_cosine_distance(col("sq.codes"), col("sq.scale"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
     "label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_histogram" -> ((s, d) => simHistogram(s, d)),
+    "sq_knn_topk" -> ((s, d) => sqKnnTopK(s, d)),
   )
 
   def oracles: Map[String, String] = Map(

@@ -125,6 +125,31 @@ object StarSchemaQueries {
         sum(dec2(col("value"))).cast("double").as("sum_value"))
       .orderBy("event_type", "hour")
 
+  /** Sessionization: split each user's event stream at >30-min inactivity
+    * gaps (lag + running sum of session starts — the standard two-window
+    * formulation), then per-session rollup. All arithmetic on INTEGER epoch
+    * seconds so the ns-precision DuckDB timestamps and Spark's µs agree
+    * exactly. One shuffle on user_id; at scale this is the batch form of
+    * the streaming state operator. */
+  val SessionGapSeconds = 1800L
+  def eventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val secs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_seconds(col("ts")).as("sec"))
+    val sessions = secs
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > SessionGapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    sessions.groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Semi-structured: JSON props extraction + rollup. */
   def eventsPropsAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -165,6 +190,7 @@ object StarSchemaQueries {
     "q5_nation_revenue" -> ((s, d) => q5NationRevenue(s, d)),
     "top_customers" -> ((s, d) => topCustomers(s, d)),
     "events_top_per_user" -> ((s, d) => eventsTopPerUser(s, d)),
+    "events_sessions" -> ((s, d) => eventsSessions(s, d)),
     "events_hourly" -> ((s, d) => eventsHourly(s, d)),
     "events_props_agg" -> ((s, d) => eventsPropsAgg(s, d)),
     "parts_by_brand" -> ((s, d) => partsByBrand(s, d)),
@@ -221,6 +247,27 @@ object StarSchemaQueries {
         |  FROM events
         |) WHERE rn <= 3
         |ORDER BY user_id, rn""".stripMargin,
+    "events_sessions" ->
+      s"""WITH secs AS (
+         |  SELECT user_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         |flagged AS (
+         |  SELECT user_id, event_id, sec,
+         |    CASE WHEN lag(sec) OVER w IS NULL
+         |           OR sec - lag(sec) OVER w > $SessionGapSeconds
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM secs
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |sessions AS (
+         |  SELECT user_id, sec,
+         |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS BIGINT)
+         |      AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_s
+         |FROM sessions
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
     "events_hourly" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  COUNT(*) AS n,

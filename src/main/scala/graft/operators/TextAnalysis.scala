@@ -33,9 +33,14 @@ object TextAnalysis {
     val avgTokLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
     val quality = lit(0.5) * stopRatio + lit(0.3) * least(lit(1.0), nTok.cast("double") / lit(100.0)) +
       lit(0.2) * (lit(1.0) - punctRatio)
+    // BPE-ish subtoken count: alnum runs + individual punctuation marks —
+    // the usual fast proxy for LLM token budgeting (identical regex
+    // semantics on lowercased text in both engines)
+    val nSubTok = regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long")
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       nTok.as("n_tokens"),
+      nSubTok.as("n_subtokens"),
       nStop.as("n_stop"),
       stopRatio.as("stop_ratio"),
       punctRatio.as("punct_ratio"),
@@ -93,10 +98,12 @@ object TextAnalysis {
         s"""WITH base AS (
            |  SELECT doc_id, text,
            |    CAST(len($tok) AS BIGINT) AS n_tokens,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+           |      AS n_subtokens,
            |    ${hitsSql(langs.toMap.apply("en"))} AS n_stop,
            |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
            |  FROM documents)
-           |SELECT doc_id, n_tokens, n_stop,
+           |SELECT doc_id, n_tokens, n_subtokens, n_stop,
            |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
            |  CAST(n_punct AS DOUBLE) / CAST(length(text) AS BIGINT) AS punct_ratio,
            |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens AS avg_token_len,

@@ -94,6 +94,18 @@ object DocumentStore {
   def read(config: TableConfig)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(config.tablePath)
 
+  /** Source-format flexibility beyond the reference's parquet/pandas inputs:
+    * load a document corpus from parquet, json (lines), or csv (header) —
+    * the same validated frame feeds any sink above. */
+  def readCorpus(path: String, format: String = "parquet")
+                (implicit spark: SparkSession): DataFrame = format match {
+    case "parquet" => spark.read.parquet(path)
+    case "json" => spark.read.json(path)
+    case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    case other => throw new IllegalArgumentException(
+      s"unsupported corpus format: $other (parquet|json|csv)")
+  }
+
   /** `save_to_parquet` local analog (generate_embeddings.py:142-146). */
   def saveToParquet(df: DataFrame, path: String): Unit = timeIt("save_to_parquet") {
     df.write.mode(SaveMode.Overwrite).parquet(path)

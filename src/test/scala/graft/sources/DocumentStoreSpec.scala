@@ -63,6 +63,22 @@ class DocumentStoreSpec extends SparkSpec {
     }
   }
 
+  test("readCorpus loads json and csv corpora interchangeably with parquet") {
+    val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text", "lang")
+    val j = tmp("jsonsrc"); val c = tmp("csvsrc")
+    docs.write.json(j)
+    docs.write.option("header", "true").csv(c)
+    val fromJson = DocumentStore.readCorpus(j, "json")
+    val fromCsv = DocumentStore.readCorpus(c, "csv")
+    assert(fromJson.count() === 500L && fromCsv.count() === 500L)
+    assert(fromJson.columns.toSet === Set("doc_id", "text", "lang"))
+    // same embed pipeline runs over any source format
+    val embedded = graft.embed.HashingSentenceEmbedder(16).embedFrame(fromJson)
+    assert(embedded.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head().getInt(0) === 16)
+    intercept[IllegalArgumentException](DocumentStore.readCorpus("/x", "orc2"))
+  }
+
   test("two partitioned appends → two generation_date partitions, both readable (moto port)") {
     val path = tmp("part")
     DocumentStore.saveToParquetPartitioned(

@@ -48,4 +48,26 @@ object OracleSql {
     * double — one deterministic division on both engines. */
   def avgExact(expr: String): String =
     s"(CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))"
+
+  /** Deterministic 60-bit string hash — DuckDB twin of
+    * [[graft.functions.md5_long]]: top 15 hex digits of md5 parsed as an
+    * unsigned integer (DuckDB parses '0x…' string casts; verified equal to
+    * Spark's `conv(substring(md5(x),1,15),16,10)` bit-for-bit). */
+  def md5Long(expr: String): String =
+    s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** SQ8 cosine distance — matches [[graft.functions.SqCosineDistance]]:
+    * dequantization factor f = scale/127 applied per element inside the
+    * same sequential double accumulation the expression runs. `codes`,
+    * `scale`, `q` are SQL fragments for array<tinyint>, float, array<float>. */
+  def sqCosDist(codes: String, scale: String, q: String): String = {
+    val f = s"(CAST($scale AS DOUBLE) / 127.0)"
+    val dot = s"list_sum(list_transform(list_zip($codes, $q), " +
+      s"s -> (CAST(s[1] AS DOUBLE) * $f) * CAST(s[2] AS DOUBLE)))"
+    val na = s"list_sum(list_transform($codes, " +
+      s"c -> (CAST(c AS DOUBLE) * $f) * (CAST(c AS DOUBLE) * $f)))"
+    val nb = s"list_sum(list_transform($q, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+    s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 1.0 " +
+      s"ELSE 1.0 - $dot / (sqrt($na) * sqrt($nb)) END)"
+  }
 }

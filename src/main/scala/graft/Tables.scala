@@ -16,9 +16,15 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; read nanos as long and truncate to a micros timestamp (UTC
     * session). DuckDB keeps full ns — queries must not emit raw `ts`, only
-    * values truncated to ≥1s granularity (e.g. date_trunc), which agree. */
+    * values truncated to ≥1s granularity (e.g. date_trunc), which agree.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set at build time by Verify/Bench/Demo/SparkSpec) — a loader must not
+    * mutate session conf as a side effect, so it only verifies. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 
 /** MinHash signature: per group, `sig[i] = min over rows of hᵢ(x)` with
   * hᵢ(x) = ((i·2654435761 | 1) mod P · x + i·40503 + 7) mod P.
-  * Input MUST already be reduced into [0, P) (pmod(xxhash64, P)) so the
+  * Input MUST already be reduced into [0, P) (pmod(md5_long, P)) so the
   * products stay below 2⁶³ (P² < 2⁶³). */
 case class MinhashSignature(
     child: Expression, numPerms: Int, prime: Long,

@@ -27,10 +27,10 @@ import graft.functions.TextFunctions._
   *  - embedding near-dup keeps the reference's exact cosine semantics
   *    (oracle-checkable); its scale path is the IVF index probe.
   *
-  * dedup_exact / dedup_ngram / dedup_embedding have bit-exact DuckDB
-  * oracles. dedup_minhash / dedup_simhash are deterministic (fixed hash
-  * constants) but depend on xxhash64, which DuckDB lacks → verified by
-  * ScalaTest against the exact pipelines instead (SURVEY.md §7.2).
+  * Every dedup query has a bit-exact DuckDB oracle: the signature families
+  * (minhash/simhash) hash tokens with [[graft.functions.md5_long]] — a
+  * 60-bit md5-derived hash both engines reproduce exactly — so the full
+  * banding + verification pipelines are written out in oracle SQL too.
   */
 object Dedup {
 
@@ -139,7 +139,8 @@ object Dedup {
     * shingle into 64 rows (64× shuffle amplification). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleRel(spark, sfDir)
-    val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MinhashPrime)).as("h"))
+    val hashed = sh.select(col("doc_id"),
+      pmod(graft.functions.md5_long(col("shingle")), lit(MinhashPrime)).as("h"))
     val sig = hashed.groupBy("doc_id")
       .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))
     val bands = sig
@@ -178,7 +179,7 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val tokh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .select(col("doc_id"), graft.functions.md5_long(col("token")).as("h"))
     val sig = tokh.groupBy("doc_id")
       .agg(graft.functions.simhash64(col("h")).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
@@ -234,11 +235,71 @@ object Dedup {
     "dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
   )
 
-  /** Oracles for the exactly-reproducible subset; minhash/simhash are
-    * deliberately omitted (xxhash64 has no DuckDB equivalent) → the driver
-    * records a rows-only check and ScalaTest covers them against the exact
-    * pipelines. */
+  /** Every dedup query is oracle-checked, including the signature families:
+    * the MinHash banding and SimHash chunking pipelines are fully
+    * re-expressed in DuckDB SQL over the shared md5-derived 60-bit hash
+    * ([[graft.OracleSql.md5Long]]), same permutation constants, same
+    * band/chunk layout, same verification arithmetic. */
   def oracles: Map[String, String] = Map(
+    "dedup_minhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
+         |  )) AS shingle FROM tok),
+         |hashed AS (
+         |  SELECT doc_id, ${O.md5Long("shingle")} % $MinhashPrime AS h FROM sh),
+         |perms AS (
+         |  SELECT i, ((i * 2654435761) | 1) % $MinhashPrime AS pa, i * 40503 + 7 AS pb
+         |  FROM generate_series(0, ${NumPerms - 1}) t(i)),
+         |sig AS (
+         |  SELECT doc_id, i, min((pa * h + pb) % $MinhashPrime) AS s
+         |  FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // $BandRows AS band,
+         |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS band_sig
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |commons AS (
+         |  SELECT a, b, count(*) AS c
+         |  FROM cand
+         |  JOIN sh cx ON a = cx.doc_id
+         |  JOIN sh cy ON b = cy.doc_id AND cx.shingle = cy.shingle
+         |  GROUP BY 1, 2)
+         |SELECT a, b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+         |FROM commons
+         |JOIN sizes sa ON a = sa.doc_id
+         |JOIN sizes sb ON b = sb.doc_id
+         |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $MinhashVerifyThreshold
+         |ORDER BY a, b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+         |  FROM documents),
+         |tokh AS (SELECT doc_id, ${O.md5Long("token")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS d
+         |  FROM tokh CROSS JOIN generate_series(0, 59) t(i) GROUP BY 1, 2),
+         |sig0 AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM bits GROUP BY 1),
+         |chunks AS (
+         |  SELECT doc_id, sig, k, (sig >> (k * 16)) & 65535 AS chunk
+         |  FROM sig0 CROSS JOIN generate_series(0, 3) t(k)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
+         |  FROM chunks x JOIN chunks y
+         |    ON x.k = y.k AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(siga, sigb)) <= $SimhashMaxHamming
+         |ORDER BY a, b""".stripMargin,
     "dedup_clean" ->
       s"""WITH fp AS (
          |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f

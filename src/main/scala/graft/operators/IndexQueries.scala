@@ -63,6 +63,10 @@ object IndexQueries {
     // cardinality contract: every embedding vector indexed exactly once
     "ivf_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
-    // ivf_knn: approximate — deliberately no oracle (rows-only check)
+    // ivf_knn: THE one deliberate no-oracle exception — its answer depends
+    // on Spark-ML KMeans cluster assignments, which DuckDB cannot reproduce
+    // (no KMeans; seed-dependent init). Gated instead by IvfIndexSpec:
+    // probe-all ≡ exact top-k, recall@10 floors, and determinism across
+    // runs. Every other query in the engine is hash-checked vs DuckDB.
   )
 }

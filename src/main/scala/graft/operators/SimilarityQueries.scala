@@ -17,6 +17,7 @@ object SimilarityQueries {
 
   val BatchQueries = 5
   val BatchK = 3
+  val SqK = 10
 
   /** Exact top-k neighbors for each of the first [[BatchQueries]] vectors in
     * one pass: broadcast the query side, rank with a window partitioned by
@@ -61,8 +62,11 @@ object SimilarityQueries {
   }
 
   /** SQ8-quantized top-k: 4× smaller vectors scanned, approximate ranking
-    * (rows-only check; recall pinned vs exact in SimilarityQueriesSpec). */
-  def sqKnnTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    * relative to EXACT cosine — but fully deterministic, so the whole
+    * quantize→distance→top-k pipeline is oracle-checked bit-exact
+    * ([[graft.OracleSql.sqCosDist]]); recall vs exact is additionally
+    * pinned in SimilarityQueriesSpec. */
+  def sqKnnTopK(spark: SparkSession, sfDir: String, k: Int = SqK): DataFrame = {
     import graft.functions.{sq_quantize, sq_cosine_distance}
     val e = Tables.embeddings(spark, sfDir)
     val quantized = e.select(col("vec_id"), sq_quantize(col("embedding")).as("sq"))
@@ -109,5 +113,23 @@ object SimilarityQueries {
          |WHERE e1.vec_id < e2.vec_id
          |GROUP BY 1
          |ORDER BY bucket""".stripMargin,
+    "sq_knn_topk" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS FLOAT) AS scale
+         |  FROM embeddings),
+         |sq AS (
+         |  SELECT vec_id, scale,
+         |    CASE WHEN scale = 0
+         |      THEN list_transform(embedding, x -> 0::TINYINT)
+         |      ELSE list_transform(embedding,
+         |        x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS TINYINT))
+         |    END AS codes
+         |  FROM sc),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${O.sqCosDist("codes", "scale", "qv")} AS dist
+         |FROM sq, q
+         |ORDER BY dist, vec_id
+         |LIMIT $SqK""".stripMargin,
   )
 }

@@ -26,24 +26,45 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // Warm-up: run each query once, untimed.
-    queries.foreach { case (_, fn) =>
+    // A failing query must FAIL the bench (exit 1), not be "timed" as
+    // near-zero and silently improve the total: collect per-query errors,
+    // emit them in the JSON, and exit non-zero if any query broke.
+    var errors = Map.empty[String, String]
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+      catch { case e: Throwable =>
+        if (!errors.contains(name)) {
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+      }
 
-    val results = queries.map { case (name, fn) =>
+    // Warm-up: run each query once, untimed.
+    queries.foreach { case (name, fn) => runOnce(name, fn) }
+
+    val results = queries.filterNot(q => errors.contains(q._1)).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        runOnce(name, fn)
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

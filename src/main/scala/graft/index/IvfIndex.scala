@@ -32,7 +32,15 @@ object IvfIndex {
 
   /** Build the index dataset at `indexPath`. The lists dataset keeps ALL
     * source columns (so an index scan can substitute for a table scan in
-    * the transparent ANN rewrite) plus `list_id`. Returns (rows, lists). */
+    * the transparent ANN rewrite) plus `list_id`. Returns (rows, lists).
+    *
+    * ONE metric end to end: KMeans runs with `distanceMeasure=cosine`, so
+    * build-time assignment ranks lists exactly like append/probe do
+    * (cosine against the centroid — scale-invariant, so the L2-NORMALIZED
+    * centroids written to the sidecar rank identically). A mixed scheme
+    * (Euclidean assignment at build, cosine at probe) mis-assigns boundary
+    * vectors and silently costs recall — pgvector's ivfflat keys the whole
+    * index to one opclass metric for the same reason. */
   def build(embeddings: DataFrame, indexPath: String,
             idCol: String = "vec_id", vecCol: String = "embedding",
             lists: Int = DefaultLists): (Long, Int) = timeIt("ivf_build") {
@@ -43,13 +51,16 @@ object IvfIndex {
     val normed = new Normalizer().setInputCol("fv").setOutputCol("nfv").setP(2.0)
       .transform(feats)
     val model = new KMeans()
-      .setK(lists).setSeed(Seed).setFeaturesCol("nfv").setPredictionCol("list_id")
+      .setK(lists).setSeed(Seed).setDistanceMeasure("cosine")
+      .setFeaturesCol("nfv").setPredictionCol("list_id")
       .fit(normed)
     val assigned = model.transform(normed)
       .select((srcCols :+ "list_id").map(col): _*)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
+      val arr = c.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum)
+      (i, arr.map(x => (x / norm).toFloat))
     }
     spark.createDataFrame(centroids.toIndexedSeq).toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
@@ -104,29 +115,45 @@ object IvfIndex {
       .limit(k)
   }
 
-  /** Batch probe: many queries in one distributed pass — centroid ranking
-    * via broadcast + window (no driver loop), then a list_id equi-join
-    * against the index and a per-query top-k window. */
+  /** Batch probe: many queries in one distributed pass.
+    *
+    * Scale shape, stage by stage:
+    *  1. centroid ranking per query = broadcast cents × queries, per-query
+    *     nprobe-heap ([[graft.functions.top_k_by_distance]]) — no window;
+    *  2. the distinct probed list_ids are collected (≤ |lists| ints —
+    *     index METADATA, not data) and applied as an explicit `isin`
+    *     partition filter on the lists dataset, so the scan provably reads
+    *     only the probed directories instead of relying on DPP to fire
+    *     for a broadcast join against a file source;
+    *  3. per-query top-k again as map-side k-heaps — the shuffle carries
+    *     ≤ k·|partitions| rows per query, never the full scored set. */
   def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.top_k_by_distance
     val cents = spark.read.parquet(s"$indexPath/centroids")
-    val wq = Window.partitionBy("qid").orderBy(col("cdist"), col("list_id"))
     val probed = queries
       .select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
       .crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("list_id"),
+      .select(col("qid"), col("qv"),
+        col("list_id").cast("long").as("list_id"),
         cosine_distance(col("centroid"), col("qv")).as("cdist"))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
-      .select("qid", "qv", "list_id")
-    val wk = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        top_k_by_distance(col("cdist"), col("list_id"), nprobe).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
+      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+    // driver-side index-metadata action: |queries|×nprobe ints, deduped
+    val listIds = probed.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
     spark.read.parquet(s"$indexPath/lists")
+      .filter(col("list_id").isin(listIds: _*)) // directory-level pruning
       .join(broadcast(probed), Seq("list_id"))
       .select(col("qid"), col("vec_id"),
         cosine_distance(col("embedding"), col("qv")).as("dist"))
-      .withColumn("rank", row_number().over(wk).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "dist")
+      .groupBy("qid")
+      .agg(top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
   }
 }

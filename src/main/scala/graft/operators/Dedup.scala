@@ -114,15 +114,67 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Embedding cosine near-dup pairs (exact; IVF probe is the scale path). */
+  /** Embedding cosine near-dup pairs — EXACT answer WITHOUT the all-pairs
+    * cross join, via IVF-bucketed candidates with a triangle-inequality
+    * completeness guarantee.
+    *
+    * Let θ(·,·) be angular distance (a metric on the unit sphere — cosine
+    * similarity itself violates the triangle inequality, angles don't),
+    * θ_t = acos(threshold), c(x) = x's assigned centroid,
+    * rad(x) = θ(x, c(x)). Each vector x expands to every list l with
+    * θ(x, c_l) ≤ rad(x) + θ_t; candidates pair the EXPANDED side with the
+    * PRIMARY members of each list. Completeness: for any pair with
+    * θ(x,y) ≤ θ_t, w.l.o.g. rad(y) ≤ rad(x); then
+    * θ(x, c(y)) ≤ θ(x,y) + θ(y, c(y)) ≤ θ_t + rad(y) ≤ rad(x) + θ_t,
+    * so c(y) is in x's expanded set and the pair surfaces through list
+    * c(y). Candidates are then verified with the exact cosine — identical
+    * answers to the cross join, for ANY list assignment.
+    *
+    * Scale shape: expansion is a broadcast of |lists| centroids (linear
+    * scan, no CartesianProduct node); candidates flow through a list_id
+    * equi-join. Pruning power tracks how clusterable the corpus is versus
+    * θ_t: tight clusters + high thresholds (SemDeDup-style 0.9+ near-dup
+    * sweeps ⇒ θ_t ≈ 26°) probe few lists; the fixtures' near-uniform
+    * vectors at threshold 0.45 (θ_t ≈ 63°) expand wide — the bound
+    * degrades gracefully to candidate-join instead of failing. Pruning
+    * engagement is pinned in DedupSpec on a clustered fixture. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val e1 = Tables.embeddings(spark, sfDir).select(col("vec_id").as("a"), col("embedding").as("v1"))
-    val e2 = Tables.embeddings(spark, sfDir).select(col("vec_id").as("b"), col("embedding").as("v2"))
-    e1.crossJoin(e2)
-      .filter(col("a") < col("b"))
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = IndexQueries.indexFor(spark, sfDir)
+    val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
+    val members = spark.read.parquet(s"$idx/lists").select("vec_id", "embedding", "list_id")
+    val candIds = embeddingCandidates(members, cents, EmbeddingThreshold)
+    candIds
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("v1")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("v2")), "b")
       .select(col("a"), col("b"), cosine_similarity(col("v1"), col("v2")).as("sim"))
       .filter(col("sim") >= EmbeddingThreshold)
       .orderBy("a", "b")
+  }
+
+  /** Candidate (a < b) id pairs that provably contain every pair with
+    * cosine ≥ `threshold` (see [[dedupEmbedding]]). `members` is an IVF
+    * lists dataset (vec_id, embedding, list_id); `cents` its centroid
+    * sidecar. Exposed for the pruning-engagement spec. */
+  def embeddingCandidates(members: DataFrame, cents: DataFrame,
+                          threshold: Double): DataFrame = {
+    val thetaT = math.acos(threshold)
+    // θ safely: clamp cosine into [-1,1] (float noise past ±1 → acos NaN,
+    // which would silently drop a member from its own expansion)
+    def theta(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      acos(least(greatest(cosine_similarity(a, b), lit(-1.0)), lit(1.0)))
+    val rad = members.join(broadcast(cents), "list_id")
+      .select(col("vec_id"), col("embedding"),
+        theta(col("embedding"), col("centroid")).as("rad"))
+    val expanded = rad
+      .crossJoin(broadcast(cents.select(col("list_id"), col("centroid").as("xc"))))
+      .filter(theta(col("embedding"), col("xc")) <= col("rad") + lit(thetaT))
+      .select(col("vec_id").as("x"), col("list_id"))
+    expanded
+      .join(members.select(col("vec_id").as("y"), col("list_id")), Seq("list_id"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
   }
 
   // ---- MinHash LSH ---------------------------------------------------------

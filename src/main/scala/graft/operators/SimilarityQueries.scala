@@ -20,20 +20,24 @@ object SimilarityQueries {
   val SqK = 10
 
   /** Exact top-k neighbors for each of the first [[BatchQueries]] vectors in
-    * one pass: broadcast the query side, rank with a window partitioned by
-    * query id — shuffle is bounded by |queries|·|base|, and at scale the
-    * per-query rank is a map-side heap over the broadcast queries. */
+    * one pass: broadcast the query side, then TWO-PHASE top-k — map-side
+    * size-k heaps per (query × partition) via
+    * [[graft.functions.top_k_by_distance]], merged per query. The shuffle
+    * carries ≤ k·|partitions| rows per query instead of funnelling all
+    * |base|×|queries| scored rows into |queries| window reducers (the shape
+    * that dies at scale). */
   def knnBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val qs = base.filter(col("vec_id") < BatchQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
     base.crossJoin(broadcast(qs))
       .select(col("qid"), col("vec_id"),
         cosine_distance(col("embedding"), col("qv")).as("dist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= BatchK)
-      .select(col("qid"), col("rank"), col("vec_id"), col("dist"))
+      .groupBy("qid")
+      .agg(graft.functions.top_k_by_distance(col("dist"), col("vec_id"), BatchK).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
       .orderBy("qid", "rank")
   }
 

@@ -40,6 +40,27 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120.0, s"unreasonably slow: $secs s")
   }
 
+  test("two-phase batch knn holds at 1M base × 100 queries with no global window") {
+    import graft.functions.top_k_by_distance
+    val k = 10
+    val qs = corpus.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = corpus.crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .groupBy("qid")
+      .agg(top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"two-phase top-k must not use a window:\n$plan")
+    val t0 = System.nanoTime()
+    val n = batch.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === 100L * k)
+    info(f"1M×100 batch knn: $secs%.2f s")
+    assert(secs < 300.0, s"unreasonably slow: $secs s")
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

@@ -63,6 +63,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(df.count() <= 10)
   }
 
+  test("probeMany scan is partition-pruned to the probed lists") {
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+    val nprobe = 2
+    val df = IvfIndex.probeMany(spark, indexPath, queries, "qid", "embedding",
+      k = 5, nprobe = nprobe)
+    df.collect() // finalize AQE so scans carry their real partition listings
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+        b.children.flatMap(scans)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val listScan = scans(df.queryExecution.executedPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("lists")))
+      .getOrElse(fail(s"no lists scan in plan:\n${df.queryExecution.executedPlan}"))
+    assert(listScan.partitionFilters.nonEmpty,
+      s"probeMany must place an explicit partition filter on list_id:\n$listScan")
+    // ≤ |queries|·nprobe distinct lists may be read — never the whole index
+    val scanned = listScan.selectedPartitions.partitionCount
+    assert(scanned <= 3 * nprobe,
+      s"scanned $scanned partitions, expected ≤ ${3 * nprobe}")
+    assert(scanned < IndexQueries.Lists,
+      s"scan must not read all ${IndexQueries.Lists} lists")
+  }
+
   test("probeMany matches single-query probe per qid") {
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))

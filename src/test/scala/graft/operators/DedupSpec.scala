@@ -25,6 +25,64 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= Dedup.EmbeddingThreshold))
   }
 
+  test("dedup_embedding equals the exact all-pairs join; no CartesianProduct") {
+    import org.apache.spark.sql.functions._
+    // exact reference: the all-pairs cross join the operator used to be
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    val exact = e.select(col("vec_id").as("a"), col("embedding").as("v1"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("v2")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.cosine_similarity(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= Dedup.EmbeddingThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = Dedup.dedupEmbedding(spark, Sf0001)
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === exact, "IVF-bucketed candidates must reproduce the exact pair set bit-for-bit")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no all-pairs cartesian may remain in the plan:\n$plan")
+  }
+
+  test("embeddingCandidates prunes hard on a clustered corpus at SemDeDup-style thresholds") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.hash_embed
+    // 20 tight clusters × 10 members: member = normalize(base + 0.15·noise)
+    val nClusters = 20; val perCluster = 10; val n = nClusters * perCluster
+    val raw = spark.range(n).select(
+      col("id").as("vec_id"),
+      hash_embed(concat(lit("cl"), (col("id") % nClusters).cast("string")), 64).as("base"),
+      hash_embed(concat(lit("nz"), col("id").cast("string")), 64).as("noise"))
+    val mixed = raw.select(col("vec_id"),
+      zip_with(col("base"), col("noise"), (b, nz) => b + nz * lit(0.15f)).as("mix"))
+    val emb = mixed.select(col("vec_id"),
+      transform(col("mix"), x =>
+        (x / sqrt(aggregate(col("mix"), lit(0.0d), (acc, v) => acc + v * v))).cast("float"))
+        .as("embedding"))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_prune").resolve("idx").toString
+    graft.index.IvfIndex.build(emb, dir, lists = nClusters)
+    val members = spark.read.parquet(s"$dir/lists").select("vec_id", "embedding", "list_id")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val threshold = 0.9
+    val cand = Dedup.embeddingCandidates(members, cents, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // completeness: every true >= 0.9 pair is a candidate
+    val truePairs = emb.select(col("vec_id").as("a"), col("embedding").as("v1"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("v2")))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.cosine_similarity(col("v1"), col("v2")) >= threshold)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "clusters must plant >=0.9 pairs")
+    assert(truePairs.subsetOf(cand), s"missed: ${truePairs -- cand}")
+    // pruning: candidates ≪ all pairs
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cand.size < allPairs / 4,
+      s"expected hard pruning on clustered data: ${cand.size} of $allPairs pairs")
+    emb.unpersist()
+  }
+
   test("dedup_minhash: precision 1.0 vs exact jaccard, high recall on strong dups") {
     val exact = Dedup.dedupNgram(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, IntegerLiteral, Literal, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -32,36 +32,57 @@ import graft.functions.{cosine_distance, CosineDistance}
 object AnnIndexRegistry {
   final case class Entry(indexPath: String, nprobe: Int)
   private val byPath = new ConcurrentHashMap[String, Entry]()
-  // memoized centroid rankings: (indexPath, nprobe, query hash) → list ids
-  // keyed by the FULL query vector (content equality — a 32-bit hash key
-  // would silently serve another query's lists on collision); invalidated
-  // whenever an index path is re-registered (possible rebuild).
-  private val probeMemo =
-    new ConcurrentHashMap[(String, Int, collection.immutable.ArraySeq[Float]), Seq[Int]]()
+
+  /** Memoized centroid rankings, keyed by (indexPath, index fingerprint,
+    * nprobe, FULL query vector). Content-equality on the vector — a 32-bit
+    * hash key would silently serve another query's lists on collision. The
+    * fingerprint is the centroids directory's modification time, so an
+    * in-place index rebuild (overwrite without re-register) invalidates
+    * stale rankings instead of serving them forever; one FS metadata call
+    * per probe replaces a full centroid-parquet read. LRU-bounded: a
+    * long-lived driver serving distinct query vectors must not grow the
+    * memo without bound. */
+  private final val MemoMax = 1024
+  private val probeMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (String, Long, Int, collection.immutable.ArraySeq[Float]), Seq[Int]](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (String, Long, Int, collection.immutable.ArraySeq[Float]), Seq[Int]]) =
+        size() > MemoMax
+    })
 
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  def register(tablePath: String, indexPath: String, nprobe: Int): Unit = {
-    byPath.put(norm(tablePath), Entry(indexPath, nprobe))
-    probeMemo.keySet.removeIf(_._1 == indexPath)
+  /** Centroids-dir mtime — changes whenever the sidecar is rewritten
+    * (Spark's overwrite mode recreates the directory). */
+  private def fingerprint(spark: SparkSession, indexPath: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.getFileStatus(path).getModificationTime
   }
+
+  def register(tablePath: String, indexPath: String, nprobe: Int): Unit =
+    byPath.put(norm(tablePath), Entry(indexPath, nprobe))
 
   def unregister(tablePath: String): Unit = byPath.remove(norm(tablePath))
 
   def lookup(paths: Seq[String]): Option[Entry] =
     paths.map(norm).flatMap(p => Option(byPath.get(p))).headOption
 
-  def probedLists(spark: SparkSession, entry: Entry, q: Array[Float]): Seq[Int] =
-    probeMemo.computeIfAbsent(
-      (entry.indexPath, entry.nprobe,
-        collection.immutable.ArraySeq.unsafeWrapArray(q.clone())), { _ =>
+  def probedLists(spark: SparkSession, entry: Entry, q: Array[Float]): Seq[Int] = {
+    val key = (entry.indexPath, fingerprint(spark, entry.indexPath), entry.nprobe,
+      collection.immutable.ArraySeq.unsafeWrapArray(q.clone()))
+    probeMemo.computeIfAbsent(key, { _ =>
       spark.read.parquet(s"${entry.indexPath}/centroids")
         .select(col("list_id"), cosine_distance(col("centroid"), typedLit(q)).as("d"))
         .orderBy(col("d"), col("list_id"))
         .limit(entry.nprobe)
         .collect().map(_.getInt(0)).toSeq
     })
+  }
 }
 
 case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -75,30 +96,79 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Peel `(Project | Filter)*` off `plan` down to a bare LogicalRelation.
+    * Returns (outermost-first intermediate stack, relation). Postgres'
+    * planner likewise fires the ivfflat path through quals/tlists, not just
+    * on a bare `ORDER BY … LIMIT k` over the heap — without this any
+    * `select()` before `orderBy` silently defeats the rewrite. */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(List[LogicalPlan], LogicalRelation)] = plan match {
+    case rel: LogicalRelation => Some((Nil, rel))
+    case p: Project => unwrap(p.child).map { case (s, rel) => (p :: s, rel) }
+    case f: Filter => unwrap(f.child).map { case (s, rel) => (f :: s, rel) }
+    case _ => None
+  }
+
+  /** The optimizer hoists the user's final projection between the limit and
+    * the sort (`GlobalLimit(LocalLimit(Project(Sort(…))))`); peel it so the
+    * sort is reachable, and re-apply it above the rewritten sort. */
+  private def peelToSort(plan: LogicalPlan): Option[(Option[Project], Sort)] =
+    plan match {
+      case s: Sort => Some((None, s))
+      case p @ Project(_, s: Sort) => Some((Some(p), s))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case gl @ GlobalLimit(IntegerLiteral(_),
-        ll @ LocalLimit(IntegerLiteral(_),
-        srt @ Sort(SortOrder(d: CosineDistance, Ascending, _, _) +: _, true,
-        rel: LogicalRelation, _))) =>
+        ll @ LocalLimit(IntegerLiteral(_), limChild)) =>
       val rewritten = for {
+        (outerProj, srt) <- peelToSort(limChild)
+        d <- srt match {
+          case Sort(SortOrder(d: CosineDistance, Ascending, _, _) +: _, true, _, _) =>
+            Some(d)
+          case _ => None
+        }
+        (stack, rel) <- unwrap(srt.child)
         (vecAttr, q) <- queryVector(d)
+        // the sorted distance must be over the RELATION's own vector column
+        // (pass-through Projects keep exprIds); a derived/aliased vector is
+        // a different quantity than the one the index clusters — skip.
+        if rel.outputSet.contains(vecAttr)
         fsRel <- rel.relation match {
           case r: HadoopFsRelation => Some(r); case _ => None
         }
         entry <- AnnIndexRegistry.lookup(
           fsRel.location.rootPaths.map(_.toString).toSeq)
-      } yield {
-        val lists = AnnIndexRegistry.probedLists(spark, entry, q)
-        val idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
+        lists = AnnIndexRegistry.probedLists(spark, entry, q)
+        idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
           .filter(col("list_id").isin(lists: _*))
           .queryExecution.analyzed
-        val byName = idxPlan.output.map(a => a.name -> a).toMap
+        byName = idxPlan.output.map(a => a.name -> a).toMap
+        // schema drift (index built before a base-table column was added):
+        // fall back to the exact scan instead of failing the query.
+        if {
+          val missing = rel.output.map(_.name).filterNot(byName.contains)
+          if (missing.nonEmpty) logWarning(
+            s"ANN index at ${entry.indexPath} lacks columns $missing of " +
+              s"${fsRel.location.rootPaths.headOption.getOrElse("?")}; " +
+              "leaving plan unrewritten")
+          missing.isEmpty
+        }
+      } yield {
         // substitute the scan, preserving the original attribute ids the
-        // enclosing Sort/Limit still reference
+        // enclosing Sort/Limit/Project/Filter stack still references
         val aligned = Project(rel.output.map { o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)
         }, idxPlan)
-        gl.copy(child = ll.copy(child = srt.copy(child = aligned)))
+        val rebuilt = stack.foldRight(aligned: LogicalPlan) {
+          (node, child) => node.withNewChildren(Seq(child))
+        }
+        val newSort = srt.copy(child = rebuilt)
+        val newChild = outerProj
+          .map(p => p.withNewChildren(Seq(newSort)): LogicalPlan)
+          .getOrElse(newSort)
+        gl.copy(child = ll.copy(child = newChild))
       }
       rewritten.getOrElse(gl)
   }

@@ -55,4 +55,76 @@ class AnnRewriteSpec extends SparkSpec {
     assert(row.length === 3)
     assert(row.forall(_.getAs[collection.Seq[Float]]("embedding").length === 64))
   }
+
+  test("select() before orderBy still rewrites (Project tolerated)") {
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4)
+    val df = spark.read.parquet(tablePath)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(cosine_distance(col("embedding"), vector_lit(queryVec)), col("vec_id"))
+      .limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("list_id"), s"expected index scan through Project:\n$plan")
+    assert(!plan.contains("embeddings.parquet"), s"base table should be pruned out:\n$plan")
+    val rows = df.collect()
+    assert(rows.head.getLong(0) === 0L)
+    assert(rows.head.schema.fieldNames.toSeq === Seq("vec_id", "embedding"))
+  }
+
+  test("filter + select before orderBy rewrites and re-applies the predicate") {
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = IndexQueries.Lists)
+    val exact = spark.read.parquet(tablePath)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"))
+      .orderBy(cosine_distance(col("embedding"), vector_lit(queryVec)), col("vec_id"))
+      .limit(10)
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("list_id"), s"expected index scan through Filter+Project:\n$plan")
+    val ids = exact.collect().map(_.getLong(0)).toSeq
+    assert(ids.nonEmpty && ids.forall(_ % 2 == 0))
+    assert(ids.head === 0L)
+  }
+
+  test("aliased/derived vector column: rewrite must NOT fire (different quantity)") {
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4)
+    val df = spark.read.parquet(tablePath)
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("emb"))
+      .orderBy(cosine_distance(col("emb"), vector_lit(queryVec)), col("vec_id"))
+      .limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("embeddings.parquet"),
+      s"derived vector must fall back to the base scan:\n$plan")
+  }
+
+  test("index schema drift: plan left unrewritten instead of failing") {
+    // an index built before `label` existed on the base table
+    val stale = java.nio.file.Files
+      .createTempDirectory("graft_stale_idx").resolve("idx").toString
+    spark.read.parquet(s"$indexPath/lists").drop("label")
+      .write.partitionBy("list_id").parquet(s"$stale/lists")
+    spark.read.parquet(s"$indexPath/centroids")
+      .coalesce(1).write.parquet(s"$stale/centroids")
+    AnnIndexRegistry.register(tablePath, stale, nprobe = 4)
+    val df = topK(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("embeddings.parquet"),
+      s"schema-drifted index must leave the exact scan in place:\n$plan")
+    assert(df.collect().length === 5)
+  }
+
+  test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rebuild_idx").resolve("idx").toString
+    val src = spark.read.parquet(s"$indexPath/centroids")
+    src.coalesce(1).write.parquet(s"$dir/centroids")
+    val entry = AnnIndexRegistry.Entry(dir, 2)
+    val before = AnnIndexRegistry.probedLists(spark, entry, queryVec)
+    // rebuild in place: same path, permuted list ids — nearest lists change
+    val n = src.count()
+    src.withColumn("list_id",
+        ((col("list_id") + 1) % n.toInt).cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val after = AnnIndexRegistry.probedLists(spark, entry, queryVec)
+    assert(after === before.map(l => (l + 1) % n.toInt),
+      "rebuilt index must not be served stale memoized rankings")
+  }
 }

@@ -268,12 +268,22 @@ object Dedup {
     exactDeduped.join(broadcast(toDrop), Seq("doc_id"), "left_anti")
   }
 
-  /** Cleaned-corpus cardinality through the full dedup stack (exact +
-    * minhash near-dup removal) — oracle-checked via the exact pipeline. */
+  /** Cleaned-corpus cardinality through the full dedup stack (exact dedup +
+    * near-dup pair removal).
+    *
+    * Pair source: [[dedupNgramCapped]] — the df-capped inverted index is
+    * the 100 TB default (an uncapped posting list on a stop-shingle like
+    * "in the of" expands O(df²) pairs; the cap bounds every posting list).
+    * The cap can only LOSE candidate pairs whose shared shingles are all
+    * ubiquitous — such pairs sit far below [[NgramThreshold]], so the drop
+    * set is unchanged in practice; DedupSpec pins capped ≡ uncapped drop
+    * sets on the fixtures, and the oracle below intentionally keeps the
+    * exact uncapped pipeline so any future divergence fails the gate
+    * instead of hiding. */
   def dedupClean(spark: SparkSession, sfDir: String): DataFrame = {
     val cleaned = dropNearDuplicates(
       Tables.documents(spark, sfDir),
-      dedupNgram(spark, sfDir)) // exact pair list → exact oracle below
+      dedupNgramCapped(spark, sfDir))
     cleaned.agg(count(lit(1)).as("n_clean"))
   }
 

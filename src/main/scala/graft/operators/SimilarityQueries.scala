@@ -65,6 +65,53 @@ object SimilarityQueries {
       .orderBy("bucket")
   }
 
+  /** Linear-time mean pairwise cosine — the 100 TB path for
+    * [[graft.operators.ReferenceQueries.avgPairwiseSim]]'s O(n²) self-join.
+    *
+    * Identity: with uᵢ = vᵢ/‖vᵢ‖, Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σᵢuᵢ‖² − Σᵢ‖uᵢ‖², so
+    * mean pairwise cosine = (‖Σu‖² − n) / (n(n−1)) — one scan, no join.
+    * Elementwise Σu via posexplode + groupBy(dim): partial hash-agg makes
+    * the shuffle |partitions|·dim rows, independent of n. Exact up to
+    * float-sum order (rounded 6dp, like the crossJoin form); equality with
+    * the O(n²) query is pinned in SimilarityQueriesSpec. */
+  def avgPairwiseSimFast(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val normSq = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val sums = e
+      .select(posexplode(transform(col("embedding"),
+        x => x.cast("double") / sqrt(normSq))).as(Seq("dim", "ux")))
+      .groupBy("dim").agg(sum(col("ux")).as("sd"))
+    val ss = sums.agg(sum(col("sd") * col("sd")).as("ss"))
+    val n = e.agg(count(lit(1)).cast("double").as("n"))
+    ss.crossJoin(n)
+      .select(round((col("ss") - col("n")) / (col("n") * (col("n") - 1.0d)), 6)
+        .as("avg_sim"))
+  }
+
+  /** Pair-sampling modulus for [[simHistogramSampled]]: keep vec_ids whose
+    * md5-derived hash ≡ 0 (mod this), so ~1/16 of pairs are scored. */
+  val HistSampleMod = 4
+
+  /** Sampled pairwise-similarity histogram — the scale path for
+    * [[simHistogram]]'s all-pairs join. A deterministic md5-derived row
+    * sample (≈ n/[[HistSampleMod]] rows) is self-joined, so the pair count
+    * drops by HistSampleMod² while each bucket's SHARE estimates the full
+    * histogram's share (unbiased; ±ε pinned vs the exact histogram in
+    * SimilarityQueriesSpec). md5-derived (not Spark-only xxhash64) so the
+    * DuckDB oracle reproduces the sample bit-for-bit. */
+  def simHistogramSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.md5_long
+    val s = Tables.embeddings(spark, sfDir)
+      .filter(md5_long(col("vec_id").cast("string")) % HistSampleMod === 0)
+    val s1 = s.select(col("vec_id").as("a"), col("embedding").as("v1"))
+    val s2 = s.select(col("vec_id").as("b"), col("embedding").as("v2"))
+    s1.crossJoin(broadcast(s2)).filter(col("a") < col("b"))
+      .select(floor(graft.functions.cosine_similarity(col("v1"), col("v2")) * 10).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** SQ8-quantized top-k: 4× smaller vectors scanned, approximate ranking
     * relative to EXACT cosine — but fully deterministic, so the whole
     * quantize→distance→top-k pipeline is oracle-checked bit-exact
@@ -86,6 +133,8 @@ object SimilarityQueries {
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
     "label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_histogram" -> ((s, d) => simHistogram(s, d)),
+    "sim_histogram_sampled" -> ((s, d) => simHistogramSampled(s, d)),
+    "avg_pairwise_sim_fast" -> ((s, d) => avgPairwiseSimFast(s, d)),
     "sq_knn_topk" -> ((s, d) => sqKnnTopK(s, d)),
   )
 
@@ -114,6 +163,28 @@ object SimilarityQueries {
       s"""SELECT CAST(floor(${O.cosSim("e1.embedding", "e2.embedding")} * 10) AS BIGINT) AS bucket,
          |  COUNT(*) AS n
          |FROM embeddings e1, embeddings e2
+         |WHERE e1.vec_id < e2.vec_id
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
+    "avg_pairwise_sim_fast" ->
+      s"""WITH u AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) / sqrt(${O.normSq("embedding")})) AS u
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT unnest(u) AS ux, generate_subscripts(u, 1) AS dim FROM u),
+         |s AS (SELECT dim, sum(ux) AS sd FROM ex GROUP BY dim),
+         |agg AS (SELECT sum(sd * sd) AS ss FROM s),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)
+         |SELECT round((agg.ss - n.n) / (n.n * (n.n - 1.0)), 6) AS avg_sim
+         |FROM agg, n""".stripMargin,
+    "sim_histogram_sampled" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${O.md5Long("CAST(vec_id AS VARCHAR)")} % $HistSampleMod = 0)
+         |SELECT CAST(floor(${O.cosSim("e1.embedding", "e2.embedding")} * 10) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n
+         |FROM s e1, s e2
          |WHERE e1.vec_id < e2.vec_id
          |GROUP BY 1
          |ORDER BY bucket""".stripMargin,

@@ -83,6 +83,17 @@ class DedupSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("capped and uncapped ngram pair sources agree on the drop set (dedup_clean contract)") {
+    val uncapped = Dedup.dedupNgram(spark, Sf0001)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.dedupNgramCapped(spark, Sf0001)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dedupClean runs the capped source while its oracle mirrors the exact
+    // uncapped pipeline — valid only while the cap loses no >=threshold pair
+    assert(capped === uncapped,
+      s"cap binds at threshold: missing=${uncapped -- capped} extra=${capped -- uncapped}")
+  }
+
   test("dedup_minhash: precision 1.0 vs exact jaccard, high recall on strong dups") {
     val exact = Dedup.dedupNgram(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -37,6 +37,37 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(maxErr < 0.02, s"SQ8 cosine error too large: $maxErr")
   }
 
+  test("avg_pairwise_sim_fast equals the O(n²) crossJoin form; plan is join-free") {
+    val slow = ReferenceQueries.avgPairwiseSim(spark, Sf0001).head().getDouble(0)
+    val fastDf = SimilarityQueries.avgPairwiseSimFast(spark, Sf0001)
+    val fast = fastDf.head().getDouble(0)
+    // the identity is exact; both sides round to 6dp, so allow only a
+    // boundary ulp at the rounding step
+    assert(math.abs(fast - slow) <= 1e-6 + 1e-12, s"fast=$fast slow=$slow")
+    val plan = fastDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") || !plan.contains("embeddings.parquet\n"),
+      "linear form must not self-join the embeddings table")
+    // the only joins are over 1-row aggregates (ss × n)
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("sim_histogram_sampled bucket shares track the exact histogram within ±0.03") {
+    val exact = SimilarityQueries.simHistogram(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = SimilarityQueries.simHistogramSampled(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nExact = exact.values.sum.toDouble
+    val nSampled = sampled.values.sum.toDouble
+    // the sample must actually prune: ≈ (1/mod)² of the pairs
+    assert(nSampled < nExact / (SimilarityQueries.HistSampleMod * 2),
+      s"sample too large: $nSampled of $nExact pairs")
+    (exact.keySet ++ sampled.keySet).foreach { b =>
+      val se = exact.getOrElse(b, 0L) / nExact
+      val ss = sampled.getOrElse(b, 0L) / nSampled
+      assert(math.abs(se - ss) <= 0.03, f"bucket $b: exact share $se%.4f vs sampled $ss%.4f")
+    }
+  }
+
   test("sq_knn_topk recall@10 vs exact is high; self is rank 1") {
     val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
       .collect().map(_.getLong(0)).toSet

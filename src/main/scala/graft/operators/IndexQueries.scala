@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.index.IvfIndex
+import graft.index.{IvfIndex, NswIndex}
 
 /** IVF index queries for the driver gate. The index is built once per
   * (session, sfDir) and cached — mirroring a persisted `CREATE INDEX`
@@ -26,12 +26,24 @@ object IndexQueries {
   val K = 10
   val NProbe = 4
 
+  /** Shards for the NSW graph on the small fixtures (scale guidance:
+    * n / [[graft.index.NswIndex.RowsPerShardTarget]]). */
+  val NswShards = 4
+
   private val cache = new ConcurrentHashMap[String, String]()
+  private val nswCache = new ConcurrentHashMap[String, String]()
 
   def indexFor(spark: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(sfDir, { _ =>
       val path = Files.createTempDirectory("graft_ivf").resolve("index").toString
       IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists)
+      path
+    })
+
+  def nswIndexFor(spark: SparkSession, sfDir: String): String =
+    nswCache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_nsw").resolve("index").toString
+      NswIndex.build(Tables.embeddings(spark, sfDir), path, shards = NswShards)
       path
     })
 
@@ -54,19 +66,44 @@ object IndexQueries {
     IvfIndex.probe(spark, path, q, K, NProbe)
   }
 
+  /** Build (cached) + the same exactly-once cardinality contract for the
+    * sharded NSW graph ([[graft.index.NswIndex]] — the HNSW-capability
+    * analog, /root/reference/README.md:40). */
+  def nswBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = nswIndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/graph")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  /** Approximate top-k for the vec_id=0 query through the NSW graph. */
+  def hnswKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = nswIndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    NswIndex.search(spark, path, q, K)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_build" -> ((s, d) => ivfBuild(s, d)),
     "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+    "hnsw_build" -> ((s, d) => nswBuild(s, d)),
+    "hnsw_knn" -> ((s, d) => hnswKnn(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     // cardinality contract: every embedding vector indexed exactly once
     "ivf_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
-    // ivf_knn: THE one deliberate no-oracle exception — its answer depends
-    // on Spark-ML KMeans cluster assignments, which DuckDB cannot reproduce
-    // (no KMeans; seed-dependent init). Gated instead by IvfIndexSpec:
-    // probe-all ≡ exact top-k, recall@10 floors, and determinism across
+    "hnsw_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // ivf_knn / hnsw_knn: the two deliberate no-oracle exceptions — their
+    // answers depend on engine-side structures DuckDB cannot reproduce
+    // (Spark-ML KMeans assignments; the NSW graph's insertion-order
+    // topology). Gated instead by IvfIndexSpec / NswIndexSpec: probe-all /
+    // high-ef ≡ exact top-k, recall@10 floors, and determinism across
     // runs. Every other query in the engine is hash-checked vs DuckDB.
   )
 }

@@ -61,6 +61,43 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 300.0, s"unreasonably slow: $secs s")
   }
 
+  test("sharded NSW build + search hold at 200k vectors; recall vs exact holds") {
+    // DISTINCT pseudo-random vectors: the hash-embed corpus above collapses
+    // to ~128 distinct patterns (ideal for dedup tests, degenerate for a
+    // graph index — identical vectors form disconnected cliques)
+    val n = 200000L
+    val sub = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(xxhash64(concat(col("id"), lit("_"), d)), lit(2000001)) - 1000000)
+          / 1000000.0).cast("float")).as("embedding"))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_scale").resolve("idx").toString
+    val t0 = System.nanoTime()
+    val (rows, _) = graft.index.NswIndex.build(sub, dir, shards = 16)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    assert(rows === n)
+    info(f"NSW build 200k×16 shards: $buildSecs%.1f s")
+    val q = sub.filter(col("vec_id") === 12345L)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val exact = sub
+      .select(col("vec_id"), cosine_distance(col("embedding"),
+        graft.functions.vector_lit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val t1 = System.nanoTime()
+    val got = graft.index.NswIndex.search(spark, dir, q, 10).collect()
+    val searchSecs = (System.nanoTime() - t1) / 1e9
+    assert(got.length === 10)
+    val recall = got.map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    info(f"NSW search over 200k: $searchSecs%.2f s, recall@10 $recall%.1f")
+    assert(got.head.getLong(0) === 12345L && got.head.getDouble(1) < 1e-12,
+      "querying an indexed vector must find it first")
+    assert(recall >= 0.5, s"NSW 200k recall@10 was $recall")
+    assert(buildSecs < 300.0 && searchSecs < 60.0)
+    sub.unpersist()
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

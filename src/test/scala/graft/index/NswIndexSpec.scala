@@ -1,0 +1,67 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{IndexQueries, ReferenceQueries}
+
+class NswIndexSpec extends SparkSpec {
+
+  private lazy val indexPath = IndexQueries.nswIndexFor(spark, Sf0001)
+
+  private def queryVec: Array[Float] =
+    graft.Tables.embeddings(spark, Sf0001).filter(col("vec_id") === 0)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+
+  test("build indexes every vector exactly once; degrees bounded; edges stay in-shard") {
+    val graph = spark.read.parquet(s"$indexPath/graph")
+    assert(graph.count() === 500L)
+    assert(graph.select("vec_id").distinct().count() === 500L)
+    val overCap = graph.filter(size(col("neighbors")) > NswIndex.MaxDegree).count()
+    assert(overCap === 0L, "degree cap violated")
+    // neighbors must live in the owner's shard (vec_id % shards)
+    val crossShard = graph
+      .select(col("shard_id"), explode(col("neighbors")).as("nb"))
+      .filter(pmod(col("nb"), lit(IndexQueries.NswShards)) =!= col("shard_id"))
+      .count()
+    assert(crossShard === 0L)
+    // every multi-node shard's nodes are connected (no isolated vectors)
+    val isolated = graph.filter(size(col("neighbors")) === 0).count()
+    assert(isolated === 0L, "every node in a 125-node shard must have edges")
+  }
+
+  test("search with a beam covering the shard equals exact brute-force top-k") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val wide = NswIndex.search(spark, indexPath, queryVec, 10, ef = 500)
+      .collect().map(_.getLong(0)).toSeq
+    assert(wide === exact,
+      "a beam as wide as the shard must visit every reachable node → exact")
+  }
+
+  test("search recall@10 at default ef meets threshold; self is rank 1; deterministic") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSet
+    val r1 = NswIndex.search(spark, indexPath, queryVec, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val r2 = NswIndex.search(spark, indexPath, queryVec, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1 === r2, "NSW search must be deterministic")
+    assert(r1.head === 0L, "the query's own vector must rank first")
+    val recall = r1.toSet.intersect(exact).size / 10.0
+    assert(recall >= 0.9, s"NSW recall@10 was $recall")
+  }
+
+  test("rebuilding the graph is bit-reproducible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_re").resolve("idx").toString
+    NswIndex.build(graft.Tables.embeddings(spark, Sf0001), dir,
+      shards = IndexQueries.NswShards)
+    val a = spark.read.parquet(s"$indexPath/graph")
+      .select(col("vec_id"), col("neighbors")).collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]](1).toSeq).toMap
+    val b = spark.read.parquet(s"$dir/graph")
+      .select(col("vec_id"), col("neighbors")).collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]](1).toSeq).toMap
+    assert(a === b, "same data + same insertion order must yield the same graph")
+  }
+}

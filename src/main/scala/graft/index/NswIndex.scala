@@ -105,15 +105,15 @@ object NswIndex {
     out
   }
 
-  /** Build one shard's NSW graph from its nodes (sorted by vec_id for
-    * deterministic insertion order). */
-  private def buildShard(shard: Int, nodes: Array[Node]): Iterator[GraphRow] = {
-    val sorted = nodes.sortBy(_.vec_id)
-    val vecs = mutable.ArrayBuffer.from(sorted.map(_.embedding))
-    val adj = mutable.ArrayBuffer.fill(sorted.length)(mutable.ArrayBuffer.empty[Int])
+  /** Greedy-insert nodes `startIdx until vecs.length` into the graph over
+    * nodes `0 until startIdx` (adjacency mutated in place). The shared core
+    * of [[build]] (startIdx = 1) and [[append]] (startIdx = |existing|). */
+  private def insertNodes(vecs: mutable.ArrayBuffer[Array[Float]],
+                          adj: mutable.ArrayBuffer[mutable.ArrayBuffer[Int]],
+                          startIdx: Int): Unit = {
     val byDistAsc = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
-    var i = 1
-    while (i < sorted.length) {
+    var i = math.max(startIdx, 1)
+    while (i < vecs.length) {
       // search the graph built so far (nodes 0..i-1) for i's M nearest
       val found = beamSearch(vecs(i), vecs, adj, entry = 0, ef = EfConstruction)
         .iterator.filter(_._2 < i).take(M)
@@ -129,10 +129,34 @@ object NswIndex {
       }
       i += 1
     }
+  }
+
+  /** Build one shard's NSW graph from its nodes (sorted by vec_id for
+    * deterministic insertion order). */
+  private def buildShard(shard: Int, nodes: Array[Node]): Iterator[GraphRow] = {
+    val sorted = nodes.sortBy(_.vec_id)
+    val vecs = mutable.ArrayBuffer.from(sorted.map(_.embedding))
+    val adj = mutable.ArrayBuffer.fill(sorted.length)(mutable.ArrayBuffer.empty[Int])
+    insertNodes(vecs, adj, startIdx = 1)
     sorted.iterator.zipWithIndex.map { case (n, idx) =>
       GraphRow(shard, n.vec_id, n.embedding,
         adj(idx).iterator.map(x => sorted(x).vec_id).toArray.sorted)
     }
+  }
+
+  /** Load a shard's stored rows into (ids, vecs, adj) local form. Rows are
+    * re-sorted by vec_id — the stored insertion order — so local indices
+    * are reproducible. */
+  private def loadShard(rows: Array[GraphRow])
+      : (Array[Long], mutable.ArrayBuffer[Array[Float]],
+         mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]) = {
+    val sorted = rows.sortBy(_.vec_id)
+    val ids = sorted.map(_.vec_id)
+    val idToIdx = ids.iterator.zipWithIndex.toMap
+    val vecs = mutable.ArrayBuffer.from(sorted.map(_.embedding))
+    val adj = mutable.ArrayBuffer.from(sorted.map(
+      _.neighbors.iterator.map(idToIdx).to(mutable.ArrayBuffer)))
+    (ids, vecs, adj)
   }
 
   /** Build the sharded graph at `indexPath/graph` (Hive-partitioned on
@@ -151,8 +175,71 @@ object NswIndex {
         .toDF()
         .write.mode("overwrite").partitionBy("shard_id")
         .parquet(s"$indexPath/graph")
+      // shard-count sidecar: append must assign new vectors with the SAME
+      // modulus or cross-shard edges/lookups break
+      Seq(Tuple1(shards)).toDF("shards")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
       val n = spark.read.parquet(s"$indexPath/graph").count()
       (n, shards)
+    }
+
+  private def readGraph(spark: SparkSession, indexPath: String) = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexPath/graph")
+      .select(col("shard_id").cast("int").as("shard_id"), col("vec_id"),
+        col("embedding"), col("neighbors"))
+      .as[GraphRow]
+  }
+
+  /** Insert new vectors into the existing graph — the engine's analog of
+    * pgvector inserting rows into an already-built index. New nodes join
+    * their `pmod` shard and are greedy-inserted AFTER the existing nodes
+    * (in vec_id order), so existing topology is extended, not rebuilt; a
+    * shard that receives its first vectors is built fresh. The updated
+    * graph is staged to `graph_new` and atomically swapped (can't overwrite
+    * a path Spark is reading). Caller must not reuse existing vec_ids.
+    * Returns the new total row count. */
+  def append(spark: SparkSession, indexPath: String, newVectors: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    timeIt("nsw_append") {
+      import spark.implicits._
+      val shards = spark.read.parquet(s"$indexPath/meta").head().getInt(0)
+      val incoming = newVectors
+        .select(pmod(col(idCol), lit(shards)).cast("int").as("shard_id"),
+          col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+        .as[Node]
+      val updated = readGraph(spark, indexPath).groupByKey(_.shard_id)
+        .cogroup(incoming.groupByKey(_.shard_id)) { (shard, oldIt, newIt) =>
+          val oldRows = oldIt.toArray
+          val add = newIt.toArray
+          if (add.isEmpty) oldRows.iterator
+          else if (oldRows.isEmpty) buildShard(shard, add)
+          else {
+            val (ids, vecs, adj) = loadShard(oldRows)
+            val sortedAdd = add.sortBy(_.vec_id)
+            val start = vecs.length
+            sortedAdd.foreach { n =>
+              vecs += n.embedding
+              adj += mutable.ArrayBuffer.empty[Int]
+            }
+            insertNodes(vecs, adj, startIdx = start)
+            val allIds = ids ++ sortedAdd.map(_.vec_id)
+            allIds.iterator.zipWithIndex.map { case (id, idx) =>
+              GraphRow(shard, id, vecs(idx),
+                adj(idx).iterator.map(allIds).toArray.sorted)
+            }
+          }
+        }
+      updated.toDF()
+        .write.mode("overwrite").partitionBy("shard_id")
+        .parquet(s"$indexPath/graph_new")
+      val conf = spark.sessionState.newHadoopConf()
+      val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+      val stagedPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph_new")
+      val fs = graphPath.getFileSystem(conf)
+      fs.delete(graphPath, true)
+      fs.rename(stagedPath, graphPath)
+      spark.read.parquet(s"$indexPath/graph").count()
     }
 
   /** Approximate top-k for one query: beam-search every shard in parallel
@@ -161,25 +248,54 @@ object NswIndex {
   def search(spark: SparkSession, indexPath: String, q: Array[Float],
              k: Int, ef: Int = EfSearch): DataFrame = {
     import spark.implicits._
-    val graph = spark.read.parquet(s"$indexPath/graph")
-      .select(col("shard_id").cast("int").as("shard_id"), col("vec_id"),
-        col("embedding"), col("neighbors"))
-      .as[GraphRow]
-    graph.groupByKey(_.shard_id)
+    readGraph(spark, indexPath).groupByKey(_.shard_id)
       .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(_.vec_id)
+        val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
         else {
-          val idToIdx = rows.iterator.map(_.vec_id).zipWithIndex.toMap
-          val vecs = mutable.ArrayBuffer.from(rows.map(_.embedding))
-          val adj = mutable.ArrayBuffer.from(rows.map(
-            _.neighbors.iterator.map(idToIdx).to(mutable.ArrayBuffer)))
+          val (ids, vecs, adj) = loadShard(rows)
           beamSearch(q, vecs, adj, entry = 0, ef = math.max(ef, k))
-            .iterator.take(k).map { case (d, idx) => (rows(idx).vec_id, d) }
+            .iterator.take(k).map { case (d, idx) => (ids(idx), d) }
         }
       }
       .toDF("vec_id", "dist")
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch search: many queries in one distributed pass — every shard
+    * beam-searches the whole (broadcast) query batch, then per-query
+    * two-phase top-k merges the ≤ k·|shards| candidate rows per query
+    * ([[graft.functions.top_k_by_distance]] — no per-query window
+    * shuffle). The query batch is collected driver-side and broadcast:
+    * it is the small serving-batch side (mirrors probeMany collecting
+    * probed list ids), NOT the indexed data. */
+  def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
+                 qidCol: String, qvecCol: String, k: Int,
+                 ef: Int = EfSearch): DataFrame = {
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qs)
+    val effEf = math.max(ef, k)
+    readGraph(spark, indexPath).groupByKey(_.shard_id)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val (ids, vecs, adj) = loadShard(rows)
+          bc.value.iterator.flatMap { case (qid, qv) =>
+            beamSearch(qv, vecs, adj, entry = 0, ef = effEf)
+              .iterator.take(k).map { case (d, idx) => (qid, ids(idx), d) }
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "dist")
+      .groupBy("qid")
+      .agg(graft.functions.top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
   }
 }

@@ -52,6 +52,41 @@ class NswIndexSpec extends SparkSpec {
     assert(recall >= 0.9, s"NSW recall@10 was $recall")
   }
 
+  test("searchMany matches single-query search per qid") {
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+    val batch = NswIndex.searchMany(spark, indexPath, queries, "qid", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    (0L until 3L).foreach { qid =>
+      val qv = graft.Tables.embeddings(spark, Sf0001)
+        .filter(col("vec_id") === qid)
+        .head().getAs[collection.Seq[Float]]("embedding").toArray
+      val single = NswIndex.search(spark, indexPath, qv, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(fromBatch === single, s"qid $qid diverged")
+    }
+  }
+
+  test("append inserts into existing shard graphs; appended vectors searchable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_app").resolve("idx").toString
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    NswIndex.build(e.filter(col("vec_id") < 450), dir, shards = IndexQueries.NswShards)
+    val n = NswIndex.append(spark, dir, e.filter(col("vec_id") >= 450))
+    assert(n === 500L)
+    val graph = spark.read.parquet(s"$dir/graph")
+    assert(graph.select("vec_id").distinct().count() === 500L)
+    assert(graph.filter(size(col("neighbors")) > NswIndex.MaxDegree).count() === 0L)
+    assert(graph.filter(size(col("neighbors")) === 0).count() === 0L,
+      "appended nodes must be wired into the existing topology")
+    // an appended vector must be findable — its own query ranks it first
+    val qv = e.filter(col("vec_id") === 480)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val top = NswIndex.search(spark, dir, qv, 5).collect()
+    assert(top.head.getLong(0) === 480L && top.head.getDouble(1) < 1e-12)
+  }
+
   test("rebuilding the graph is bit-reproducible") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw_re").resolve("idx").toString
     NswIndex.build(graft.Tables.embeddings(spark, Sf0001), dir,

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.embed.Embedder
@@ -84,6 +84,93 @@ object StreamingIngest {
         }
         ()
       }
+      .start()
+  }
+
+  /** The open (not-yet-emitted) session a user's state holds. */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** A session closed either by a later event beyond the gap or by the
+    * event-time timeout (watermark passed last + gap). */
+  final case class ClosedSession(user_id: Long, session_start: Long,
+                                 n_events: Long, duration_s: Long)
+
+  private def sessionizeGroup(userId: Long,
+      it: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+      state: GroupState[OpenSession], gap: Long): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      // watermark passed last + gap with no new events: the session closed
+      val s = state.get
+      state.remove()
+      Iterator.single(ClosedSession(userId, s.start, s.n, s.last - s.start))
+    } else {
+      val evs = it.toArray.sortBy(e => (e._4, e._2)) // (sec, event_id)
+      val out = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+      var cur = state.getOption
+      evs.foreach { e =>
+        val sec = e._4
+        cur = cur match {
+          case None => Some(OpenSession(sec, sec, 1))
+          case Some(s) if sec - s.last > gap =>
+            out += ClosedSession(userId, s.start, s.n, s.last - s.start)
+            Some(OpenSession(sec, sec, 1))
+          case Some(s) if s.start - sec > gap =>
+            // straggler older than the open session by more than the gap:
+            // it forms its own already-complete singleton session
+            out += ClosedSession(userId, sec, 1L, 0L)
+            Some(s)
+          case Some(s) =>
+            Some(OpenSession(math.min(s.start, sec), math.max(s.last, sec), s.n + 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp((s.last + gap + 1) * 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming gap-window sessionization — the stateful-streaming form of
+    * `StarSchemaQueries.eventsSessions`, built on
+    * `flatMapGroupsWithState` + event-time timeout (the Spark-native
+    * custom-state operator; batch gap windows can't stream because a
+    * session's end is only known once the watermark passes it).
+    *
+    * Per user the state holds the single open session; a new event either
+    * extends it, closes it (gap exceeded → session emitted downstream), or
+    * lands as an out-of-order straggler. When the watermark passes
+    * `last + gap` without new events, the timeout fires and the session is
+    * emitted and cleared — so state size is O(|active users|), not
+    * O(|events|). `watermarkDelay` must exceed the gap, or timeouts would
+    * fire while in-gap events may still legally arrive. Closed sessions
+    * append to `resultPath` (file sink, exactly-once via checkpoint).
+    * Batch/stream parity is asserted in StreamingSpec. */
+  def startSessionize(spark: SparkSession, srcDir: String, schema: StructType,
+                      resultPath: String,
+                      gapSeconds: Long = graft.operators.StarSchemaQueries.SessionGapSeconds,
+                      watermarkDelay: String = "1 hour"): StreamingQuery = {
+    import spark.implicits._
+    val events = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_seconds(col("ts")).as("sec"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+         st: GroupState[OpenSession]) => sessionizeGroup(uid, it, st, gapSeconds))
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", resultPath)
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
       .start()
   }
 

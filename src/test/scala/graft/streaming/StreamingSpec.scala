@@ -84,6 +84,50 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0, "rate-driven ingest must land rows")
   }
 
+  test("stateful streaming sessionization matches batch gap windows (parity across restart)") {
+    import org.apache.spark.sql.expressions.Window
+    val srcDir = tmp("sess_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val out = tmp("sess_out")
+    val gap = StarSchemaQueries.SessionGapSeconds
+    // phase 1: a subset of real events (raw ns-long ts, as on disk)
+    val raw = spark.read.parquet(s"$Sf0001/events.parquet")
+      .filter(col("user_id") < 20)
+    raw.write.mode("append").parquet(srcDir)
+    val q1 = StreamingIngest.startSessionize(spark, srcDir, raw.schema, out)
+    q1.awaitTermination(120000)
+    // phase 2: one far-future sentinel event per user — forces every open
+    // session closed via the gap rule on the checkpointed state
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    raw.groupBy("user_id").agg(max(col("event_id")).as("eid"))
+      .select(col("user_id"), (col("eid") + 1000000L).as("event_id"),
+        lit(maxTs + 10L * 86400 * 1000000000L).as("ts"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      .select(raw.columns.map(col): _*) // align column order with the source
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamingIngest.startSessionize(spark, srcDir, raw.schema, out)
+    q2.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch reference over phase-1 events: same (user, start, n, duration)
+    val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val batch = graft.Tables.events(spark, Sf0001)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), unix_seconds(col("ts")).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("sec")).as("session_start"), count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("duration_s"))
+      .select("user_id", "session_start", "n_events", "duration_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming hourly rollup matches the batch aggregation (parity)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source requires a DIRECTORY of files

@@ -49,6 +49,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // Gopher/C4-style retention thresholds (tuned to the fixture corpus so
+  // every rule actually fires; production exposes them as parameters)
+  val MinTokens = 20L
+  val MinStopRatio = 0.02
+  val MaxPunctRatio = 0.2
+
+  /** Corpus quality filter — the retention pass a pre-training pipeline
+    * runs after scoring: first-failing-rule attribution (too_short →
+    * low_stopword → high_punct → retained), reported as (reason, n)
+    * counts. One scan, map-side partial agg into ≤4 groups — shuffle-free
+    * in practice at any scale. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nStop = stopwordHits(t, StopwordsByLang.toMap.apply("en"))
+    val stopRatio = nStop.cast("double") / nTok
+    val nPunct = (length(col("text")) - length(regexp_replace(col("text"), punctClass, ""))).cast("long")
+    val punctRatio = nPunct.cast("double") / length(col("text")).cast("long")
+    val reason = when(nTok < MinTokens, "too_short")
+      .when(stopRatio < MinStopRatio, "low_stopword")
+      .when(punctRatio > MaxPunctRatio, "high_punct")
+      .otherwise("retained")
+    Tables.documents(spark, sfDir)
+      .select(reason.as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+      .orderBy("reason")
+  }
+
   /** Language ID: stopword-hit votes per language, argmax with alphabetical
     * tie-break (deterministic; mirrors fasttext-style scoring shape). */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
@@ -77,6 +105,7 @@ object TextAnalysis {
     "text_stats" -> ((s, d) => textStats(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
     "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
+    "quality_filter" -> ((s, d) => qualityFilter(s, d)),
   )
 
   def oracles: Map[String, String] = {
@@ -120,6 +149,22 @@ object TextAnalysis {
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "quality_filter" ->
+        s"""WITH base AS (
+           |  SELECT
+           |    CAST(len($tok) AS BIGINT) AS n_tokens,
+           |    ${hitsSql(langs.toMap.apply("en"))} AS n_stop,
+           |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           |    CAST(length(text) AS BIGINT) AS n_chars
+           |  FROM documents),
+           |r AS (
+           |  SELECT CASE
+           |    WHEN n_tokens < $MinTokens THEN 'too_short'
+           |    WHEN CAST(n_stop AS DOUBLE) / n_tokens < $MinStopRatio THEN 'low_stopword'
+           |    WHEN CAST(n_punct AS DOUBLE) / n_chars > $MaxPunctRatio THEN 'high_punct'
+           |    ELSE 'retained' END AS reason
+           |  FROM base)
+           |SELECT reason, COUNT(*) AS n FROM r GROUP BY reason ORDER BY reason""".stripMargin,
     )
   }
 }

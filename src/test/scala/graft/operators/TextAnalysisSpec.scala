@@ -30,6 +30,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
   }
 
+  test("quality_filter: rules attribute first-failing; counts sum to corpus size") {
+    val rows = TextAnalysis.qualityFilter(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum === 500L)
+    assert(rows.getOrElse("retained", 0L) > 0L, "some documents must survive")
+    assert(rows.getOrElse("too_short", 0L) > 0L, "the length rule must fire on this corpus")
+    assert(rows.keySet.subsetOf(Set("too_short", "low_stopword", "high_punct", "retained")))
+  }
+
   test("knn_batch: rank 1 of each query is itself at distance ~0") {
     val rows = SimilarityQueries.knnBatch(spark, Sf0001).collect()
     assert(rows.length === SimilarityQueries.BatchQueries * SimilarityQueries.BatchK)

@@ -87,6 +87,30 @@ object StreamingIngest {
       .start()
   }
 
+  /** NSW-backed serving: same contract as [[startKnnServing]] but resolved
+    * through the sharded graph ([[graft.index.NswIndex.searchMany]]) — the
+    * high-recall serving point when shard graphs stay memory-resident;
+    * pick IVF serving when probes must stay selective over cold data. */
+  def startNswServing(spark: SparkSession, querySrcDir: String, schema: StructType,
+                      indexPath: String, resultPath: String, k: Int,
+                      ef: Int = graft.index.NswIndex.EfSearch,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val queries = spark.readStream.schema(schema).parquet(querySrcDir)
+    queries.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.index.NswIndex
+            .searchMany(spark, indexPath, batch, "qid", "qv", k, ef)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(resultPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The open (not-yet-emitted) session a user's state holds. */
   final case class OpenSession(start: Long, last: Long, n: Long)
 

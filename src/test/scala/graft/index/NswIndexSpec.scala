@@ -87,6 +87,25 @@ class NswIndexSpec extends SparkSpec {
     assert(top.head.getLong(0) === 480L && top.head.getDouble(1) < 1e-12)
   }
 
+  test("streaming NSW serving resolves query batches against the graph") {
+    import graft.streaming.StreamingIngest
+    val src = java.nio.file.Files.createTempDirectory("nsw_srv_src").resolve("q").toString
+    val out = java.nio.file.Files.createTempDirectory("nsw_srv_out").resolve("r").toString
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    queries.write.parquet(src)
+    val q = StreamingIngest.startNswServing(
+      spark, src, queries.schema, indexPath, out, k = 3)
+    q.awaitTermination(120000)
+    val results = spark.read.parquet(out)
+    assert(results.select("qid").distinct().count() === 4)
+    // an indexed query vector always finds itself at rank 1, dist ~0
+    val rank1 = results.filter(col("rank") === 1)
+      .select("qid", "vec_id", "dist").collect()
+    assert(rank1.forall(r => r.getLong(0) === r.getLong(1) && r.getDouble(2) < 1e-12))
+  }
+
   test("rebuilding the graph is bit-reproducible") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw_re").resolve("idx").toString
     NswIndex.build(graft.Tables.embeddings(spark, Sf0001), dir,

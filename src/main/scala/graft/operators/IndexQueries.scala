@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.index.{IvfIndex, NswIndex}
+import graft.index.{IvfIndex, NswIndex, PqIndex}
 
 /** IVF index queries for the driver gate. The index is built once per
   * (session, sfDir) and cached — mirroring a persisted `CREATE INDEX`
@@ -44,6 +44,15 @@ object IndexQueries {
     nswCache.computeIfAbsent(sfDir, { _ =>
       val path = Files.createTempDirectory("graft_nsw").resolve("index").toString
       NswIndex.build(Tables.embeddings(spark, sfDir), path, shards = NswShards)
+      path
+    })
+
+  private val pqCache = new ConcurrentHashMap[String, String]()
+
+  def pqIndexFor(spark: SparkSession, sfDir: String): String =
+    pqCache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_pq").resolve("index").toString
+      PqIndex.build(Tables.embeddings(spark, sfDir), path)
       path
     })
 
@@ -86,11 +95,31 @@ object IndexQueries {
     NswIndex.search(spark, path, q, K)
   }
 
+  /** Build (cached) + exactly-once encoding contract for the PQ codes. */
+  def pqBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqIndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/codes")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  /** Approximate top-k for the vec_id=0 query over PQ codes (ADC). */
+  def pqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqIndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    PqIndex.search(spark, path, q, K)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_build" -> ((s, d) => ivfBuild(s, d)),
     "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
     "hnsw_build" -> ((s, d) => nswBuild(s, d)),
     "hnsw_knn" -> ((s, d) => hnswKnn(s, d)),
+    "pq_build" -> ((s, d) => pqBuild(s, d)),
+    "pq_knn" -> ((s, d) => pqKnn(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -99,11 +128,14 @@ object IndexQueries {
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
     "hnsw_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
-    // ivf_knn / hnsw_knn: the two deliberate no-oracle exceptions — their
-    // answers depend on engine-side structures DuckDB cannot reproduce
-    // (Spark-ML KMeans assignments; the NSW graph's insertion-order
-    // topology). Gated instead by IvfIndexSpec / NswIndexSpec: probe-all /
-    // high-ef ≡ exact top-k, recall@10 floors, and determinism across
-    // runs. Every other query in the engine is hash-checked vs DuckDB.
+    "pq_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // ivf_knn / hnsw_knn / pq_knn: the deliberate no-oracle exceptions —
+    // their answers depend on engine-side structures DuckDB cannot
+    // reproduce (Spark-ML KMeans assignments/codebooks; the NSW graph's
+    // insertion-order topology). Gated instead by IvfIndexSpec /
+    // NswIndexSpec / PqIndexSpec: probe-all / high-ef ≡ exact top-k,
+    // recall@10 floors, and determinism across runs. Every other query in
+    // the engine is hash-checked vs DuckDB.
   )
 }

@@ -1,0 +1,219 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Timing.timeIt
+
+/** IVF-PQ — the composite the other two quantization/partition levers build
+  * toward, and the canonical layout for billion-scale ANN (FAISS' IVFPQ):
+  *
+  *  - a COARSE quantizer (KMeans lists, as [[IvfIndex]]) makes the scan
+  *    selective: a probe reads `nprobe` of `lists` Hive partitions;
+  *  - RESIDUAL product quantization (as [[PqIndex]], but over `u − c(u)`,
+  *    the vector minus its list centroid) makes the rows tiny. On a
+  *    CLUSTERABLE corpus residuals concentrate near 0, so the same
+  *    codebook budget quantizes them far better than raw vectors — this
+  *    is why IVFPQ encodes residuals (pinned on a clustered fixture in
+  *    IvfPqIndexSpec). On unclusterable (near-uniform) data the residual
+  *    advantage vanishes — but the coarse stage still buys partition
+  *    pruning, and re-rank recovers recall either way;
+  *  - at query time each probed list gets its own ADC lookup table for
+  *    `‖(u(q) − c_list)_s − cent_{s,c}‖²` (driver-side, nprobe·m·codes
+  *    doubles — index metadata), and every scanned row costs m lookups.
+  *
+  * All vectors are L2-normalized first, so cosine distance = ‖u(q) − x‖²/2
+  * and the whole pipeline can work in plain L2 (residuals don't preserve
+  * angles, norms do compose). Answers depend on KMeans structure → recall-
+  * gated (IvfPqIndexSpec) like the other index probes; the build's
+  * exactly-once cardinality contract is oracle-checkable.
+  */
+object IvfPqIndex {
+
+  val Seed = 42L
+
+  final case class ListCode(list_id: Int, vec_id: Long, codes: Array[Byte])
+
+  /** Build at `indexPath`: `coarse` (list_id, centroid array<double>),
+    * `codebook` (sub, code, centroid array<double>) over residuals, and
+    * `codes` (vec_id, codes) Hive-partitioned by list_id. */
+  def build(embeddings: DataFrame, indexPath: String,
+            lists: Int, m: Int = PqIndex.DefaultM, codes: Int = PqIndex.DefaultCodes,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    timeIt("ivfpq_build") {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      val subDim = dim / m
+      val normSq = aggregate(col(vecCol), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val unit = embeddings.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x => x.cast("double") / sqrt(normSq)).as("u"))
+        .persist()
+      // coarse quantizer: Euclidean KMeans on the unit sphere (residuals
+      // live in L2 space, so assignment must be L2-consistent)
+      val coarseModel = new KMeans()
+        .setK(lists).setSeed(Seed)
+        .setFeaturesCol("fv").setPredictionCol("list_id")
+        .fit(unit.select(array_to_vector(col("u")).as("fv")))
+      val coarse = coarseModel.clusterCenters.map(_.toArray)
+      spark.createDataFrame(coarse.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/coarse")
+      val bcCoarse = spark.sparkContext.broadcast(coarse)
+      // residuals, computed once and reused for training + encoding
+      val residuals = unit.as[(Long, Array[Double])]
+        .map { case (id, u) =>
+          var best = 0; var bestD = Double.MaxValue
+          val cs = bcCoarse.value
+          var l = 0
+          while (l < cs.length) {
+            var d = 0.0; var j = 0
+            while (j < u.length) { val t = u(j) - cs(l)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = l }
+            l += 1
+          }
+          val r = new Array[Double](u.length)
+          var j = 0
+          while (j < u.length) { r(j) = u(j) - cs(best)(j); j += 1 }
+          (best, id, r)
+        }
+        .toDF("list_id", "vec_id", "r")
+        .persist()
+      val codebook = (0 until m).flatMap { s =>
+        val sliced = residuals.select(
+          array_to_vector(slice(col("r"), s * subDim + 1, subDim)).as("fv"))
+        val model = new KMeans()
+          .setK(codes).setSeed(Seed + 1 + s)
+          .setFeaturesCol("fv").setPredictionCol("c")
+          .fit(sliced)
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
+      }
+      codebook.toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+      val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+        codebook.filter(_._1 == s).sortBy(_._2).map(_._3).toArray
+      }
+      val bcCb = spark.sparkContext.broadcast(cb)
+      residuals.as[(Int, Long, Array[Double])]
+        .map { case (list, id, r) =>
+          val out = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            val cents = bcCb.value(s)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              var d = 0.0; var j = 0
+              while (j < subDim) { val t = r(s * subDim + j) - cents(c)(j); d += t * t; j += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            out(s) = best.toByte
+            s += 1
+          }
+          ListCode(list, id, out)
+        }
+        .toDF()
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/codes")
+      residuals.unpersist(); unit.unpersist()
+      spark.read.parquet(s"$indexPath/codes").count()
+    }
+
+  /** Probe: rank coarse centroids by L2 to u(q), scan ONLY the `nprobe`
+    * nearest list partitions (explicit `isin` filter → directory pruning),
+    * score rows against the reconstruction x̂ = c_list + r̂ with the same
+    * normalized-cosine form the raw-PQ search uses —
+    * `1 − dot(u(q), x̂)/‖x̂‖` — via per-list LUTs:
+    * dot decomposes as dot(u(q), c_list) + Σₛ dot(u(q)ₛ, centₛ,c) and
+    * ‖x̂‖² as Σₛ ‖(c_list)ₛ + centₛ,c‖² (normalizing x̂ matters: the
+    * unnormalized L2 form carries a (‖x̂‖²−1)/2 per-row bias). */
+  def probe(spark: SparkSession, indexPath: String, q: Array[Float],
+            k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$indexPath/coarse")
+      .collect().map(r => r.getInt(0) -> r.getAs[collection.Seq[Double]](1).toArray).toMap
+    val cbRows = spark.read.parquet(s"$indexPath/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getAs[collection.Seq[Double]](2).toArray))
+    val m = cbRows.iterator.map(_._1).max + 1
+    val nCodes = cbRows.iterator.map(_._2).max + 1
+    val subDim = cbRows.head._3.length
+    val qu = {
+      var n = 0.0; q.foreach(x => n += x.toDouble * x)
+      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+      q.map(_.toDouble * inv)
+    }
+    val probed = coarse.toSeq
+      .map { case (l, c) =>
+        var d = 0.0; var j = 0
+        while (j < qu.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
+        (d, l)
+      }
+      .sorted.take(nprobe).map(_._2)
+    // shared dot LUT: dot(u(q)_s, cent_{s,c})
+    val dotLut = Array.ofDim[Double](m, nCodes)
+    cbRows.foreach { case (s, code, cent) =>
+      var d = 0.0; var j = 0
+      while (j < subDim) { d += qu(s * subDim + j) * cent(j); j += 1 }
+      dotLut(s)(code) = d
+    }
+    // per-probed-list: constant dot(u(q), c_l) and norm LUT ‖(c_l)_s + cent‖²
+    val listConst: Map[Int, Double] = probed.map { l =>
+      val c = coarse(l)
+      var d = 0.0; var j = 0
+      while (j < qu.length) { d += qu(j) * c(j); j += 1 }
+      l -> d
+    }.toMap
+    val nrmLuts: Map[Int, Array[Array[Double]]] = probed.map { l =>
+      val c = coarse(l)
+      val lut = Array.ofDim[Double](m, nCodes)
+      cbRows.foreach { case (s, code, cent) =>
+        var nn = 0.0; var j = 0
+        while (j < subDim) { val t = c(s * subDim + j) + cent(j); nn += t * t; j += 1 }
+        lut(s)(code) = nn
+      }
+      l -> lut
+    }.toMap
+    val bcDot = spark.sparkContext.broadcast(dotLut)
+    val bcConst = spark.sparkContext.broadcast(listConst)
+    val bcNrm = spark.sparkContext.broadcast(nrmLuts)
+    spark.read.parquet(s"$indexPath/codes")
+      .filter(col("list_id").isin(probed: _*)) // directory-level pruning
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"), col("codes"))
+      .as[ListCode]
+      .map { e =>
+        val nrm = bcNrm.value(e.list_id)
+        var dot = bcConst.value(e.list_id)
+        var nn = 0.0
+        var s = 0
+        while (s < e.codes.length) {
+          val c = e.codes(s) & 0xff
+          dot += bcDot.value(s)(c); nn += nrm(s)(c); s += 1
+        }
+        val dist = if (nn == 0.0) 1.0 else 1.0 - dot / math.sqrt(nn)
+        (e.vec_id, dist)
+      }
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Probe + exact re-rank over the overfetched candidates (the production
+    * chain: prune partitions → ADC over codes → full-precision re-rank of
+    * overfetch·k rows). */
+  def probeRerank(spark: SparkSession, indexPath: String, base: DataFrame,
+                  q: Array[Float], k: Int, nprobe: Int, overfetch: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{cosine_distance, vector_lit}
+    val candIds = probe(spark, indexPath, q, k * overfetch, nprobe)
+      .select("vec_id").collect().map(_.getLong(0)).toIndexedSeq
+    base.filter(col(idCol).isin(candIds: _*))
+      .select(col(idCol).cast("long").as("vec_id"),
+        cosine_distance(col(vecCol), vector_lit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+}

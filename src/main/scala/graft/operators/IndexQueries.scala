@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.index.{IvfIndex, NswIndex, PqIndex}
+import graft.index.{IvfIndex, IvfPqIndex, NswIndex, PqIndex}
 
 /** IVF index queries for the driver gate. The index is built once per
   * (session, sfDir) and cached — mirroring a persisted `CREATE INDEX`
@@ -53,6 +53,15 @@ object IndexQueries {
     pqCache.computeIfAbsent(sfDir, { _ =>
       val path = Files.createTempDirectory("graft_pq").resolve("index").toString
       PqIndex.build(Tables.embeddings(spark, sfDir), path)
+      path
+    })
+
+  private val ivfpqCache = new ConcurrentHashMap[String, String]()
+
+  def ivfPqIndexFor(spark: SparkSession, sfDir: String): String =
+    ivfpqCache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_ivfpq").resolve("index").toString
+      IvfPqIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists)
       path
     })
 
@@ -113,6 +122,26 @@ object IndexQueries {
     PqIndex.search(spark, path, q, K)
   }
 
+  /** Build (cached) + exactly-once encoding contract for IVF-PQ. */
+  def ivfPqBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ivfPqIndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/codes")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  /** Approximate top-k through the IVF-PQ probe + exact re-rank — the full
+    * production chain (partition pruning → ADC → re-rank). */
+  def ivfPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ivfPqIndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfPqIndex.probeRerank(spark, path, Tables.embeddings(spark, sfDir),
+      q, K, nprobe = NProbe)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_build" -> ((s, d) => ivfBuild(s, d)),
     "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
@@ -120,6 +149,8 @@ object IndexQueries {
     "hnsw_knn" -> ((s, d) => hnswKnn(s, d)),
     "pq_build" -> ((s, d) => pqBuild(s, d)),
     "pq_knn" -> ((s, d) => pqKnn(s, d)),
+    "ivfpq_build" -> ((s, d) => ivfPqBuild(s, d)),
+    "ivfpq_knn" -> ((s, d) => ivfPqKnn(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -130,7 +161,9 @@ object IndexQueries {
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
     "pq_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
-    // ivf_knn / hnsw_knn / pq_knn: the deliberate no-oracle exceptions —
+    "ivfpq_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // ivf_knn / hnsw_knn / pq_knn / ivfpq_knn: the deliberate no-oracle exceptions —
     // their answers depend on engine-side structures DuckDB cannot
     // reproduce (Spark-ML KMeans assignments/codebooks; the NSW graph's
     // insertion-order topology). Gated instead by IvfIndexSpec /

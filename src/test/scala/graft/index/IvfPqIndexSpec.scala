@@ -1,0 +1,109 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.ReferenceQueries
+
+class IvfPqIndexSpec extends SparkSpec {
+
+  private val Lists = 8
+
+  private lazy val indexPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").resolve("idx").toString
+    IvfPqIndex.build(graft.Tables.embeddings(spark, Sf0001), p, lists = Lists)
+    p
+  }
+
+  private def queryVec: Array[Float] =
+    graft.Tables.embeddings(spark, Sf0001).filter(col("vec_id") === 0)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+
+  test("build encodes every vector exactly once across the lists") {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    assert(codes.count() === 500L)
+    assert(codes.select("vec_id").distinct().count() === 500L)
+    val used = codes.select("list_id").distinct().count()
+    assert(used > 1 && used <= Lists)
+  }
+
+  test("probe scans only the probed list partitions") {
+    val nprobe = 2
+    val df = IvfPqIndex.probe(spark, indexPath, queryVec, k = 10, nprobe = nprobe)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val codeScan = scans(df.queryExecution.executedPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("codes")))
+      .getOrElse(fail(s"no codes scan in plan:\n${df.queryExecution.executedPlan}"))
+    assert(codeScan.partitionFilters.nonEmpty, "probe must place a partition filter")
+    assert(codeScan.selectedPartitions.partitionCount <= nprobe,
+      s"scanned ${codeScan.selectedPartitions.partitionCount} partitions, expected ≤ $nprobe")
+  }
+
+  test("probe-all recall meets the PQ floor; rerank recovers; deterministic") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val r1 = IvfPqIndex.probe(spark, indexPath, queryVec, 10, nprobe = Lists)
+      .collect().map(_.getLong(0)).toSeq
+    val r2 = IvfPqIndex.probe(spark, indexPath, queryVec, 10, nprobe = Lists)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1 === r2, "probe must be deterministic")
+    val recall = r1.toSet.intersect(exact.toSet).size / 10.0
+    info(f"IVFPQ probe-all recall@10: $recall%.1f")
+    assert(recall >= 0.5, s"probe-all recall@10 was $recall")
+    val reranked = IvfPqIndex.probeRerank(spark, indexPath,
+      graft.Tables.embeddings(spark, Sf0001), queryVec, k = 10,
+      nprobe = Lists, overfetch = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val rr = reranked.toSet.intersect(exact.toSet).size / 10.0
+    info(f"IVFPQ rerank recall@10: $rr%.1f")
+    assert(rr >= 0.8, s"reranked recall@10 was $rr")
+    assert(reranked.head === 0L)
+  }
+
+  test("residual coding beats raw-vector PQ at equal budget on a clustered corpus") {
+    // residuals only concentrate when the coarse quantizer has structure to
+    // grab — so the IVFPQ advantage is pinned on a CLUSTERED fixture (the
+    // near-uniform driver fixtures show no residual win, by design)
+    import graft.functions.hash_embed
+    val nClusters = 20; val perCluster = 25; val n = nClusters * perCluster
+    val raw = spark.range(n).select(
+      col("id").as("vec_id"),
+      hash_embed(concat(lit("cl"), (col("id") % nClusters).cast("string")), 64).as("base"),
+      // CONTINUOUS per-(id,dim) noise — hash_embed noise collapses to few
+      // discrete patterns, which both quantizers encode exactly
+      transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(xxhash64(concat(col("id"), lit("_"), d)), lit(2000001)) - 1000000)
+          / 1000000.0).cast("float")).as("noise"))
+    val emb = raw.select(col("vec_id"),
+      zip_with(col("base"), col("noise"), (b, nz) => (b + nz * lit(0.05f)).cast("float"))
+        .as("embedding"))
+      .persist()
+    val q = emb.filter(col("vec_id") === 7)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_pq_cmp").resolve("idx").toString
+    val ivfpqPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").resolve("idx").toString
+    PqIndex.build(emb, pqPath)
+    IvfPqIndex.build(emb, ivfpqPath, lists = nClusters)
+    import graft.functions.{cosine_distance, vector_lit}
+    val exact = emb
+      .select(col("vec_id"), cosine_distance(col("embedding"), vector_lit(q)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def meanErr(scored: Map[Long, Double]) =
+      exact.keys.map(id => math.abs(scored(id) - exact(id))).sum / exact.size
+    val rawErr = meanErr(PqIndex.search(spark, pqPath, q, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    val resErr = meanErr(IvfPqIndex.probe(spark, ivfpqPath, q, n, nprobe = nClusters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    info(f"mean ADC error raw-PQ $rawErr%.4f vs residual-IVFPQ $resErr%.4f")
+    assert(resErr < rawErr, "residual coding must tighten the approximation on clustered data")
+    emb.unpersist()
+  }
+}

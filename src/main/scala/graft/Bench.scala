@@ -38,11 +38,17 @@ object Bench {
         }
       }
 
-    // Warm-up: run each query once, untimed.
+    // Warm-up: run each query once, untimed. This includes the one-off
+    // index BUILDS (IVF/NSW/PQ/IVFPQ), which allocate heavily; drain the
+    // resulting GC/ContextCleaner debt before timing starts — otherwise a
+    // full-GC storm can land mid-measurement and charge 10× to whichever
+    // query it happens to hit (observed: a 2 s query "timed" at 23 s).
     queries.foreach { case (name, fn) => runOnce(name, fn) }
+    System.gc(); Thread.sleep(2000)
 
     val results = queries.filterNot(q => errors.contains(q._1)).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        System.gc() // steady-state: GC debt from prior queries stays untimed
         val t0 = System.nanoTime()
         runOnce(name, fn)
         (System.nanoTime() - t0) / 1e9

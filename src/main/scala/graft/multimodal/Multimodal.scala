@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, decoded/feature-extracted in
   * executor-side batches.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB ([[StubImageDecoder]]); everything
-  * Spark-side — schema, batched mapPartitions signature, partitioning,
-  * feature shapes — is real and tested. A production decoder implements
-  * [[MediaDecoder.decodeBatch]] with the actual codec; the batch-iterator
+  * Two decoders behind one [[MediaDecoder]] contract:
+  *  - [[ImageIoDecoder]] — a REAL image decoder on the JDK's
+  *    `javax.imageio` (PNG/BMP/JPEG/GIF, zero external deps): dimensions +
+  *    a normalized grayscale histogram feature vector. Spec-gated on real
+  *    in-test-generated images (no DuckDB oracle can decode PNG).
+  *  - [[StubImageDecoder]] — a deterministic stand-in kept for the driver
+  *    fixtures, whose `binary` payloads are synthesized text bytes (not
+  *    images) and whose features must be DuckDB-reproducible for the
+  *    `multimodal_features` oracle.
+  * Everything Spark-side — schema, batched mapPartitions signature,
+  * partitioning, feature shapes — is shared by both; the batch-iterator
   * shape matches what a vectorized (Arrow/pandas-style) UDF would see.
+  * Audio/video codecs are not in the JDK and stay behind the same trait.
   */
 object Multimodal {
 
@@ -46,6 +53,45 @@ object Multimodal {
       while (i < len) { feats(java.lang.Math.floorMod(m.bytes(i), nFeatures)) += 1f; i += 1 }
       if (len > 0) { var j = 0; while (j < nFeatures) { feats(j) /= len; j += 1 } }
       MediaFeatures(m.media_id, len.toLong, width, height, feats)
+    }
+  }
+
+  /** REAL image decoder on the JDK's ImageIO (PNG/BMP/JPEG/GIF — no
+    * external codecs needed). Features: normalized grayscale histogram
+    * over `nFeatures` buckets (integer Rec.601 luma, deterministic for the
+    * lossless formats). Undecodable payloads yield a defined sentinel row
+    * (width = height = −1, zero features) so a pipeline can filter rather
+    * than crash on a corrupt blob — the contract a 100 TB media sweep
+    * needs. Per-pixel getRGB is fine for feature extraction; a production
+    * resize/transcode path would go straight at the raster. */
+  final case class ImageIoDecoder(batchSize: Int = 64, nFeatures: Int = 32)
+      extends MediaDecoder {
+    def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeatures] = batch.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null)
+        MediaFeatures(m.media_id, m.bytes.length.toLong, -1, -1, new Array[Float](nFeatures))
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val feats = new Array[Float](nFeatures)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            val gray = (r * 299 + g * 587 + b * 114) / 1000
+            feats(gray * nFeatures / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var j = 0
+        while (j < nFeatures) { feats(j) /= n; j += 1 }
+        MediaFeatures(m.media_id, m.bytes.length.toLong, w, h, feats)
+      }
     }
   }
 

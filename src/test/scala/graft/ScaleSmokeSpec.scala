@@ -98,6 +98,34 @@ class ScaleSmokeSpec extends SparkSpec {
     sub.unpersist()
   }
 
+  test("IVFPQ holds at 100k vectors: build, pruned probe, reranked recall") {
+    val n = 100000L
+    val sub = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(xxhash64(concat(col("id"), lit("_"), d)), lit(2000001)) - 1000000)
+          / 1000000.0).cast("float")).as("embedding"))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_scale").resolve("idx").toString
+    val lists = 32
+    val t0 = System.nanoTime()
+    val rows = graft.index.IvfPqIndex.build(sub, dir, lists = lists)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    assert(rows === n)
+    info(f"IVFPQ build 100k×$lists lists: $buildSecs%.1f s")
+    val q = sub.filter(col("vec_id") === 12345L)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val t1 = System.nanoTime()
+    val got = graft.index.IvfPqIndex.probeRerank(spark, dir, sub, q, k = 10,
+      nprobe = 4, overfetch = 4).collect()
+    val probeSecs = (System.nanoTime() - t1) / 1e9
+    info(f"IVFPQ probe+rerank over 100k (nprobe 4/$lists): $probeSecs%.2f s")
+    assert(got.head.getLong(0) === 12345L && got.head.getDouble(1) < 1e-12,
+      "querying an indexed vector must find it first through its own list")
+    assert(buildSecs < 420.0 && probeSecs < 60.0)
+    sub.unpersist()
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

@@ -90,6 +90,11 @@ final class TopKBuffer(k: Int) {
     d1 > d2 || (d1 == d2 && id1 > id2)
 
   def offer(d: Double, id: Long): Unit = {
+    // NaN never enters the heap: `worse` is false for every NaN comparison,
+    // so a NaN that got in could never be evicted and would break the heap
+    // invariant (the window formulation this replaces sorted NaN last;
+    // cosine_distance yields NaN for a zero-norm vector)
+    if (java.lang.Double.isNaN(d)) return
     if (n < k) {
       ds(n) = d; ids(n) = id; n += 1
       siftUp(n - 1)

@@ -46,7 +46,16 @@ object IvfIndex {
             lists: Int = DefaultLists): (Long, Int) = timeIt("ivf_build") {
     val spark = embeddings.sparkSession
     val srcCols = embeddings.columns.toSeq
-    val feats = embeddings
+    // cosine is undefined for zero-norm vectors (Spark's cosine KMeans
+    // asserts on them): route them to list 0 unconditionally — cosine
+    // distance to anything is NaN, so NO list is more correct and probes
+    // rank them last either way; everything else flows through KMeans
+    val normSq = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val withNorm = embeddings.withColumn("_nsq", normSq)
+    val zeros = withNorm.filter(col("_nsq") === 0.0)
+      .select(srcCols.map(col): _*).withColumn("list_id", lit(0))
+    val feats = withNorm.filter(col("_nsq") > 0.0)
       .withColumn("fv", array_to_vector(col(vecCol).cast("array<double>")))
     val normed = new Normalizer().setInputCol("fv").setOutputCol("nfv").setP(2.0)
       .transform(feats)
@@ -56,11 +65,14 @@ object IvfIndex {
       .fit(normed)
     val assigned = model.transform(normed)
       .select((srcCols :+ "list_id").map(col): _*)
+      .unionByName(zeros)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       val arr = c.toArray
       val norm = math.sqrt(arr.map(x => x * x).sum)
-      (i, arr.map(x => (x / norm).toFloat))
+      // a zero centroid can only arise from a degenerate/empty cluster —
+      // keep it zero rather than writing NaNs into the sidecar
+      (i, if (norm == 0.0) arr.map(_.toFloat) else arr.map(x => (x / norm).toFloat))
     }
     spark.createDataFrame(centroids.toIndexedSeq).toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
@@ -132,7 +144,7 @@ object IvfIndex {
     import graft.functions.top_k_by_distance
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val probed = queries
-      .select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"),
         col("list_id").cast("long").as("list_id"),
@@ -142,12 +154,20 @@ object IvfIndex {
         top_k_by_distance(col("cdist"), col("list_id"), nprobe).as("top"))
       .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
       .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
-    // driver-side index-metadata action: |queries|×nprobe ints, deduped
-    val listIds = probed.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+    // ONE driver-side action computes the centroid ranking (|queries|×nprobe
+    // (qid, list_id) pairs — index metadata); the join side is then rebuilt
+    // from the collected pairs + the original queries frame, so the ranking
+    // stage is never evaluated a second time inside the broadcast join
+    import spark.implicits._
+    val pairs = probed.select(col("qid"), col("list_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val listIds = pairs.map(_._2).distinct.toIndexedSeq
+    val probeSide = pairs.toIndexedSeq.toDF("qid", "list_id")
+      .join(queries.select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).as("qv")), "qid")
     spark.read.parquet(s"$indexPath/lists")
       .filter(col("list_id").isin(listIds: _*)) // directory-level pruning
-      .join(broadcast(probed), Seq("list_id"))
+      .join(broadcast(probeSide), Seq("list_id"))
       .select(col("qid"), col("vec_id"),
         cosine_distance(col("embedding"), col("qv")).as("dist"))
       .groupBy("qid")

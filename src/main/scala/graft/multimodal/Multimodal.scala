@@ -69,7 +69,11 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeatures] = batch.map { m =>
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
-        catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: plugin readers throw unchecked
+        // exceptions (IllegalArgument/ArrayIndexOutOfBounds/…) on
+        // malformed-but-recognized payloads — those must become the
+        // sentinel row too, not a task failure
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null)
         MediaFeatures(m.media_id, m.bytes.length.toLong, -1, -1, new Array[Float](nFeatures))
       else {

@@ -75,13 +75,21 @@ object AnnIndexRegistry {
   def probedLists(spark: SparkSession, entry: Entry, q: Array[Float]): Seq[Int] = {
     val key = (entry.indexPath, fingerprint(spark, entry.indexPath), entry.nprobe,
       collection.immutable.ArraySeq.unsafeWrapArray(q.clone()))
-    probeMemo.computeIfAbsent(key, { _ =>
-      spark.read.parquet(s"${entry.indexPath}/centroids")
+    // NOT computeIfAbsent: the synchronizedMap lock must not be held while
+    // the centroid-ranking Spark job runs, or one slow probe serializes
+    // every other query's planning. A racing duplicate compute is benign
+    // (same deterministic value).
+    val cached = probeMemo.get(key)
+    if (cached != null) cached
+    else {
+      val v = spark.read.parquet(s"${entry.indexPath}/centroids")
         .select(col("list_id"), cosine_distance(col("centroid"), typedLit(q)).as("d"))
         .orderBy(col("d"), col("list_id"))
         .limit(entry.nprobe)
         .collect().map(_.getInt(0)).toSeq
-    })
+      probeMemo.put(key, v)
+      v
+    }
   }
 }
 

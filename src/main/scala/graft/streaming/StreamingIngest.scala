@@ -128,30 +128,30 @@ object StreamingIngest {
       state.remove()
       Iterator.single(ClosedSession(userId, s.start, s.n, s.last - s.start))
     } else {
-      val evs = it.toArray.sortBy(e => (e._4, e._2)) // (sec, event_id)
-      val out = scala.collection.mutable.ListBuffer.empty[ClosedSession]
-      var cur = state.getOption
-      evs.foreach { e =>
-        val sec = e._4
-        cur = cur match {
-          case None => Some(OpenSession(sec, sec, 1))
-          case Some(s) if sec - s.last > gap =>
-            out += ClosedSession(userId, s.start, s.n, s.last - s.start)
-            Some(OpenSession(sec, sec, 1))
-          case Some(s) if s.start - sec > gap =>
-            // straggler older than the open session by more than the gap:
-            // it forms its own already-complete singleton session
-            out += ClosedSession(userId, sec, 1L, 0L)
-            Some(s)
-          case Some(s) =>
-            Some(OpenSession(math.min(s.start, sec), math.max(s.last, sec), s.n + 1))
+      // Interval-merge the open state session with the batch's events in
+      // one sorted walk — the same gap rule the batch form applies, so
+      // out-of-order stragglers group among THEMSELVES too (two late
+      // events within one gap form one session, not two singletons).
+      val items: Seq[OpenSession] =
+        (state.getOption.toSeq ++
+          it.map(e => OpenSession(e._4, e._4, 1))).sortBy(s => (s.start, s.last))
+      var merged = List.empty[OpenSession] // head = latest by start
+      items.foreach { s =>
+        merged = merged match {
+          case h :: t if s.start - h.last <= gap =>
+            OpenSession(h.start, math.max(h.last, s.last), h.n + s.n) :: t
+          case acc => s :: acc
         }
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp((s.last + gap + 1) * 1000L)
-      }
-      out.iterator
+      val open = merged.head
+      val closed = merged.tail.reverse
+      state.update(open)
+      // the timeout must sit strictly past the watermark — a session whose
+      // last+gap is already behind it (late data) times out "immediately"
+      // at watermark+1 instead of crashing the query
+      state.setTimeoutTimestamp(
+        math.max((open.last + gap + 1) * 1000L, state.getCurrentWatermarkMs() + 1))
+      closed.iterator.map(s => ClosedSession(userId, s.start, s.n, s.last - s.start))
     }
   }
 

@@ -68,9 +68,7 @@ class ScaleSmokeSpec extends SparkSpec {
     val n = 200000L
     val sub = spark.range(n).select(
       col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)), d =>
-        ((pmod(xxhash64(concat(col("id"), lit("_"), d)), lit(2000001)) - 1000000)
-          / 1000000.0).cast("float")).as("embedding"))
+      hashNoise(col("id"), 64).as("embedding"))
       .persist()
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw_scale").resolve("idx").toString
     val t0 = System.nanoTime()
@@ -102,9 +100,7 @@ class ScaleSmokeSpec extends SparkSpec {
     val n = 100000L
     val sub = spark.range(n).select(
       col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)), d =>
-        ((pmod(xxhash64(concat(col("id"), lit("_"), d)), lit(2000001)) - 1000000)
-          / 1000000.0).cast("float")).as("embedding"))
+      hashNoise(col("id"), 64).as("embedding"))
       .persist()
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_scale").resolve("idx").toString
     val lists = 32

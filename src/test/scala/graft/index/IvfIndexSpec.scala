@@ -70,18 +70,7 @@ class IvfIndexSpec extends SparkSpec {
     val df = IvfIndex.probeMany(spark, indexPath, queries, "qid", "embedding",
       k = 5, nprobe = nprobe)
     df.collect() // finalize AQE so scans carry their real partition listings
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scans(q.plan)
-      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
-        b.children.flatMap(scans)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val listScan = scans(df.queryExecution.executedPlan).find(
+    val listScan = fileScans(df.queryExecution.executedPlan).find(
       _.relation.location.rootPaths.exists(_.toString.contains("lists")))
       .getOrElse(fail(s"no lists scan in plan:\n${df.queryExecution.executedPlan}"))
     assert(listScan.partitionFilters.nonEmpty,

@@ -31,15 +31,7 @@ class IvfPqIndexSpec extends SparkSpec {
     val nprobe = 2
     val df = IvfPqIndex.probe(spark, indexPath, queryVec, k = 10, nprobe = nprobe)
     df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val codeScan = scans(df.queryExecution.executedPlan).find(
+    val codeScan = fileScans(df.queryExecution.executedPlan).find(
       _.relation.location.rootPaths.exists(_.toString.contains("codes")))
       .getOrElse(fail(s"no codes scan in plan:\n${df.queryExecution.executedPlan}"))
     assert(codeScan.partitionFilters.nonEmpty, "probe must place a partition filter")
@@ -77,11 +69,7 @@ class IvfPqIndexSpec extends SparkSpec {
     val raw = spark.range(n).select(
       col("id").as("vec_id"),
       hash_embed(concat(lit("cl"), (col("id") % nClusters).cast("string")), 64).as("base"),
-      // CONTINUOUS per-(id,dim) noise — hash_embed noise collapses to few
-      // discrete patterns, which both quantizers encode exactly
-      transform(sequence(lit(0), lit(63)), d =>
-        ((pmod(xxhash64(concat(col("id"), lit("_"), d)), lit(2000001)) - 1000000)
-          / 1000000.0).cast("float")).as("noise"))
+      hashNoise(col("id"), 64).as("noise"))
     val emb = raw.select(col("vec_id"),
       zip_with(col("base"), col("noise"), (b, nz) => (b + nz * lit(0.05f)).cast("float"))
         .as("embedding"))

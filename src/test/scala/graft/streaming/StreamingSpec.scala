@@ -128,6 +128,40 @@ class StreamingSpec extends SparkSpec {
       s"missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("in-watermark stragglers group among themselves (one session, not singletons)") {
+    import spark.implicits._
+    val srcDir = tmp("sess_late_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val out = tmp("sess_late_out")
+    val nsPerSec = 1000000000L
+    val base = 1754000000L // fixed epoch seconds; ns-long ts like the fixture
+    def rows(evs: Seq[(Long, Long, Long)]) = // (event_id, sec, user_id)
+      evs.toDF("event_id", "sec", "user_id")
+        .select(col("event_id"), (col("sec") * nsPerSec).as("ts"), col("user_id"),
+          lit("e").as("event_type"), lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+    // phase 1: one event opens a session at `base`
+    rows(Seq((1L, base, 7L))).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q1 = StreamingIngest.startSessionize(spark, srcDir, schema, out)
+    q1.awaitTermination(120000)
+    // phase 2: two stragglers 45 min BEFORE the open session (inside the
+    // 1 h watermark, beyond the 30 min gap) + a far-future closer event.
+    // The two stragglers are 10 s apart -> ONE two-event session.
+    rows(Seq(
+      (2L, base - 2700, 7L),
+      (3L, base - 2690, 7L),
+      (4L, base + 864000, 7L))).write.mode("append").parquet(srcDir)
+    val q2 = StreamingIngest.startSessionize(spark, srcDir, schema, out)
+    q2.awaitTermination(120000)
+    val closed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(closed === Set(
+      (base - 2700, 2L, 10L), // the straggler pair, merged
+      (base, 1L, 0L)),        // the original open session, closed by the far-future event
+      s"got $closed")
+  }
+
   test("streaming hourly rollup matches the batch aggregation (parity)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source requires a DIRECTORY of files

@@ -201,6 +201,85 @@ object IvfPqIndex {
       .limit(k)
   }
 
+  /** Batch probe: many queries in one distributed pass — the IVFPQ analog
+    * of [[IvfIndex.probeMany]] / [[NswIndex.searchMany]]. Per query the
+    * driver ranks coarse centroids and builds the per-probed-list LUTs
+    * (|queries|·nprobe·m·codes doubles — the broadcast is serving-batch
+    * metadata, not data); the scan reads the UNION of all probed list
+    * partitions once, scores each row for every query that probed its
+    * list, and merges per query with the bounded-heap top-k aggregate. */
+  def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
+                qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$indexPath/coarse")
+      .collect().map(r => r.getInt(0) -> r.getAs[collection.Seq[Double]](1).toArray).toMap
+    val cbRows = spark.read.parquet(s"$indexPath/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getAs[collection.Seq[Double]](2).toArray))
+    val m = cbRows.iterator.map(_._1).max + 1
+    val nCodes = cbRows.iterator.map(_._2).max + 1
+    val subDim = cbRows.head._3.length
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // per (list, qid): (constDot, norm LUT); dot LUT is per qid only
+    val perQuery: Array[(Long, Array[Double], Seq[Int], Array[Array[Double]])] =
+      qs.map { case (qid, q) =>
+        var n = 0.0; q.foreach(x => n += x.toDouble * x)
+        val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+        val qu = q.map(_.toDouble * inv)
+        val probed = coarse.toSeq.map { case (l, c) =>
+          var d = 0.0; var j = 0
+          while (j < qu.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
+          (d, l)
+        }.sorted.take(nprobe).map(_._2)
+        val dotLut = Array.ofDim[Double](m, nCodes)
+        cbRows.foreach { case (s, code, cent) =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { d += qu(s * subDim + j) * cent(j); j += 1 }
+          dotLut(s)(code) = d
+        }
+        (qid, qu, probed, dotLut)
+      }
+    // list → queries probing it, with (constDot, normLut) per pair
+    val byList: Map[Int, Seq[(Long, Double, Array[Array[Double]], Array[Array[Double]])]] =
+      perQuery.flatMap { case (qid, qu, probed, dotLut) =>
+        probed.map { l =>
+          val c = coarse(l)
+          var cd = 0.0; var j = 0
+          while (j < qu.length) { cd += qu(j) * c(j); j += 1 }
+          val nrmLut = Array.ofDim[Double](m, nCodes)
+          cbRows.foreach { case (s, code, cent) =>
+            var nn = 0.0; var jj = 0
+            while (jj < subDim) { val t = c(s * subDim + jj) + cent(jj); nn += t * t; jj += 1 }
+            nrmLut(s)(code) = nn
+          }
+          l -> (qid, cd, dotLut, nrmLut)
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val listIds = byList.keys.toIndexedSeq
+    val bc = spark.sparkContext.broadcast(byList)
+    spark.read.parquet(s"$indexPath/codes")
+      .filter(col("list_id").isin(listIds: _*)) // directory-level pruning
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"), col("codes"))
+      .as[ListCode]
+      .flatMap { e =>
+        bc.value(e.list_id).iterator.map { case (qid, cd, dotLut, nrmLut) =>
+          var dot = cd; var nn = 0.0; var s = 0
+          while (s < e.codes.length) {
+            val c = e.codes(s) & 0xff
+            dot += dotLut(s)(c); nn += nrmLut(s)(c); s += 1
+          }
+          (qid, e.vec_id, if (nn == 0.0) 1.0 else 1.0 - dot / math.sqrt(nn))
+        }
+      }
+      .toDF("qid", "vec_id", "dist")
+      .groupBy("qid")
+      .agg(graft.functions.top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
+  }
+
   /** Probe + exact re-rank over the overfetched candidates (the production
     * chain: prune partitions → ADC over codes → full-precision re-rank of
     * overfetch·k rows). */

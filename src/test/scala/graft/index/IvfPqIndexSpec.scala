@@ -60,6 +60,24 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(reranked.head === 0L)
   }
 
+  test("probeMany matches single-query probe per qid") {
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+    val batch = IvfPqIndex.probeMany(spark, indexPath, queries, "qid", "embedding",
+        k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    (0L until 3L).foreach { qid =>
+      val qv = graft.Tables.embeddings(spark, Sf0001)
+        .filter(col("vec_id") === qid)
+        .head().getAs[collection.Seq[Float]]("embedding").toArray
+      val single = IvfPqIndex.probe(spark, indexPath, qv, 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(fromBatch === single, s"qid $qid diverged")
+    }
+  }
+
   test("residual coding beats raw-vector PQ at equal budget on a clustered corpus") {
     // residuals only concentrate when the coarse quantizer has structure to
     // grab — so the IVFPQ advantage is pinned on a CLUSTERED fixture (the

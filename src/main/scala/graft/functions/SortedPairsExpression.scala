@@ -63,3 +63,65 @@ object SortedPairs {
     new GenericArrayData(out)
   }
 }
+
+/** `sorted_pair_keys(ids)`: the same (a < b) pair expansion as
+  * [[SortedPairs]], but each pair packed into ONE bigint `(a << 32) | b` —
+  * so the downstream per-pair count groups on an 8-byte key instead of a
+  * 16-byte struct. That groupBy is the measured wall of the Jaccard dedup
+  * pipeline (1.1M near-unique groups at sf0.1: two >1M-entry hash-table
+  * builds); halving the key width cuts both. Unpack with
+  * `shiftright(pk, 32)` / `pk & 4294967295`.
+  *
+  * Requires every id ∈ [0, 2³¹) and THROWS otherwise — the packed path is
+  * an optimization for int-range doc ids; corpora with wider id spaces use
+  * [[SortedPairs]].
+  */
+case class SortedPairKeys(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "sorted_pair_keys"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${o.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedPairKeys.build(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SortedPairKeys.build($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedPairKeys {
+  /** Shared by interpreted eval and generated code. */
+  def build(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val sorted = ids.toLongArray()
+    java.util.Arrays.sort(sorted)
+    if (n > 0 && (sorted(0) < 0L || sorted(n - 1) >= (1L << 31))) {
+      throw new IllegalArgumentException(
+        s"sorted_pair_keys requires ids in [0, 2^31); got " +
+          s"[${sorted(0)}, ${sorted(n - 1)}] — use sorted_pairs for wider id spaces")
+    }
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = (sorted(i) << 32) | sorted(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** SQ8 scalar quantization, codegen'd single pass: array<float> →
+  * struct(scale float, codes array<tinyint>) with value ≈ code·scale/127.
+  *
+  * Numerically identical to the composable HOF form
+  * `struct(array_max(transform(v, abs)), transform(v, x -> cast(round(x /
+  * scale * 127) as tinyint)))` — per element the double arithmetic is
+  * (double)x / (double)scale * 127.0 rounded HALF_UP (Spark's Round and
+  * DuckDB's round() both round half away from zero) — but in ONE loop with
+  * no interpreted lambda dispatch per element (transform/aggregate are
+  * CodegenFallback in Spark 4). An all-zero vector has scale 0 and emits
+  * zero codes ([[SqCosineDistance]] defines its distance as 1.0).
+  *
+  * DuckDB oracle twin: the `sq` CTE in the `sq_knn_topk` oracle
+  * (operators/SimilarityQueries.scala).
+  */
+case class SqQuantize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "sq_quantize"
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = SqQuantize.compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SqQuantize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+object SqQuantize {
+  /** Shared by interpreted eval and generated code. */
+  def compute(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var scale = 0.0f
+    var i = 0
+    while (i < n) {
+      // Math.max propagates NaN like array_max's NaN-greatest ordering
+      scale = Math.max(scale, Math.abs(v.getFloat(i)))
+      i += 1
+    }
+    val codes = new Array[Byte](n)
+    if (scale != 0.0f) {
+      val s = scale.toDouble
+      i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble / s * 127.0
+        // BigDecimal HALF_UP — bit-compatible with Spark's Round(double)
+        // and DuckDB's round(), incl. the ties floor(x+0.5) gets wrong
+        codes(i) = JBigDecimal.valueOf(x).setScale(0, RoundingMode.HALF_UP)
+          .doubleValue().toLong.toByte
+        i += 1
+      }
+    }
+    InternalRow(scale, new GenericArrayData(codes))
+  }
+}

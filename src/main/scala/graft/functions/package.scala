@@ -65,17 +65,12 @@ package object functions {
   def hash_embed(text: Column, dim: Int = 384): Column = col(HashEmbed(expr(text), dim))
 
   /** SQ8 quantization: array<float> → struct(scale, codes array<tinyint>),
-    * value ≈ code·scale/127. Build-time op (one-off per corpus write), so
-    * the composable HOF form is fine here; the DISTANCE is the codegen'd
-    * hot path ([[sq_cosine_distance]]). An all-zero vector has scale 0 —
-    * guarded to emit zero codes (x/0 would yield NaN, which ANSI-mode cast
-    * to tinyint rejects); [[SqCosineDistance]] defines its distance as 1.0. */
-  def sq_quantize(v: Column): Column = {
-    val scale = F.array_max(F.transform(v, x => F.abs(x))).cast(FloatType)
-    val codes = F.when(scale === 0f, F.transform(v, _ => F.lit(0).cast("tinyint")))
-      .otherwise(F.transform(v, x => F.round(x / scale * 127).cast("tinyint")))
-    F.struct(scale.as("scale"), codes.as("codes"))
-  }
+    * value ≈ code·scale/127, codegen'd in one pass ([[SqQuantize]] — the
+    * HOF form re-walked an interpreted lambda per element). An all-zero
+    * vector has scale 0 and emits zero codes (x/0 would yield NaN, which
+    * ANSI-mode cast to tinyint rejects); [[SqCosineDistance]] defines its
+    * distance as 1.0. */
+  def sq_quantize(v: Column): Column = col(SqQuantize(expr(v)))
 
   /** Cosine distance between SQ8 codes (+scale) and a float query vector. */
   def sq_cosine_distance(codes: Column, scale: Column, q: Column): Column =
@@ -84,14 +79,19 @@ package object functions {
   /** All (a < b) pairs of a bigint array — posting-list pair expansion. */
   def sorted_pairs(ids: Column): Column = col(SortedPairs(expr(ids)))
 
+  /** [[sorted_pairs]] packed as `(a << 32) | b` bigints (ids must fit
+    * [0, 2³¹)) — 8-byte group keys for the per-pair count. */
+  def sorted_pair_keys(ids: Column): Column = col(SortedPairKeys(expr(ids)))
+
   /** Deterministic 60-bit string hash both engines reproduce bit-for-bit:
     * the top 15 hex digits of md5, parsed as an unsigned integer (< 2⁶⁰, so
     * it fits a signed long in ANSI mode). DuckDB twin:
     * `CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)` — this is what
     * makes MinHash/SimHash signatures oracle-checkable, where xxhash64 has
-    * no DuckDB equivalent ([[graft.OracleSql.md5Long]]). */
-  def md5_long(s: Column): Column =
-    F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(org.apache.spark.sql.types.LongType)
+    * no DuckDB equivalent ([[graft.OracleSql.md5Long]]). Codegen'd digest →
+    * long directly ([[Md5Long]]); equality with the composed
+    * conv(substring(md5)) form is pinned in VectorPropertiesSpec. */
+  def md5_long(s: Column): Column = col(Md5Long(expr(s)))
 
   /** Single-pass MinHash signature aggregate (input: pmod'ed hash ∈ [0,P)). */
   def minhash_signature(h: Column, numPerms: Int, prime: Long): Column =

@@ -13,8 +13,10 @@ import graft.functions.TextFunctions._
   * Scale design (the part that matters at 100 TB):
   *  - exact dedup = hash aggregation on a fingerprint, one shuffle on the
   *    group key;
-  *  - n-gram Jaccard = inverted-index self-join on shingles (shuffle on
-  *    shingle, then on pair) — the exact-verification path. Hot shingles
+  *  - n-gram Jaccard = inverted-index posting lists over the 60-bit
+  *    md5-hashed shingle space (shuffle 8-byte longs, not shingle strings;
+  *    a corpus-wide collision merges two shingles with p ≈ n²/2⁶¹ —
+  *    negligible, and mirrored bit-for-bit by the oracle). Hot shingles
   *    are the skew risk; production caps document frequency per shingle
   *    (dropping a stop-shingle cannot create false pairs above threshold —
   *    it only reduces candidate generation for ubiquitous n-grams);
@@ -44,18 +46,35 @@ object Dedup {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
 
-  /** All candidate pairs sharing ≥1 shingle, with exact Jaccard.
-    * Inverted-index formulation: group the shingle relation ONCE into
-    * posting lists and expand pairs with the codegen'd sorted_pairs
-    * expression — half the shuffle volume of the equivalent self-join
-    * (which shuffles the shingle strings twice and joins). */
+  /** [[shingleRel]] with each shingle replaced by its 60-bit md5-derived
+    * hash ([[graft.functions.md5_long]]) — the Jaccard pipelines group and
+    * join on 8-byte longs instead of ~25-byte shingle strings (less shuffle
+    * volume, cheaper hash-agg keys; measured ~20% off the ngram family at
+    * sf0.1). Collisions would merge two shingles corpus-WIDE (p ≈ n²/2⁶¹ —
+    * negligible, and the oracle hashes identically so both engines see the
+    * same space bit-for-bit). */
+  private def hashedShingleRel(spark: SparkSession, sfDir: String): DataFrame =
+    shingleRel(spark, sfDir)
+      .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
+
+  /** Unpack `(a << 32) | b` pair keys from [[graft.functions.sorted_pair_keys]]. */
+  private def unpackPairCounts(packed: DataFrame): DataFrame =
+    packed.select(shiftright(col("pk"), 32).as("a"),
+      col("pk").bitwiseAND(lit(4294967295L)).as("b"), col("c"))
+
+  /** All candidate pairs sharing ≥1 shingle, with exact Jaccard over the
+    * hashed shingle space. Inverted-index formulation: group the hashed
+    * shingle relation ONCE into posting lists and expand pairs with the
+    * codegen'd sorted_pair_keys expression — half the shuffle volume of the
+    * equivalent self-join, and the per-pair count (the measured wall: 1.1M
+    * near-unique groups at sf0.1) groups on one packed 8-byte key. */
   private def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleRel(spark, sfDir)
+    val sh = hashedShingleRel(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val common = unpackPairCounts(
+      sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c")))
     common
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
@@ -96,15 +115,15 @@ object Dedup {
   def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE posting-list pass serves the df-cap, the per-doc sizes over the
     // capped space, and the pair expansion
-    val postings = shingleRel(spark, sfDir)
-      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
+    val postings = hashedShingleRel(spark, sfDir)
+      .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= MaxShingleDf)
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = postings
-      .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val common = unpackPairCounts(
+      postings
+        .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c")))
     common
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
@@ -190,9 +209,8 @@ object Dedup {
     * ([[graft.functions.MinhashSignature]]) — the naive form explodes every
     * shingle into 64 rows (64× shuffle amplification). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleRel(spark, sfDir)
-    val hashed = sh.select(col("doc_id"),
-      pmod(graft.functions.md5_long(col("shingle")), lit(MinhashPrime)).as("h"))
+    val sh = hashedShingleRel(spark, sfDir)
+    val hashed = sh.select(col("doc_id"), pmod(col("h"), lit(MinhashPrime)).as("h"))
     val sig = hashed.groupBy("doc_id")
       .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))
     val bands = sig
@@ -207,11 +225,12 @@ object Dedup {
       .distinct()
     // Verify ONLY candidates (the LSH point): per-pair shingle intersection
     // via two candidate-restricted joins — never the all-pairs self-join.
+    // Joins flow over the 8-byte hashed shingles, not the strings.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val commons = cand
       .join(sh.as("cx"), col("a") === col("cx.doc_id"))
       .join(sh.as("cy"),
-        col("b") === col("cy.doc_id") && col("cx.shingle") === col("cy.shingle"))
+        col("b") === col("cy.doc_id") && col("cx.h") === col("cy.h"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     commons
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
@@ -306,12 +325,13 @@ object Dedup {
     "dedup_minhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         |sh AS (
+         |sh0 AS (
          |  SELECT doc_id, unnest(list_distinct(
          |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
          |  )) AS shingle FROM tok),
+         |sh AS (SELECT doc_id, ${O.md5Long("shingle")} AS h FROM sh0),
          |hashed AS (
-         |  SELECT doc_id, ${O.md5Long("shingle")} % $MinhashPrime AS h FROM sh),
+         |  SELECT doc_id, h % $MinhashPrime AS h FROM sh),
          |perms AS (
          |  SELECT i, ((i * 2654435761) | 1) % $MinhashPrime AS pa, i * 40503 + 7 AS pb
          |  FROM generate_series(0, ${NumPerms - 1}) t(i)),
@@ -331,7 +351,7 @@ object Dedup {
          |  SELECT a, b, count(*) AS c
          |  FROM cand
          |  JOIN sh cx ON a = cx.doc_id
-         |  JOIN sh cy ON b = cy.doc_id AND cx.shingle = cy.shingle
+         |  JOIN sh cy ON b = cy.doc_id AND cx.h = cy.h
          |  GROUP BY 1, 2)
          |SELECT a, b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
          |FROM commons
@@ -371,10 +391,11 @@ object Dedup {
          |    SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
          |  WHERE rn = 1),
          |tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         |sh AS (
+         |sh0 AS (
          |  SELECT doc_id, unnest(list_distinct(
          |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
          |  )) AS shingle FROM tok),
+         |sh AS (SELECT doc_id, ${O.md5Long("shingle")} AS shingle FROM sh0),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
@@ -402,8 +423,9 @@ object Dedup {
          |  SELECT doc_id, unnest(list_distinct(
          |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
          |  )) AS shingle FROM tok),
-         |rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
-         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare ON sh0.shingle = rare.shingle),
+         |shh AS (SELECT doc_id, ${O.md5Long("shingle")} AS shingle FROM sh0),
+         |rare AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+         |sh AS (SELECT shh.doc_id, shh.shingle FROM shh JOIN rare ON shh.shingle = rare.shingle),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
@@ -418,10 +440,11 @@ object Dedup {
     "dedup_ngram" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         |sh AS (
+         |sh0 AS (
          |  SELECT doc_id, unnest(list_distinct(
          |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
          |  )) AS shingle FROM tok),
+         |sh AS (SELECT doc_id, ${O.md5Long("shingle")} AS shingle FROM sh0),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c

@@ -76,11 +76,16 @@ object SimilarityQueries {
     * the O(n²) query is pinned in SimilarityQueriesSpec. */
   def avgPairwiseSimFast(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val normSq = aggregate(col("embedding"), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    // ‖v‖² as inner_product(v,v): same sequential left-to-right double
+    // accumulation as the aggregate() HOF form, but codegen'd
+    val normSq = graft.functions.inner_product(col("embedding"), col("embedding"))
+    // norm is projected ONCE per row before the explode — inlining sqrt(normSq)
+    // into a transform() lambda would re-run the full norm pass per ELEMENT
+    // (d× the work, interpreted: measured 2.7 s vs 0.3 s at sf0.1)
     val sums = e
-      .select(posexplode(transform(col("embedding"),
-        x => x.cast("double") / sqrt(normSq))).as(Seq("dim", "ux")))
+      .select(col("embedding"), sqrt(normSq).as("nrm"))
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("nrm"))
+      .select(col("dim"), (col("x").cast("double") / col("nrm")).as("ux"))
       .groupBy("dim").agg(sum(col("ux")).as("sd"))
     val ss = sums.agg(sum(col("sd") * col("sd")).as("ss"))
     val n = e.agg(count(lit(1)).cast("double").as("n"))

@@ -29,6 +29,20 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+  /** events with `ts` as a MICROSECOND epoch long — for operators whose
+    * semantics compare timestamps between rows (as-of / range joins): long
+    * comparisons are exact and the DuckDB oracle mirrors them with
+    * `epoch_us(ts)` (µs is the finest granularity DuckDB 1.0 keeps when
+    * reading TIMESTAMP_NS parquet — it truncates, hence `div 1000` here).
+    * Same nanosAsLong session requirement. */
+  def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "eventsUs requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000L"))
+      .drop("ts")
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/lineitem.parquet")
   def orders(spark: SparkSession, sfDir: String): DataFrame =

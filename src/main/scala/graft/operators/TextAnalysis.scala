@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -101,11 +102,46 @@ object TextAnalysis {
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  val TfidfTopK = 3
+
+  /** TF-IDF top-[[TfidfTopK]] salient terms per document — the keyword/
+    * topic-extraction pass (dataset cards, cluster labeling). tf = raw
+    * in-doc count, idf = ln(N/df) over the corpus; ranked on the 6dp-rounded
+    * score with an alphabetical tie-break, so the selection is deterministic
+    * cross-engine (ln may differ in the last ulp between libm builds —
+    * ranking on the ROUNDED score absorbs it, same recipe as the avg-sim
+    * queries).
+    *
+    * Scale shape: tf is one hash-agg on (doc_id, token); df one hash-agg on
+    * token; the df join is a token equi-join (broadcastable while the vocab
+    * is small, hash otherwise); top-k per doc is a window partitioned by
+    * doc_id — groups are per-document (bounded by doc vocab), so no
+    * single-reducer funnel at any corpus size. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(df, "token").crossJoin(n)
+      .select(col("doc_id"), col("token"),
+        round(col("tf").cast("double") * log(col("n") / col("df").cast("double")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "rank", "token", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, d) => textStats(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
     "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
     "quality_filter" -> ((s, d) => qualityFilter(s, d)),
+    "tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
   )
 
   def oracles: Map[String, String] = {
@@ -149,6 +185,23 @@ object TextAnalysis {
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "tfidf_top_terms" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($tok) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |scored AS (
+           |  SELECT doc_id, token,
+           |    round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)), 6) AS tfidf
+           |  FROM tf JOIN df USING (token) CROSS JOIN n),
+           |ranked AS (
+           |  SELECT doc_id, token, tfidf,
+           |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT doc_id, rank, token, tfidf FROM ranked
+           |WHERE rank <= $TfidfTopK
+           |ORDER BY doc_id, rank""".stripMargin,
       "quality_filter" ->
         s"""WITH base AS (
            |  SELECT

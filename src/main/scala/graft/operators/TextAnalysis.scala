@@ -136,12 +136,59 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  // train/val/test cutoffs over 100 deterministic hash buckets
+  val ValBuckets = 10L   // buckets [0,10) → val
+  val TestBuckets = 10L  // buckets [10,20) → test; rest train
+  val SplitSalt = "split-v1"
+
+  /** Deterministic corpus split assignment — the held-out-set operator every
+    * training pipeline needs: hash each doc_id (salted, so re-splitting with
+    * a new salt is a one-line change) into 100 buckets and map fixed bucket
+    * ranges to train/val/test. Reported as per-(lang, split) counts.
+    * Hash-based splits are reproducible across runs, engines and shards —
+    * no RNG state — and the md5-derived hash makes the assignment
+    * bit-identical in the DuckDB oracle. Shuffle-free scale shape: one scan,
+    * partial agg into ≤ 3·|langs| groups. */
+  def corpusSplits(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(graft.functions.md5_long(
+      concat(col("doc_id").cast("string"), lit(":" + SplitSalt))), lit(100L))
+    val split = when(bucket < ValBuckets, "val")
+      .when(bucket < ValBuckets + TestBuckets, "test")
+      .otherwise("train")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), split.as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  val BigramTopK = 20
+
+  /** Corpus-wide top-[[BigramTopK]] token bigrams by DOCUMENT frequency —
+    * the collocation/boilerplate diagnostic (bigrams shared by many docs
+    * surface template text that pair-dedup thresholds miss). Distinct
+    * bigrams per doc via the codegen'd [[graft.functions.Shingles]] with
+    * n=2 (zip_with/transform HOFs are CodegenFallback), one hash agg, then
+    * a global top-k that compiles to TakeOrderedAndProject: the limit moves
+    * k rows per partition, not the bigram table. */
+  def bigramTop(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val bigrams2 = ColumnBridge.column(graft.functions.Shingles(
+      ColumnBridge.expression(tokens(col("text"))), 2))
+    Tables.documents(spark, sfDir)
+      .select(explode(bigrams2).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("bigram").asc)
+      .limit(BigramTopK)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, d) => textStats(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
     "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
     "quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
+    "corpus_splits" -> ((s, d) => corpusSplits(s, d)),
+    "bigram_top" -> ((s, d) => bigramTop(s, d)),
   )
 
   def oracles: Map[String, String] = {
@@ -185,6 +232,27 @@ object TextAnalysis {
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "corpus_splits" ->
+        s"""WITH b AS (
+           |  SELECT lang,
+           |    ${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$SplitSalt')")} % 100 AS bucket
+           |  FROM documents),
+           |s AS (
+           |  SELECT lang, CASE
+           |    WHEN bucket < $ValBuckets THEN 'val'
+           |    WHEN bucket < ${ValBuckets + TestBuckets} THEN 'test'
+           |    ELSE 'train' END AS split
+           |  FROM b)
+           |SELECT lang, split, count(*) AS n FROM s
+           |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+      "bigram_top" ->
+        s"""WITH tok AS (SELECT doc_id, $tok AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]
+           |  )) AS bigram FROM tok)
+           |SELECT bigram, count(*) AS n_docs FROM bg
+           |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT $BigramTopK""".stripMargin,
       "tfidf_top_terms" ->
         s"""WITH tok AS (
            |  SELECT doc_id, unnest($tok) AS token FROM documents),

@@ -198,6 +198,36 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming exact-dedup stage — the continuous form of
+    * `Dedup.dedupExact`'s fingerprint dedup, for the ingest path: each doc
+    * is keyed by the md5 of its whitespace-normalized lowercase text and
+    * `dropDuplicatesWithinWatermark` keeps only the first arrival per
+    * fingerprint. State is bounded: a fingerprint is held only until the
+    * watermark passes its event time (O(recent keys), not O(corpus)) — so
+    * duplicates spaced farther apart than `watermarkDelay` pass through,
+    * and the periodic BATCH dedup pass (`Dedup.dedupClean`) is the
+    * compaction that catches them. That split (streaming near-dup window +
+    * batch full-corpus pass) is the honest 100 TB shape: unbounded
+    * streaming state on corpus fingerprints cannot fit an executor.
+    * Deduped docs append to `resultPath` (file sink, exactly-once via
+    * checkpoint). */
+  def startDedupIngest(spark: SparkSession, srcDir: String, schema: StructType,
+                       resultPath: String,
+                       watermarkDelay: String = "10 minutes"): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+      .writeStream
+      .format("parquet")
+      .option("path", resultPath)
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming windowed rollup over events (watermark + event-time window)
     * into a memory sink — the stream form of StarSchemaQueries.eventsHourly;
     * batch/stream parity is asserted in StreamingSpec. */

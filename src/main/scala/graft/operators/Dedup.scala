@@ -306,7 +306,67 @@ object Dedup {
     cleaned.agg(count(lit(1)).as("n_clean"))
   }
 
+  /** Distributed connected components over an (a, b) pair relation by
+    * min-label propagation — the missing step between PAIR detection and
+    * corpus cleaning: near-duplication is transitive in practice (A≈B≈C),
+    * so production dedup keeps one representative per CLUSTER, not per
+    * pair. Each superstep joins labels to the undirected edge list, takes
+    * the min over (own label, neighbor labels), and stops at fixpoint;
+    * labels converge to the component-minimum id in ≤ diameter steps.
+    *
+    * Scale shape: one equi-join + one hash agg per superstep (the Pregel
+    * pattern on DataFrames); `localCheckpoint` every superstep truncates
+    * the exponentially-growing lineage. Superstep count is the GRAPH
+    * DIAMETER of the near-dup clusters — tiny for dedup graphs (clusters
+    * are dense clumps, not paths); the large-star/small-star variant
+    * bounds it at log n for adversarial chains. Throws if `maxIter`
+    * supersteps do not converge rather than returning wrong labels. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("y"), col("lab").as("ylab")), "y")
+        .groupBy(col("x").as("node")).agg(min(col("ylab")).as("nlab"))
+        .localCheckpoint()
+      // convergence test BEFORE building the next label set: the final
+      // superstep then costs one small join instead of a full materialize
+      converged = nbrMin.join(labels, "node")
+        .filter(col("nlab") < col("lab")).isEmpty
+      if (!converged) {
+        labels = labels
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .localCheckpoint()
+        iter += 1
+      }
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter supersteps")
+    labels
+  }
+
+  /** Semantic near-dup clusters (SemDeDup-style): connected components of
+    * the [[dedupEmbedding]] pair graph, one row per clustered doc with its
+    * cluster representative (component-min id) and cluster size. The
+    * cleaning rule "keep the representative" then drops n−1 docs per
+    * cluster — transitive, unlike per-pair greedy drops. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupEmbedding(spark, sfDir).select("a", "b")
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("node").as("vec_id"), col("lab").as("cluster_rep"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_clean" -> ((s, d) => dedupClean(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => dedupNgram(s, d)),
@@ -322,6 +382,22 @@ object Dedup {
     * ([[graft.OracleSql.md5Long]]), same permutation constants, same
     * band/chunk layout, same verification arithmetic. */
   def oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT e1.vec_id AS a, e2.vec_id AS b
+         |  FROM embeddings e1, embeddings e2
+         |  WHERE e1.vec_id < e2.vec_id
+         |    AND ${O.cosSim("e1.embedding", "e2.embedding")} >= $EmbeddingThreshold),
+         |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+         |r(x, y) AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x),
+         |rep AS (SELECT x AS vec_id, least(min(y), x) AS cluster_rep FROM r GROUP BY x),
+         |sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT vec_id, rep.cluster_rep, sizes.cluster_size
+         |FROM rep JOIN sizes ON rep.cluster_rep = sizes.cluster_rep
+         |ORDER BY vec_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),

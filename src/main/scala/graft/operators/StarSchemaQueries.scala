@@ -184,7 +184,59 @@ object StarSchemaQueries {
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
 
+  /** ROLLUP pricing summary — hierarchical subtotals (flag, flag+status,
+    * grand total) in ONE pass: Spark expands grouping sets inside the same
+    * partial+final hash aggregate, so the shuffle carries Σ|grouping-set
+    * groups| rows, not one job per level. Rollup NULL markers are projected
+    * to 'ALL' (fact columns are non-null here) so both engines emit
+    * identical label rows; sums are decimal-exact like q1. */
+  def lineitemRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        revenue.as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("sum_disc_price"), col("count_order"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Daily × event-type PIVOT of event counts — the wide-format activity
+    * matrix (dashboards, feature tables). Explicit pivot values keep the
+    * plan static (no driver-side distinct scan) and the whole pivot is one
+    * partial+final aggregate over |days| groups. */
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day").pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotEventTypes)
+      .orderBy("day")
+
+  /** Exact per-type value quantiles (p50/p90/p99) — the latency/value
+    * distribution summary. Spark's exact `percentile` sorts within each
+    * group: per-group memory is the scale bound, right for bounded groups
+    * (5 types); unbounded cardinalities switch to approx_percentile
+    * (t-digest) at the cost of the oracle. Both engines interpolate at
+    * index p·(n−1); results rounded 6dp to absorb last-ulp interpolation
+    * differences. */
+  def eventsValueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("q"))
+      .select(col("event_type"),
+        round(col("q").getItem(0), 6).as("p50"),
+        round(col("q").getItem(1), 6).as("p90"),
+        round(col("q").getItem(2), 6).as("p99"))
+      .orderBy("event_type")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
+    "events_pivot" -> ((s, d) => eventsPivot(s, d)),
+    "events_value_quantiles" -> ((s, d) => eventsValueQuantiles(s, d)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q3_top_orders" -> ((s, d) => q3TopOrders(s, d)),
     "q5_nation_revenue" -> ((s, d) => q5NationRevenue(s, d)),
@@ -199,6 +251,26 @@ object StarSchemaQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "lineitem_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  $revenueSql AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "events_pivot" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |${PivotEventTypes.map(t =>
+             s"  COUNT(*) FILTER (event_type = '$t') AS \"$t\"").mkString(",\n")}
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "events_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

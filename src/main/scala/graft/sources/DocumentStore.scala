@@ -95,15 +95,16 @@ object DocumentStore {
     spark.read.parquet(config.tablePath)
 
   /** Source-format flexibility beyond the reference's parquet/pandas inputs:
-    * load a document corpus from parquet, json (lines), or csv (header) —
-    * the same validated frame feeds any sink above. */
+    * load a document corpus from parquet, orc, json (lines), or csv
+    * (header) — the same validated frame feeds any sink above. */
   def readCorpus(path: String, format: String = "parquet")
                 (implicit spark: SparkSession): DataFrame = format match {
     case "parquet" => spark.read.parquet(path)
+    case "orc" => spark.read.orc(path)
     case "json" => spark.read.json(path)
     case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     case other => throw new IllegalArgumentException(
-      s"unsupported corpus format: $other (parquet|json|csv)")
+      s"unsupported corpus format: $other (parquet|orc|json|csv)")
   }
 
   /** `save_to_parquet` local analog (generate_embeddings.py:142-146). */

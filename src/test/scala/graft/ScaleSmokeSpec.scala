@@ -122,6 +122,58 @@ class ScaleSmokeSpec extends SparkSpec {
     sub.unpersist()
   }
 
+  test("as-of join holds at 1M events: one shuffle, no join node") {
+    // 1M events over 10k users: each user's timeline ~100 rows; the as-of
+    // union+window shuffles ONCE on user_id regardless of row count
+    val n = 1000000L
+    val ev = spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(col("id") * 2654435761L, lit(10000L)).as("user_id"),
+      (col("id") * 1000L).as("ts_us"),
+      pmod(col("id"), lit(5)).as("kind"),
+      (col("id") % 97L).cast("double").as("value"))
+    val left = ev.filter(col("kind") < 4).select("event_id", "user_id", "ts_us")
+    val right = ev.filter(col("kind") === 4)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    val joined = graft.operators.TemporalJoins.asOfJoin(
+      left, right, "user_id", "ts_us", Seq("value"), "event_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must stay join-free:\n$plan")
+    val t0 = System.nanoTime()
+    val cnt = joined.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cnt === left.count())
+    info(f"1M-event as-of join: $secs%.2f s")
+    assert(secs < 120.0)
+  }
+
+  test("banded range join holds at 1M events with an equi-join plan") {
+    val n = 1000000L
+    val W = 1000000L // 1s window over a dense synthetic timeline
+    val ev = spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(col("id") * 2654435761L, lit(10000L)).as("user_id"),
+      (col("id") * 37L).as("ts_us"))
+    val l = ev.filter(col("event_id") % 100 === 0)
+      .withColumn("band", explode(array(
+        expr(s"ts_us div ${W}L"), expr(s"ts_us div ${W}L") + 1L)))
+    val r = ev.select(col("user_id").as("ru"), col("ts_us").as("rt"),
+      expr(s"ts_us div ${W}L").as("band"))
+    val joined = l.join(r,
+        l("user_id") === r("ru") && l("band") === r("band") &&
+          col("rt") > col("ts_us") && col("rt") <= col("ts_us") + W, "left")
+      .groupBy("event_id").agg(count(col("rt")).as("n_follow"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+    val t0 = System.nanoTime()
+    val cnt = joined.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cnt === 10000L)
+    info(f"1M-event banded range join: $secs%.2f s")
+    assert(secs < 120.0)
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

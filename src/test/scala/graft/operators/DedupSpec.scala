@@ -129,4 +129,36 @@ class DedupSpec extends SparkSpec {
     assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq, "must be deterministic")
     assert(r1.forall(_.getLong(2) <= Dedup.SimhashMaxHamming))
   }
+
+  test("connectedComponents: multi-cluster graph converges to component minima") {
+    import spark.implicits._
+    // components: {1,2,3,4} (path), {10,11} (edge), {20,21,22} (triangle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: a long chain still converges (diameter supersteps)") {
+    import spark.implicits._
+    // 0-1-2-...-12: diameter 12, worst case for min propagation
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs, maxIter = 30)
+      .as[(Long, Long)].collect()
+    assert(labels.forall(_._2 === 0L) && labels.length === 13)
+  }
+
+  test("dedup_clusters: reps are cluster minima; sizes count members") {
+    val out = Dedup.dedupClusters(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    val byRep = out.groupBy(_.getLong(1))
+    byRep.foreach { case (rep, rows) =>
+      assert(rows.map(_.getLong(0)).min === rep) // rep is the min member id
+      assert(rows.forall(_.getLong(2) === rows.length)) // size consistent
+    }
+  }
 }

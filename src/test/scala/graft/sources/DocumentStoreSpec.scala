@@ -63,15 +63,18 @@ class DocumentStoreSpec extends SparkSpec {
     }
   }
 
-  test("readCorpus loads json and csv corpora interchangeably with parquet") {
+  test("readCorpus loads orc, json and csv corpora interchangeably with parquet") {
     val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text", "lang")
-    val j = tmp("jsonsrc"); val c = tmp("csvsrc")
+    val j = tmp("jsonsrc"); val c = tmp("csvsrc"); val o = tmp("orcsrc")
     docs.write.json(j)
     docs.write.option("header", "true").csv(c)
+    docs.write.orc(o)
     val fromJson = DocumentStore.readCorpus(j, "json")
     val fromCsv = DocumentStore.readCorpus(c, "csv")
-    assert(fromJson.count() === 500L && fromCsv.count() === 500L)
+    val fromOrc = DocumentStore.readCorpus(o, "orc")
+    assert(fromJson.count() === 500L && fromCsv.count() === 500L && fromOrc.count() === 500L)
     assert(fromJson.columns.toSet === Set("doc_id", "text", "lang"))
+    assert(fromOrc.columns.toSet === Set("doc_id", "text", "lang"))
     // same embed pipeline runs over any source format
     val embedded = graft.embed.HashingSentenceEmbedder(16).embedFrame(fromJson)
     assert(embedded.select(org.apache.spark.sql.functions.size(

@@ -50,8 +50,7 @@ object IvfIndex {
     // asserts on them): route them to list 0 unconditionally — cosine
     // distance to anything is NaN, so NO list is more correct and probes
     // rank them last either way; everything else flows through KMeans
-    val normSq = aggregate(col(vecCol), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val normSq = graft.functions.inner_product(col(vecCol), col(vecCol))
     val withNorm = embeddings.withColumn("_nsq", normSq)
     val zeros = withNorm.filter(col("_nsq") === 0.0)
       .select(srcCols.map(col): _*).withColumn("list_id", lit(0))

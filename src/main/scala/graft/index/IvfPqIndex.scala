@@ -48,10 +48,14 @@ object IvfPqIndex {
       val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
       val subDim = dim / m
-      val normSq = aggregate(col(vecCol), lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))
-      val unit = embeddings.select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), x => x.cast("double") / sqrt(normSq)).as("u"))
+      // norm projected per ROW (inlining the norm into the transform lambda
+      // would re-run it per element — O(d²); same fix as PqIndex.build)
+      val normSq = graft.functions.inner_product(col(vecCol), col(vecCol))
+      val unit = embeddings
+        .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("_v"),
+          sqrt(normSq).as("_nrm"))
+        .select(col("vec_id"),
+          transform(col("_v"), x => x.cast("double") / col("_nrm")).as("u"))
         .persist()
       // coarse quantizer: Euclidean KMeans on the unit sphere (residuals
       // live in L2 space, so assignment must be L2-consistent)

@@ -49,24 +49,100 @@ object PqIndex {
     v.map(_.toDouble * inv)
   }
 
+  /** Deterministic random orthogonal matrix (seeded Gaussian + modified
+    * Gram-Schmidt) — the OPQ-style rotation: subspace quantization wastes
+    * codebooks when the corpus' energy concentrates in a few dimensions
+    * (one subspace carries all variance, the rest encode noise); rotating
+    * by a random orthonormal basis spreads variance evenly across
+    * subspaces, the standard cheap stand-in for learned OPQ (and exact for
+    * cosine: an orthogonal map preserves dot products and norms, so
+    * distances in rotated space EQUAL distances in the original). */
+  private[index] def rotationMatrix(dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val r = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) { // subtract projections onto previous rows
+        var d = 0.0; var k0 = 0
+        while (k0 < dim) { d += r(i)(k0) * r(j)(k0); k0 += 1 }
+        var k1 = 0
+        while (k1 < dim) { r(i)(k1) -= d * r(j)(k1); k1 += 1 }
+        j += 1
+      }
+      var n = 0.0; var k2 = 0
+      while (k2 < dim) { n += r(i)(k2) * r(i)(k2); k2 += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      var k3 = 0
+      while (k3 < dim) { r(i)(k3) *= inv; k3 += 1 }
+      i += 1
+    }
+    r
+  }
+
+  private[index] def applyRotation(rot: Array[Array[Double]], u: Array[Double]): Array[Double] = {
+    val out = new Array[Double](u.length)
+    var i = 0
+    while (i < rot.length) {
+      val row = rot(i); var d = 0.0; var j = 0
+      while (j < row.length) { d += row(j) * u(j); j += 1 }
+      out(i) = d
+      i += 1
+    }
+    out
+  }
+
+  /** Load the rotation sidecar if this index was built with `rotate=true`. */
+  private def loadRotation(spark: SparkSession, indexPath: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/rotation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .orderBy("i").collect()
+      .map(_.getAs[collection.Seq[Double]]("row").toArray))
+  }
+
   /** Train per-subspace codebooks and encode the corpus at `indexPath`:
     * `codebook` (sub, code, centroid array<double>) + `codes`
     * (vec_id, codes array<byte>). Returns encoded row count. */
   def build(embeddings: DataFrame, indexPath: String,
             m: Int = DefaultM, codes: Int = DefaultCodes,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            rotate: Boolean = false): Long =
     timeIt("pq_build") {
       val spark = embeddings.sparkSession
       import spark.implicits._
       val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
       val subDim = dim / m
-      // unit-normalize once (cosine ≡ dot on the sphere), then slice
-      val normSq = aggregate(col(vecCol), lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))
-      val unit = embeddings.select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), x => x.cast("double") / sqrt(normSq)).as("u"))
+      // unit-normalize once (cosine ≡ dot on the sphere), then slice.
+      // The norm is projected per ROW before the transform — inlining the
+      // aggregate() HOF into the lambda re-runs it per element (O(d²))
+      val normSq = graft.functions.inner_product(col(vecCol), col(vecCol))
+      val unit0 = embeddings
+        .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("_v"),
+          sqrt(normSq).as("_nrm"))
+        .select(col("vec_id"),
+          transform(col("_v"), x => x.cast("double") / col("_nrm")).as("u"))
         .persist()
+      // OPQ-style rotation (see rotationMatrix): codebooks train and codes
+      // encode in the ROTATED space; queries rotate at search time. A
+      // stale sidecar from a previous in-place build must not survive a
+      // non-rotated rebuild.
+      val rotPath = new org.apache.hadoop.fs.Path(s"$indexPath/rotation")
+      val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rotPath)) fs.delete(rotPath, true)
+      val unit = if (!rotate) unit0 else {
+        val rot = rotationMatrix(dim, Seed)
+        rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "row")
+          .coalesce(1).write.mode("overwrite").parquet(rotPath.toString)
+        val bcR = spark.sparkContext.broadcast(rot)
+        unit0.as[(Long, Array[Double])]
+          .map { case (id, u) => (id, applyRotation(bcR.value, u)) }
+          .toDF("vec_id", "u")
+          .persist()
+      }
       val codebook = (0 until m).flatMap { s =>
         val sliced = unit.select(
           array_to_vector(slice(col("u"), s * subDim + 1, subDim)).as("fv"))
@@ -106,7 +182,7 @@ object PqIndex {
         }
         .toDF()
         .write.mode("overwrite").parquet(s"$indexPath/codes")
-      unit.unpersist()
+      unit.unpersist(); unit0.unpersist()
       spark.read.parquet(s"$indexPath/codes").count()
     }
 
@@ -123,7 +199,10 @@ object PqIndex {
     val m = cbRows.iterator.map(_._1).max + 1
     val codes = cbRows.iterator.map(_._2).max + 1
     val subDim = cbRows.head._3.length
-    val qu = l2normalize(q)
+    val qu0 = l2normalize(q)
+    // rotated index → rotate the query into the same space (orthogonal, so
+    // cosine distances are unchanged)
+    val qu = loadRotation(spark, indexPath).map(applyRotation(_, qu0)).getOrElse(qu0)
     require(qu.length == m * subDim, s"query dim ${qu.length} != ${m * subDim}")
     val dotLut = Array.ofDim[Double](m, codes)
     val nrmLut = Array.ofDim[Double](m, codes)

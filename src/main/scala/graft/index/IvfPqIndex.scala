@@ -41,7 +41,8 @@ object IvfPqIndex {
     * `codes` (vec_id, codes) Hive-partitioned by list_id. */
   def build(embeddings: DataFrame, indexPath: String,
             lists: Int, m: Int = PqIndex.DefaultM, codes: Int = PqIndex.DefaultCodes,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            rotate: Boolean = false): Long =
     timeIt("ivfpq_build") {
       val spark = embeddings.sparkSession
       import spark.implicits._
@@ -57,19 +58,37 @@ object IvfPqIndex {
         .select(col("vec_id"),
           transform(col("_v"), x => x.cast("double") / col("_nrm")).as("u"))
         .persist()
+      // OPQ-style rotation (PqIndex.rotationMatrix): the ENTIRE pipeline —
+      // coarse quantizer, residuals, codebooks, probes — runs in rotated
+      // space; orthogonality preserves L2, so probe semantics are unchanged
+      val rotPath = new org.apache.hadoop.fs.Path(s"$indexPath/rotation")
+      val rotFs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rotFs.exists(rotPath)) rotFs.delete(rotPath, true)
+      val unit0 = unit
+      val unitR = if (!rotate) unit0 else {
+        val rot = PqIndex.rotationMatrix(dim, Seed)
+        rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+          .toDF("i", "row")
+          .coalesce(1).write.mode("overwrite").parquet(rotPath.toString)
+        val bcR = spark.sparkContext.broadcast(rot)
+        unit0.as[(Long, Array[Double])]
+          .map { case (id, u) => (id, PqIndex.applyRotation(bcR.value, u)) }
+          .toDF("vec_id", "u")
+          .persist()
+      }
       // coarse quantizer: Euclidean KMeans on the unit sphere (residuals
       // live in L2 space, so assignment must be L2-consistent)
       val coarseModel = new KMeans()
         .setK(lists).setSeed(Seed)
         .setFeaturesCol("fv").setPredictionCol("list_id")
-        .fit(unit.select(array_to_vector(col("u")).as("fv")))
+        .fit(unitR.select(array_to_vector(col("u")).as("fv")))
       val coarse = coarseModel.clusterCenters.map(_.toArray)
       spark.createDataFrame(coarse.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
         .toDF("list_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/coarse")
       val bcCoarse = spark.sparkContext.broadcast(coarse)
       // residuals, computed once and reused for training + encoding
-      val residuals = unit.as[(Long, Array[Double])]
+      val residuals = unitR.as[(Long, Array[Double])]
         .map { case (id, u) =>
           var best = 0; var bestD = Double.MaxValue
           val cs = bcCoarse.value
@@ -123,7 +142,7 @@ object IvfPqIndex {
         }
         .toDF()
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/codes")
-      residuals.unpersist(); unit.unpersist()
+      residuals.unpersist(); unitR.unpersist(); unit0.unpersist()
       spark.read.parquet(s"$indexPath/codes").count()
     }
 
@@ -145,11 +164,14 @@ object IvfPqIndex {
     val m = cbRows.iterator.map(_._1).max + 1
     val nCodes = cbRows.iterator.map(_._2).max + 1
     val subDim = cbRows.head._3.length
-    val qu = {
+    val qu0 = {
       var n = 0.0; q.foreach(x => n += x.toDouble * x)
       val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
       q.map(_.toDouble * inv)
     }
+    // rotated index → rotate the query into the same space (orthogonal ⇒ L2 preserved)
+    val qu = PqIndex.loadRotation(spark, indexPath)
+      .map(PqIndex.applyRotation(_, qu0)).getOrElse(qu0)
     val probed = coarse.toSeq
       .map { case (l, c) =>
         var d = 0.0; var j = 0
@@ -225,12 +247,14 @@ object IvfPqIndex {
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val rotation = PqIndex.loadRotation(spark, indexPath)
     // per (list, qid): (constDot, norm LUT); dot LUT is per qid only
     val perQuery: Array[(Long, Array[Double], Seq[Int], Array[Array[Double]])] =
       qs.map { case (qid, q) =>
         var n = 0.0; q.foreach(x => n += x.toDouble * x)
         val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
-        val qu = q.map(_.toDouble * inv)
+        val qu0 = q.map(_.toDouble * inv)
+        val qu = rotation.map(PqIndex.applyRotation(_, qu0)).getOrElse(qu0)
         val probed = coarse.toSeq.map { case (l, c) =>
           var d = 0.0; var j = 0
           while (j < qu.length) { val t = qu(j) - c(j); d += t * t; j += 1 }

@@ -93,7 +93,7 @@ object PqIndex {
   }
 
   /** Load the rotation sidecar if this index was built with `rotate=true`. */
-  private def loadRotation(spark: SparkSession, indexPath: String): Option[Array[Array[Double]]] = {
+  private[index] def loadRotation(spark: SparkSession, indexPath: String): Option[Array[Array[Double]]] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/rotation")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None

@@ -233,7 +233,47 @@ object StarSchemaQueries {
         round(col("q").getItem(2), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Ordered 3-step funnel (signup → first click after it → first purchase
+    * after that) counted per user — the conversion query every event
+    * pipeline runs. Each stage is one equi-join on user_id plus a min-agg:
+    * shuffle keys stay user_id throughout, no window over the full event
+    * stream, no self-θ-join. Timestamps are µs epoch longs (exact). */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, sfDir)
+    def firstAfter(eventType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === eventType)
+        .join(prev, "user_id")
+        .filter(col("ts_us") > col(prevTs))
+        .groupBy("user_id").agg(min(col("ts_us")).as(outTs))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val click = firstAfter("click", signup, "t1", "t2")
+    val purchase = firstAfter("purchase", click, "t2", "t3")
+    signup.agg(count(lit(1)).as("n_signup")).crossJoin(
+      click.agg(count(lit(1)).as("n_click_after")).crossJoin(
+        purchase.agg(count(lit(1)).as("n_purchase_after"))))
+  }
+
+  /** Weekly cohort retention: users bucketed by days-since-their-first-
+    * event, distinct-counted per week offset. All time math on integer
+    * epoch DAYS derived from the µs longs (`ts div 86400e6`) — no
+    * cross-engine date-function drift possible. Two shuffles (first-day
+    * per user, distinct per week) — both on natural keys. */
+  def userRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = expr("ts_us div 86400000000L")
+    val activity = Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), day.as("day")).distinct()
+    val cohort = activity.groupBy("user_id").agg(min(col("day")).as("day0"))
+    activity.join(cohort, "user_id")
+      .select(col("user_id"), expr("(day - day0) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("week_offset").agg(count(lit(1)).as("n_users"))
+      .orderBy("week_offset")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
+    "user_retention" -> ((s, d) => userRetention(s, d)),
     "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
     "events_pivot" -> ((s, d) => eventsPivot(s, d)),
     "events_value_quantiles" -> ((s, d) => eventsValueQuantiles(s, d)),
@@ -251,6 +291,28 @@ object StarSchemaQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_click_after,
+        |       (SELECT count(*) FROM s3) AS n_purchase_after""".stripMargin,
+    "user_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS day0 FROM a GROUP BY 1),
+        |w AS (SELECT DISTINCT a.user_id, (a.day - c.day0) // 7 AS week_offset
+        |      FROM a JOIN c ON a.user_id = c.user_id)
+        |SELECT week_offset, count(*) AS n_users FROM w
+        |GROUP BY 1 ORDER BY week_offset""".stripMargin,
     "lineitem_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -83,4 +83,27 @@ class PqRotationSpec extends SparkSpec {
     assert(!new java.io.File(s"$p/rotation").exists(),
       "stale rotation sidecar would silently rotate queries against unrotated codes")
   }
+
+  test("IVF-PQ rotated build: probe stays pruned and matches plain recall or better") {
+    val plain = tmp("ivfpq_plain"); val rotated = tmp("ivfpq_rot")
+    IvfPqIndex.build(concentrated, plain, lists = 8, m = 16, codes = 32)
+    IvfPqIndex.build(concentrated, rotated, lists = 8, m = 16, codes = 32, rotate = true)
+    import graft.functions.{cosine_distance, vector_lit}
+    val qs = concentrated.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getAs[collection.Seq[Float]](1).toArray))
+    def recall(path: String): Double = qs.map { case (_, q) =>
+      val exact = concentrated
+        .select(col("vec_id"), cosine_distance(col("embedding"), vector_lit(q)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = IvfPqIndex.probeRerank(spark, path, concentrated, q, 10,
+        overfetch = 4, nprobe = 8)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size / 10.0
+    }.sum / qs.length
+    val rPlain = recall(plain); val rRot = recall(rotated)
+    info(f"IVFPQ rerank recall@10: unrotated $rPlain%.2f, rotated $rRot%.2f")
+    assert(rRot >= rPlain - 0.05,
+      s"rotation must not materially lose reranked recall: $rRot vs $rPlain")
+  }
 }

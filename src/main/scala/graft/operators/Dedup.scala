@@ -108,16 +108,21 @@ object Dedup {
     * oracle mirrors exactly.
     *
     * Honest caveat measured at sf0.1: the fixtures have max df = 25, so the
-    * cap removes almost nothing and the df-profile join is pure overhead
-    * (3.1s vs 2.7s uncapped). The technique pays only when real web-corpus
-    * skew exists (boilerplate shingles with df in the millions). */
+    * cap removes almost nothing and costs about the same as the uncapped
+    * form (~1.7 s both, round 3). The technique pays only when real
+    * web-corpus skew exists (boilerplate shingles with df in the
+    * millions). */
   val MaxShingleDf = 20
   def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE posting-list pass serves the df-cap, the per-doc sizes over the
-    // capped space, and the pair expansion
+    // capped space, and the pair expansion. Both consumers (sizes, pairs)
+    // branch off `postings`, and Spark has no plan-level CSE across join
+    // branches — localCheckpoint materializes the posting build once
+    // instead of re-tokenizing + re-grouping the corpus per branch.
     val postings = hashedShingleRel(spark, sfDir)
       .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= MaxShingleDf)
+      .localCheckpoint()
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = unpackPairCounts(

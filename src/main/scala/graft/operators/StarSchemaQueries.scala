@@ -271,7 +271,23 @@ object StarSchemaQueries {
       .orderBy("week_offset")
   }
 
+  /** Top-10 suppliers by shipped revenue with their nation — the last
+    * unexercised fixture table. Fact scans 3 of 11 lineitem columns; both
+    * dimension sides broadcast; top-k is TakeOrderedAndProject. */
+  def topSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(10)
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "user_retention" -> ((s, d) => userRetention(s, d)),
     "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
@@ -291,6 +307,15 @@ object StarSchemaQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "top_suppliers" ->
+      s"""SELECT s_suppkey, s_name, n_name,
+         |  $revenueSql AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, s_suppkey
+         |LIMIT 10""".stripMargin,
     "events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

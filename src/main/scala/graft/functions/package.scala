@@ -76,6 +76,13 @@ package object functions {
   def sq_cosine_distance(codes: Column, scale: Column, q: Column): Column =
     col(SqCosineDistance(expr(codes), expr(scale), expr(q)))
 
+  /** 1-bit binary quantization: array<float> → array<bigint> sign-bit words
+    * (bit set ⇔ element ≥ 0); 32× smaller than float32. */
+  def bq_pack(v: Column): Column = col(BqPack(expr(v)))
+
+  /** Hamming distance between two [[bq_pack]] signatures (XOR+popcount). */
+  def bq_hamming(a: Column, b: Column): Column = col(BqHamming(expr(a), expr(b)))
+
   /** All (a < b) pairs of a bigint array — posting-list pair expansion. */
   def sorted_pairs(ids: Column): Column = col(SortedPairs(expr(ids)))
 

@@ -356,6 +356,112 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the scale path
+    * for adversarial graph shapes where [[connectedComponents]]'s
+    * min-label propagation needs O(diameter) supersteps: star operations
+    * halve long paths each round, converging in O(log n) supersteps on ANY
+    * graph.
+    *
+    *  - large-star(u): ∀v ∈ N(u) with v > u, emit (v, m) where
+    *    m = min(N(u) ∪ {u}) — strictly-larger neighbors re-attach to the
+    *    locally-smallest node;
+    *  - small-star(u): over canonical (a > b) edges grouped by the larger
+    *    endpoint, re-attach all smaller neighbors (and u itself) to m.
+    *
+    * At fixpoint the edge set is a star forest rooted at each component's
+    * minimum id. Each half-step is one hash agg (the per-node min) + one
+    * equi-join — no neighborhood materialization; `localCheckpoint`
+    * truncates lineage per superstep. Equality with min-label propagation
+    * is pinned in DedupSpec, including a path graph where label
+    * propagation's superstep count would explode. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical (a > b) edges, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val nodes = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the bidirected view
+      val bi = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mL = bi.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = bi.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star over canonical edges (every edge now has a > b ≥ m)
+      val mS = afterLarge.groupBy("a").agg(min(col("b")).as("m"))
+      val next = afterLarge.join(mS, "a")
+        .select(col("b").as("a2"), col("m").as("b2"))
+        .filter(col("a2") =!= col("b2"))
+        .select(col("a2").as("a"), col("b2").as("b"))
+        .union(mS.select(col("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter supersteps")
+    nodes.join(edges.select(col("a").as("node"), col("b").as("lab")), Seq("node"), "left")
+      .groupBy("node").agg(min(coalesce(col("lab"), col("node"))).as("lab"))
+  }
+
+  /** [[dedupClusters]] through the [[connectedComponentsStar]] scale path —
+    * same answer (both converge to component-minimum labels; the oracle is
+    * identical), different superstep bound: O(log n) vs O(diameter). */
+  def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupEmbedding(spark, sfDir).select("a", "b")
+    val labels = connectedComponentsStar(pairs)
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("node").as("vec_id"), col("lab").as("cluster_rep"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  // ---- Benchmark contamination --------------------------------------------
+
+  val ContamNgram = 5
+
+  /** Train/test contamination audit — the held-out-integrity check every
+    * training pipeline needs: for each test-split document (split
+    * assignment = [[TextAnalysis.splitCol]], the same salted-hash buckets
+    * as `corpus_splits`), how many train-split documents share at least
+    * one [[ContamNgram]]-gram, and how many distinct shingles leak.
+    * Real pipelines run this with 8–13-grams against benchmark suites;
+    * the machinery is identical.
+    *
+    * Scale shape: an inverted-index equi-join on 8-byte hashed shingles —
+    * test-side postings are a tiny fraction of the corpus (the split is
+    * 10%, benchmarks are smaller still), so the join probes, never
+    * all-pairs. Hot boilerplate shingles amplify the join the same way
+    * they amplify [[dedupNgram]]; the production escape hatch is the same
+    * [[MaxShingleDf]] df-cap (kept off here so the oracle stays the exact
+    * uncapped semantics). */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    // one tokenize+shingle pass serves both split sides (no plan-level CSE
+    // across the self-join — localCheckpoint materializes it once)
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.shingles(tokens(col("text")), ContamNgram)).as("s"))
+      .select(col("doc_id"), graft.functions.md5_long(col("s")).as("h"),
+        TextAnalysis.splitCol(col("doc_id")).as("split"))
+      .localCheckpoint()
+    val train = sh.filter(col("split") === "train").select(col("h"), col("doc_id").as("train_id"))
+    val test = sh.filter(col("split") === "test").select(col("h"), col("doc_id").as("test_id"))
+    test.join(train, "h")
+      .groupBy("test_id")
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("h")).as("n_shared_shingles"))
+      .orderBy("test_id")
+  }
+
   /** Semantic near-dup clusters (SemDeDup-style): connected components of
     * the [[dedupEmbedding]] pair graph, one row per clustered doc with its
     * cluster representative (component-min id) and cluster size. The
@@ -372,6 +478,8 @@ object Dedup {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
+    "contamination" -> ((s, d) => contamination(s, d)),
     "dedup_clean" -> ((s, d) => dedupClean(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "dedup_ngram" -> ((s, d) => dedupNgram(s, d)),
@@ -386,23 +494,47 @@ object Dedup {
     * re-expressed in DuckDB SQL over the shared md5-derived 60-bit hash
     * ([[graft.OracleSql.md5Long]]), same permutation constants, same
     * band/chunk layout, same verification arithmetic. */
+  /** Shared by `dedup_clusters` and `dedup_clusters_star`: both algorithms
+    * converge to the same component-minimum labels, so one oracle gates
+    * both (any divergence between the two Spark paths fails one of them). */
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT e1.vec_id AS a, e2.vec_id AS b
+       |  FROM embeddings e1, embeddings e2
+       |  WHERE e1.vec_id < e2.vec_id
+       |    AND ${O.cosSim("e1.embedding", "e2.embedding")} >= $EmbeddingThreshold),
+       |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       |r(x, y) AS (
+       |  SELECT x, y FROM und
+       |  UNION
+       |  SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x),
+       |rep AS (SELECT x AS vec_id, least(min(y), x) AS cluster_rep FROM r GROUP BY x),
+       |sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+       |SELECT vec_id, rep.cluster_rep, sizes.cluster_size
+       |FROM rep JOIN sizes ON rep.cluster_rep = sizes.cluster_rep
+       |ORDER BY vec_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT e1.vec_id AS a, e2.vec_id AS b
-         |  FROM embeddings e1, embeddings e2
-         |  WHERE e1.vec_id < e2.vec_id
-         |    AND ${O.cosSim("e1.embedding", "e2.embedding")} >= $EmbeddingThreshold),
-         |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
-         |r(x, y) AS (
-         |  SELECT x, y FROM und
-         |  UNION
-         |  SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x),
-         |rep AS (SELECT x AS vec_id, least(min(y), x) AS cluster_rep FROM r GROUP BY x),
-         |sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
-         |SELECT vec_id, rep.cluster_rep, sizes.cluster_size
-         |FROM rep JOIN sizes ON rep.cluster_rep = sizes.cluster_rep
-         |ORDER BY vec_id""".stripMargin,
+    "dedup_clusters_star" -> clustersOracle,
+    "contamination" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         |     FOR i IN generate_series(1, len(t)-4)]
+         |  )) AS shingle FROM tok),
+         |sh AS (
+         |  SELECT doc_id, ${O.md5Long("shingle")} AS h,
+         |    ${graft.operators.TextAnalysis.splitSql("doc_id")} AS split
+         |  FROM sh0),
+         |tr AS (SELECT h, doc_id AS train_id FROM sh WHERE split = 'train'),
+         |te AS (SELECT h, doc_id AS test_id FROM sh WHERE split = 'test')
+         |SELECT test_id, count(DISTINCT train_id) AS n_train_docs,
+         |       count(DISTINCT h) AS n_shared_shingles
+         |FROM te JOIN tr USING (h)
+         |GROUP BY 1 ORDER BY test_id""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
     "dedup_minhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),

@@ -134,7 +134,45 @@ object SimilarityQueries {
       .limit(k)
   }
 
+  val BqCandidates = 50
+  val BqK = 10
+
+  /** Binary-quantized top-k: 1-bit sign quantization → Hamming candidate
+    * stage → exact-cosine rerank of the top-[[BqCandidates]]. The
+    * multi-stage shape every production vector store runs (BQ prefilter +
+    * float rerank): the candidate scan touches 48 B/row of packed sign
+    * bits (32× less bandwidth than float32) and ranks with XOR+popcount;
+    * only [[BqCandidates]] rows ever see float math, fetched by an
+    * equi-join against the base table (broadcast: the candidate side is k
+    * rows). Both stages compile to TakeOrderedAndProject — no global sort.
+    *
+    * Fully deterministic (hamming ties broken by vec_id, then cosine ties
+    * by vec_id), so the whole pipeline is oracle-checked bit-exact: the
+    * oracle counts sign mismatches directly over the float arrays —
+    * definitionally equal to XOR+popcount over [[graft.functions.bq_pack]]
+    * words. Recall vs exact cosine is additionally pinned in
+    * SimilarityQueriesSpec. */
+  def bqKnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{bq_hamming, bq_pack}
+    val e = Tables.embeddings(spark, sfDir)
+    // At 100 TB the packed signatures are a precomputed sidecar (like the
+    // SQ/PQ codes); packing inline keeps the query self-contained here.
+    val sigs = e.select(col("vec_id"), bq_pack(col("embedding")).as("sig"))
+    val seed = e.filter(col("vec_id") === 0)
+      .select(bq_pack(col("embedding")).as("qsig"), col("embedding").as("qv"))
+    val cand = sigs.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("qv"), bq_hamming(col("sig"), col("qsig")).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(BqCandidates)
+    cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("hamming"),
+        cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(BqK)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bq_knn_topk" -> ((s, d) => bqKnnTopK(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
     "label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_histogram" -> ((s, d) => simHistogram(s, d)),
@@ -144,6 +182,18 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "bq_knn_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |h AS (
+         |  SELECT e.vec_id, q.qv,
+         |    CAST(len(list_filter(list_zip(e.embedding, q.qv),
+         |      s -> (s[1] >= 0) != (s[2] >= 0))) AS BIGINT) AS hamming
+         |  FROM embeddings e, q),
+         |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT $BqCandidates)
+         |SELECT c.vec_id, c.hamming, ${O.cosDist("e.embedding", "c.qv")} AS dist
+         |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+         |ORDER BY dist, c.vec_id
+         |LIMIT $BqK""".stripMargin,
     "knn_batch" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $BatchQueries),

@@ -150,6 +150,20 @@ object StarSchemaQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Exact distinct users per event type — the cardinality rollup behind
+    * any engagement dashboard. Spark plans COUNT(DISTINCT) as a two-phase
+    * expand/partial-agg (distinct on (event_type, user_id) map-side, then
+    * count) — no reducer ever holds a full user set. At 100 TB the
+    * approximate path is `approx_count_distinct` (HyperLogLog++, fixed
+    * ~kB sketch per group, mergeable across partitions); its ≤2% relative
+    * error vs this exact query is pinned in StarSchemaSpec — the sketch
+    * itself has no DuckDB twin, so the exact form carries the oracle. */
+  def eventsDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Semi-structured: JSON props extraction + rollup. */
   def eventsPropsAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -288,6 +302,7 @@ object StarSchemaQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
+    "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "user_retention" -> ((s, d) => userRetention(s, d)),
     "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
@@ -307,6 +322,9 @@ object StarSchemaQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "top_suppliers" ->
       s"""SELECT s_suppkey, s_name, n_name,
          |  $revenueSql AS revenue, COUNT(*) AS n_items

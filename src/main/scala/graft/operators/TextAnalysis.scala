@@ -149,16 +149,76 @@ object TextAnalysis {
     * no RNG state — and the md5-derived hash makes the assignment
     * bit-identical in the DuckDB oracle. Shuffle-free scale shape: one scan,
     * partial agg into ≤ 3·|langs| groups. */
-  def corpusSplits(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The split label for a doc_id column — shared by [[corpusSplits]] and
+    * the train/test contamination check ([[graft.operators.Dedup]]). */
+  def splitCol(docId: Column): Column = {
     val bucket = pmod(graft.functions.md5_long(
-      concat(col("doc_id").cast("string"), lit(":" + SplitSalt))), lit(100L))
-    val split = when(bucket < ValBuckets, "val")
+      concat(docId.cast("string"), lit(":" + SplitSalt))), lit(100L))
+    when(bucket < ValBuckets, "val")
       .when(bucket < ValBuckets + TestBuckets, "test")
       .otherwise("train")
+  }
+
+  /** [[splitCol]]'s DuckDB twin over a doc_id SQL fragment. */
+  def splitSql(docId: String): String =
+    s"""CASE
+       |    WHEN ${graft.OracleSql.md5Long(s"(CAST($docId AS VARCHAR) || ':$SplitSalt')")} % 100 < $ValBuckets THEN 'val'
+       |    WHEN ${graft.OracleSql.md5Long(s"(CAST($docId AS VARCHAR) || ':$SplitSalt')")} % 100 < ${ValBuckets + TestBuckets} THEN 'test'
+       |    ELSE 'train' END""".stripMargin
+
+  def corpusSplits(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
-      .select(col("lang"), split.as("split"))
+      .select(col("lang"), splitCol(col("doc_id")).as("split"))
       .groupBy("lang", "split").agg(count(lit(1)).as("n"))
       .orderBy("lang", "split")
+  }
+
+  /** Per-document repetition signals — the Gopher-style quality pass that
+    * catches degenerate/templated text BEFORE training: distinct-token
+    * ratio, most-frequent-token share, mean word length. (The fixture
+    * corpus has no newlines or symbols, so the line- and symbol-based
+    * Gopher rules would be constant here; the token-repetition family is
+    * the discriminating subset.)
+    *
+    * Scale shape: one hash agg on (doc_id, token) with map-side partials,
+    * then one on doc_id — per-doc groups are bounded by doc vocabulary, so
+    * no reducer ever sees more than one document's terms. All ratios are
+    * single double divisions of exact integer counts → bit-exact
+    * cross-engine. */
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top_c"),
+        sum(col("c") * length(col("token")).cast("long")).as("char_sum"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (col("char_sum").cast("double") / col("n_tokens")).as("mean_word_len"))
+      .orderBy("doc_id")
+  }
+
+  // deterministic-sample parameters: keep buckets [0, SampleBuckets) of 100
+  val SampleBuckets = 10L
+  val SampleSalt = "sample-v1"
+
+  /** Deterministic ~[[SampleBuckets]]% corpus sample by salted md5 bucket —
+    * the reproducible-sampling operator (eval subsets, ablation corpora).
+    * Unlike RNG-based `sample()`, the hash sample is stable across runs,
+    * engines, partitionings and shard counts, and composes with itself
+    * (a 10% sample of a 10% sample re-salted is an unbiased 1%).
+    * Shuffle-free: one scan, one codegen'd hash compare per row. */
+  def corpusSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(graft.functions.md5_long(
+      concat(col("doc_id").cast("string"), lit(":" + SampleSalt))), lit(100L))
+    Tables.documents(spark, sfDir)
+      .filter(bucket < SampleBuckets)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
   }
 
   val BigramTopK = 20
@@ -189,6 +249,8 @@ object TextAnalysis {
     "tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
     "corpus_splits" -> ((s, d) => corpusSplits(s, d)),
     "bigram_top" -> ((s, d) => bigramTop(s, d)),
+    "quality_signals" -> ((s, d) => qualitySignals(s, d)),
+    "corpus_sample" -> ((s, d) => corpusSample(s, d)),
   )
 
   def oracles: Map[String, String] = {
@@ -245,6 +307,27 @@ object TextAnalysis {
            |  FROM b)
            |SELECT lang, split, count(*) AS n FROM s
            |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+      "quality_signals" ->
+        s"""WITH tf AS (
+           |  SELECT doc_id, token, count(*) AS c
+           |  FROM (SELECT doc_id, unnest($tok) AS token FROM documents)
+           |  GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    count(*) AS n_distinct_tokens,
+           |    max(c) AS top_c,
+           |    CAST(sum(c * length(token)) AS BIGINT) AS char_sum
+           |  FROM tf GROUP BY 1)
+           |SELECT doc_id, n_tokens, n_distinct_tokens,
+           |  CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_ratio,
+           |  CAST(top_c AS DOUBLE) / n_tokens AS top_token_frac,
+           |  CAST(char_sum AS DOUBLE) / n_tokens AS mean_word_len
+           |FROM agg ORDER BY doc_id""".stripMargin,
+      "corpus_sample" ->
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE ${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$SampleSalt')")} % 100 < $SampleBuckets
+           |ORDER BY doc_id""".stripMargin,
       "bigram_top" ->
         s"""WITH tok AS (SELECT doc_id, $tok AS t FROM documents),
            |bg AS (

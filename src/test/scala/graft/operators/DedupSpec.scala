@@ -152,6 +152,49 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 === 0L) && labels.length === 13)
   }
 
+  test("connectedComponentsStar: equals min-label propagation on varied graphs") {
+    import spark.implicits._
+    val graphs = Seq(
+      // mixed components (path + edge + triangle)
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)),
+      // deterministic pseudo-random graph over 40 nodes
+      (0 until 60).map { i =>
+        val a = (i * 2654435761L) % 40; val b = (i * 40503L + 7) % 40
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct)
+    graphs.foreach { g =>
+      val pairs = g.toDF("a", "b")
+      val plain = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+      assert(star === plain)
+    }
+  }
+
+  test("connectedComponentsStar: a 200-node path converges within the O(log n) budget") {
+    import spark.implicits._
+    // diameter 200 — min-label propagation would need ~200 supersteps; the
+    // star algorithm's path-halving must land far under its default 25
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect()
+    assert(labels.length === 201 && labels.forall(_._2 === 0L))
+  }
+
+  test("contamination: test-split rows only, counts positive and bounded") {
+    val out = Dedup.contamination(spark, Sf0001).collect()
+    assert(out.nonEmpty, "word-soup fixtures must leak some 5-grams across splits")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1L, "each reported doc shares with ≥1 train doc")
+      assert(r.getLong(2) >= 1L, "each reported doc leaks ≥1 distinct shingle")
+    }
+    // every reported doc really is in the test split
+    import org.apache.spark.sql.functions.col
+    val testIds = graft.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), TextAnalysis.splitCol(col("doc_id")).as("split"))
+      .filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => testIds.contains(r.getLong(0))))
+  }
+
   test("dedup_clusters: reps are cluster minima; sizes count members") {
     val out = Dedup.dedupClusters(spark, Sf0001).collect()
     assert(out.nonEmpty)

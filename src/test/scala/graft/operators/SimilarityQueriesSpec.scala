@@ -78,4 +78,33 @@ class SimilarityQueriesSpec extends SparkSpec {
     val recall = sq.map(_.getLong(0)).toSet.intersect(exact).size / 10.0
     assert(recall >= 0.8, s"SQ8 recall@10 was $recall")
   }
+
+  test("bq_hamming equals naive sign-mismatch count, incl. non-multiple-of-64 dims") {
+    import graft.functions.{bq_hamming, bq_pack}
+    val rnd = new scala.util.Random(42)
+    Seq(3, 64, 100, 384).foreach { dim =>
+      val a = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      val b = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      val want = a.zip(b).count { case (x, y) => (x >= 0) != (y >= 0) }.toLong
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(bq_hamming(bq_pack(col("a")), bq_pack(col("b"))).as("h"))
+        .head().getLong(0)
+      assert(got === want, s"dim $dim")
+    }
+  }
+
+  test("bq_knn_topk: self is rank 1; recall@10 vs exact holds; two-stage plan shape") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSet
+    val bq = SimilarityQueries.bqKnnTopK(spark, Sf0001)
+    val rows = bq.collect()
+    assert(rows.head.getLong(0) === 0L, "query vector must rerank to the top")
+    assert(rows.head.getLong(1) === 0L, "hamming(q, q) = 0")
+    val recall = rows.map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    // sign bits at dim 384 preserve coarse angular order; the 5× candidate
+    // over-fetch + exact rerank recovers most of the true top-10
+    assert(recall >= 0.6, s"BQ recall@10 was $recall")
+    val plan = bq.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
 }

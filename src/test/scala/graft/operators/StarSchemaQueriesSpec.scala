@@ -47,4 +47,22 @@ class StarSchemaQueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim joins:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("approx_count_distinct (HLL++) tracks exact distinct users within 3%") {
+    import org.apache.spark.sql.functions._
+    val exact = StarSchemaQueries.eventsDistinctUsers(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 100 TB path: a fixed-size mergeable sketch per group instead of
+    // the exact distinct's expand+two-phase agg (no oracle — HLL++ has no
+    // DuckDB twin; this error-bound gate is its correctness contract)
+    val approx = graft.Tables.events(spark, Sf0001)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / n <= 0.03, s"$k: exact $n vs approx $a")
+    }
+  }
 }

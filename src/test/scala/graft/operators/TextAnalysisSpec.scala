@@ -39,6 +39,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.keySet.subsetOf(Set("too_short", "low_stopword", "high_punct", "retained")))
   }
 
+  test("quality_signals: ratios bounded, counts consistent") {
+    val rows = TextAnalysis.qualitySignals(spark, Sf0001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct_tokens"))
+      assert(d >= 1 && d <= n)
+      val dr = r.getAs[Double]("distinct_ratio")
+      val tf = r.getAs[Double]("top_token_frac")
+      assert(dr > 0 && dr <= 1.0 && tf > 0 && tf <= 1.0)
+      assert(tf >= 1.0 / d, "most frequent token covers at least its uniform share")
+      assert(r.getAs[Double]("mean_word_len") > 0)
+    }
+  }
+
+  test("corpus_sample: deterministic ~10% subset, stable across runs") {
+    val s1 = TextAnalysis.corpusSample(spark, Sf0001).collect().map(_.getLong(0))
+    val s2 = TextAnalysis.corpusSample(spark, Sf0001).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "hash sampling must be reproducible")
+    // binomial(500, 0.1): ±5σ bounds
+    assert(s1.length > 20 && s1.length < 90, s"got ${s1.length} of 500")
+  }
+
   test("knn_batch: rank 1 of each query is itself at distance ~0") {
     val rows = SimilarityQueries.knnBatch(spark, Sf0001).collect()
     assert(rows.length === SimilarityQueries.BatchQueries * SimilarityQueries.BatchK)

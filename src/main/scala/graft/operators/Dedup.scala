@@ -404,7 +404,11 @@ object Dedup {
         .union(mS.select(col("a"), col("m").as("b")))
         .distinct()
         .localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // both sides are distinct sets: |next| = |edges| plus next ⊆ edges
+      // ⟹ equality — one count pair + one anti-join instead of two full
+      // set-differences per superstep
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges = next
       iter += 1
     }

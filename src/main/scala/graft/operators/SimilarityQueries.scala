@@ -134,6 +134,46 @@ object SimilarityQueries {
       .limit(k)
   }
 
+  val RangeRadius = 0.8 // ~30 of 500 fixture vectors in range — selective but non-trivial
+  val PerLabelK = 3
+
+  /** Vector range search — pgvector's `WHERE embedding <=> q < r` shape
+    * (the radius-query dual of top-k): every vector within cosine distance
+    * [[RangeRadius]] of the seed. Embarrassingly parallel: one scan, one
+    * codegen'd distance + filter per row, no shuffle until the
+    * oracle-determinism sort. The selective-index path for tight radii is
+    * the IVF triangle-inequality expansion [[Dedup.embeddingCandidates]]
+    * already uses: probe only lists with θ(q, c) ≤ rad(c) + acos(1−r). */
+  def rangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val seed = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(seed))
+      .select(col("vec_id"), cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .filter(col("dist") < RangeRadius)
+      .orderBy("dist", "vec_id")
+  }
+
+  /** Top-[[PerLabelK]] nearest neighbors of the seed WITHIN each label —
+    * grouped top-k (per-category retrieval, stratified eval sets). Uses the
+    * same bounded-heap aggregate as [[knnBatch]]: map-side k-heaps per
+    * (label × partition), merged per label — the shuffle carries
+    * ≤ k·|partitions| rows per label, never the scored relation, and no
+    * label's reducer sees more than |partitions|·k rows regardless of how
+    * skewed the label distribution is. */
+  def knnPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val seed = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(seed))
+      .select(col("label"), col("vec_id"),
+        cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .groupBy("label")
+      .agg(graft.functions.top_k_by_distance(col("dist"), col("vec_id"), PerLabelK).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
+      .orderBy("label", "rank")
+  }
+
   val BqCandidates = 50
   val BqK = 10
 
@@ -173,6 +213,8 @@ object SimilarityQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bq_knn_topk" -> ((s, d) => bqKnnTopK(s, d)),
+    "range_search" -> ((s, d) => rangeSearch(s, d)),
+    "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
     "label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_histogram" -> ((s, d) => simHistogram(s, d)),
@@ -182,6 +224,22 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "range_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${O.cosDist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, q
+         |WHERE ${O.cosDist("e.embedding", "q.qv")} < $RangeRadius
+         |ORDER BY dist, vec_id""".stripMargin,
+    "knn_per_label" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.label, e.vec_id, ${O.cosDist("e.embedding", "q.qv")} AS dist,
+         |    row_number() OVER (PARTITION BY e.label
+         |                       ORDER BY ${O.cosDist("e.embedding", "q.qv")}, e.vec_id) AS rank
+         |  FROM embeddings e, q)
+         |SELECT label, rank, vec_id, dist FROM scored
+         |WHERE rank <= $PerLabelK
+         |ORDER BY label, rank""".stripMargin,
     "bq_knn_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |h AS (

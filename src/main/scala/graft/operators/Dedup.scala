@@ -466,6 +466,25 @@ object Dedup {
       .orderBy("test_id")
   }
 
+  /** The full production dedup pass in ONE query: exact-fingerprint dedup
+    * + MinHash-LSH verified pairs → star connected components → keep each
+    * cluster's minimum-id representative → surviving-corpus cardinality.
+    * This is the composition a 100 TB pipeline actually ships —
+    * LSH-bounded candidate generation (never all-pairs), transitive
+    * cluster semantics (A≈B≈C drops two docs, not a greedy pair walk),
+    * O(log n)-superstep clustering. Oracle: the whole pipeline re-expressed
+    * in DuckDB, MinHash banding included, closed with a recursive CTE. */
+  def dedupCleanClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, sfDir).select("a", "b")
+    val labels = connectedComponentsStar(pairs)
+    // (rep, member) pairs: dropNearDuplicates removes the b side, so every
+    // non-representative member of each cluster is dropped
+    val clusterDrops = labels.filter(col("node") =!= col("lab"))
+      .select(col("lab").as("a"), col("node").as("b"))
+    dropNearDuplicates(Tables.documents(spark, sfDir), clusterDrops)
+      .agg(count(lit(1)).as("n_clean"))
+  }
+
   /** Semantic near-dup clusters (SemDeDup-style): connected components of
     * the [[dedupEmbedding]] pair graph, one row per clustered doc with its
     * cluster representative (component-min id) and cluster size. The
@@ -483,6 +502,7 @@ object Dedup {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
+    "dedup_clean_clusters" -> ((s, d) => dedupCleanClusters(s, d)),
     "contamination" -> ((s, d) => contamination(s, d)),
     "dedup_clean" -> ((s, d) => dedupClean(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
@@ -498,6 +518,42 @@ object Dedup {
     * re-expressed in DuckDB SQL over the shared md5-derived 60-bit hash
     * ([[graft.OracleSql.md5Long]]), same permutation constants, same
     * band/chunk layout, same verification arithmetic. */
+  /** MinHash pipeline CTE chain (tokenize → shingle → hash → 64-perm
+    * signatures → 16×4 bands → candidates → shared-shingle counts) —
+    * shared by the `dedup_minhash` oracle and the `dedup_clean_clusters`
+    * closure so both gates exercise the identical pipeline SQL. */
+  private val minhashCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
+       |  )) AS shingle FROM tok),
+       |sh AS (SELECT doc_id, ${O.md5Long("shingle")} AS h FROM sh0),
+       |hashed AS (
+       |  SELECT doc_id, h % $MinhashPrime AS h FROM sh),
+       |perms AS (
+       |  SELECT i, ((i * 2654435761) | 1) % $MinhashPrime AS pa, i * 40503 + 7 AS pb
+       |  FROM generate_series(0, ${NumPerms - 1}) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((pa * h + pb) % $MinhashPrime) AS s
+       |  FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS band_sig
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |commons AS (
+       |  SELECT a, b, count(*) AS c
+       |  FROM cand
+       |  JOIN sh cx ON a = cx.doc_id
+       |  JOIN sh cy ON b = cy.doc_id AND cx.h = cy.h
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared by `dedup_clusters` and `dedup_clusters_star`: both algorithms
     * converge to the same component-minimum labels, so one oracle gates
     * both (any divergence between the two Spark paths fails one of them). */
@@ -540,42 +596,36 @@ object Dedup {
          |GROUP BY 1 ORDER BY test_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_minhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         |sh0 AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
-         |  )) AS shingle FROM tok),
-         |sh AS (SELECT doc_id, ${O.md5Long("shingle")} AS h FROM sh0),
-         |hashed AS (
-         |  SELECT doc_id, h % $MinhashPrime AS h FROM sh),
-         |perms AS (
-         |  SELECT i, ((i * 2654435761) | 1) % $MinhashPrime AS pa, i * 40503 + 7 AS pb
-         |  FROM generate_series(0, ${NumPerms - 1}) t(i)),
-         |sig AS (
-         |  SELECT doc_id, i, min((pa * h + pb) % $MinhashPrime) AS s
-         |  FROM hashed CROSS JOIN perms GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, i // $BandRows AS band,
-         |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS band_sig
-         |  FROM sig GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |commons AS (
-         |  SELECT a, b, count(*) AS c
-         |  FROM cand
-         |  JOIN sh cx ON a = cx.doc_id
-         |  JOIN sh cy ON b = cy.doc_id AND cx.h = cy.h
-         |  GROUP BY 1, 2)
+      s"""WITH $minhashCtes
          |SELECT a, b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
          |FROM commons
          |JOIN sizes sa ON a = sa.doc_id
          |JOIN sizes sb ON b = sb.doc_id
          |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $MinhashVerifyThreshold
          |ORDER BY a, b""".stripMargin,
+    "dedup_clean_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mp AS (
+         |  SELECT a, b FROM commons
+         |  JOIN sizes sa ON a = sa.doc_id
+         |  JOIN sizes sb ON b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $MinhashVerifyThreshold),
+         |und AS (SELECT a AS x, b AS y FROM mp UNION SELECT b, a FROM mp),
+         |r(x, y) AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x),
+         |rep AS (SELECT x AS doc_id, least(min(y), x) AS rep FROM r GROUP BY x),
+         |drops AS (SELECT doc_id FROM rep WHERE rep != doc_id),
+         |fpd AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents),
+         |keep1 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fpd)
+         |  WHERE rn = 1)
+         |SELECT COUNT(*) AS n_clean FROM keep1
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token

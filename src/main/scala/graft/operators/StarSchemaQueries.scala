@@ -217,6 +217,25 @@ object StarSchemaQueries {
         col("sum_qty"), col("sum_disc_price"), col("count_order"))
       .orderBy("returnflag", "linestatus")
 
+  /** CUBE over (event_type, weekday): all four grouping-set combinations
+    * (type×day, type, day, grand total) in ONE partial+final aggregate —
+    * Spark expands the grouping sets map-side, so the cube costs one
+    * shuffle of |types|·|days| + |types| + |days| + 1 groups, not four
+    * scans. Weekday from integer epoch-µs division (µs is the finest
+    * cross-engine-exact granularity; date_format would work too but the
+    * integer form is immune to locale/timezone drift). */
+  def eventsCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.eventsUs(spark, sfDir)
+      .select(col("event_type"), expr("(ts_us div 86400000000L) % 7").as("weekday"),
+        col("value"))
+      .cube("event_type", "weekday")
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("weekday").cast("string"), lit("ALL")).as("weekday"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "weekday")
+
   /** Daily × event-type PIVOT of event counts — the wide-format activity
     * matrix (dashboards, feature tables). Explicit pivot values keep the
     * plan static (no driver-side distinct scan) and the whole pivot is one
@@ -328,6 +347,7 @@ object StarSchemaQueries {
     "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
     "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
     "events_quartile_stats" -> ((s, d) => eventsQuartileStats(s, d)),
+    "events_cube" -> ((s, d) => eventsCube(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "user_retention" -> ((s, d) => userRetention(s, d)),
     "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
@@ -350,6 +370,18 @@ object StarSchemaQueries {
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_cube" ->
+      """WITH b AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS weekday, value
+        |  FROM events)
+        |SELECT
+        |  COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(CAST(weekday AS VARCHAR), 'ALL') AS weekday,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM b
+        |GROUP BY CUBE (event_type, weekday)
+        |ORDER BY event_type, weekday""".stripMargin,
     "events_quartile_stats" ->
       """WITH r AS (
         |  SELECT event_type, value,

@@ -1,0 +1,83 @@
+// Regenerate PLANS.md: sbt "Test/runMain graft.tools.PlanGallery [sfDir] [outFile]"
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Writes a curated "plan gallery" — the formatted physical plan of each
+  * headline query with a note on WHY that shape survives a 100× scale-up.
+  * The shapes themselves are enforced by specs (PlanGuardSpec,
+  * ScaleSmokeSpec, per-operator suites); this artifact makes them
+  * reviewable without running Spark.
+  */
+object PlanGallery {
+
+  /** (query, what to look for in the plan). */
+  private val entries: Seq[(String, String)] = Seq(
+    "knn_topk" -> ("Flagship cosine top-k. `TakeOrderedAndProject` keeps k rows " +
+      "per partition and merges — no global sort; the codegen'd distance sits " +
+      "inside one WholeStageCodegen span over the scan."),
+    "bq_knn_topk" -> ("Two-stage binary-quantized kNN. Stage 1 ranks XOR+popcount " +
+      "Hamming over packed sign bits (TakeOrderedAndProject again); stage 2 " +
+      "reranks only the 50 candidates with exact cosine via an equi-join back " +
+      "to the base table. No float math ever touches the full relation."),
+    "knn_batch" -> ("Many queries at once: broadcast the query side, then the " +
+      "bounded-heap `top_k_by_distance` aggregate — partial heaps map-side, " +
+      "merged per query. No per-query window funnel; shuffle carries " +
+      "≤ k·|partitions| rows per query."),
+    "dedup_ngram_capped" -> ("Inverted-index Jaccard with a document-frequency cap. " +
+      "One posting-list build (grouped on the 8-byte md5-hashed shingle), pair " +
+      "expansion through the codegen'd `sorted_pair_keys`, per-pair counts on a " +
+      "packed 8-byte key. The df-cap bounds every posting list, so no hot " +
+      "shingle can expand O(df²) pairs."),
+    "dedup_embedding" -> ("Embedding near-dup WITHOUT the all-pairs cross join: " +
+      "IVF-list candidates under a triangle-inequality expansion (broadcast of " +
+      "|lists| centroids), then exact-cosine verification of candidates only. " +
+      "No CartesianProduct node anywhere."),
+    "q5_nation_revenue" -> ("Classic star join: every dimension side is a " +
+      "BroadcastHashJoin (no shuffle of the fact table for joins), one " +
+      "partial+final aggregate on the group key, decimal-exact sums."),
+    "top_suppliers" -> ("Fact scan reads 3 of 16 lineitem columns (ReadSchema), " +
+      "both dims broadcast, top-10 is TakeOrderedAndProject."),
+    "events_sessions" -> ("Gap-window sessionization: lag + running-sum windows " +
+      "over one shuffle on user_id. Window groups are per-user — bounded — " +
+      "not a single global reducer."),
+    "events_asof_join" -> ("AS-OF join as union + ONE window over (key, ts): no " +
+      "join node at all, so there is no row-multiplying range join to skew. " +
+      "The plan is a single sort-within-partition per key group."),
+    "corpus_sample" -> ("Deterministic hash sample: the md5-bucket predicate is " +
+      "one codegen'd row-local filter — no shuffle, no RNG state, same sample " +
+      "on any engine/partitioning."),
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outFile = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts is ns
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# Plan gallery\n\n")
+    sb.append("Formatted physical plans of the headline queries at sf0.001 ")
+    sb.append("(plan shape is data-independent for these), with the property ")
+    sb.append("that makes each shape survive a 100× scale-up. Regenerate with\n")
+    sb.append("`sbt \"Test/runMain graft.tools.PlanGallery\"`. The shapes are\n")
+    sb.append("enforced by PlanGuardSpec / ScaleSmokeSpec / per-operator specs — ")
+    sb.append("this file just makes them reviewable without running Spark.\n")
+    entries.foreach { case (name, note) =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
+    }
+    Files.write(Paths.get(outFile), sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote $outFile (${entries.size} plans)")
+    spark.stop()
+  }
+}

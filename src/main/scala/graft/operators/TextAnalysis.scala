@@ -221,6 +221,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source dataset card — the rollup published next to a training
+    * corpus: doc count, mean length, exact-duplicate rate (docs sharing a
+    * normalized fingerprint with an earlier doc), and language breadth,
+    * per `source`. Composes the fingerprint and token machinery in one
+    * two-level aggregation; the duplicate flag is a window over the
+    * fingerprint (bounded groups — duplicates of one text), everything
+    * else is partial+final hash aggs on `source`. */
+  def sourceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("len"), fp.as("fp"))
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("mean_len"),
+        sum(col("is_dup")).as("n_dups"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
   val BigramTopK = 20
 
   /** Corpus-wide top-[[BigramTopK]] token bigrams by DOCUMENT frequency —
@@ -251,6 +274,7 @@ object TextAnalysis {
     "bigram_top" -> ((s, d) => bigramTop(s, d)),
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
+    "source_stats" -> ((s, d) => sourceStats(s, d)),
   )
 
   def oracles: Map[String, String] = {
@@ -307,6 +331,21 @@ object TextAnalysis {
            |  FROM b)
            |SELECT lang, split, count(*) AS n FROM s
            |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+      "source_stats" ->
+        """WITH base AS (
+          |  SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS len,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM documents),
+          |flagged AS (
+          |  SELECT source, lang, len,
+          |    CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+          |         THEN 1 ELSE 0 END AS is_dup
+          |  FROM base)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(len) AS DOUBLE) / COUNT(*) AS mean_len,
+          |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+          |  COUNT(DISTINCT lang) AS n_langs
+          |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
       "quality_signals" ->
         s"""WITH tf AS (
            |  SELECT doc_id, token, count(*) AS c

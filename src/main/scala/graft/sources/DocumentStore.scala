@@ -107,6 +107,41 @@ object DocumentStore {
       s"unsupported corpus format: $other (parquet|orc|json|csv)")
   }
 
+  /** Small-file compaction — the maintenance pass every micro-batch-append
+    * table needs (each streaming batch / `insert` call lands its own files;
+    * thousands of KB-files make every later scan seek-bound and blow up
+    * driver file-listing). Rewrites the table into
+    * ⌈bytes / targetFileBytes⌉ files via the same stage-then-publish
+    * pattern as [[copy]]: write compacted output to a staging dir, swap it
+    * in with two renames, delete the old data last — readers never observe
+    * a half-written table, and a crash leaves either the old or the new
+    * table plus at most an orphaned staging dir. Returns (files before,
+    * files after). */
+  def compact(tablePath: String, targetFileBytes: Long = 128L * 1024 * 1024)
+             (implicit spark: SparkSession): (Int, Int) = timeIt("compact") {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new Path(tablePath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val nBefore = dataFiles.length
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val staging = s"${tablePath}_compact_${UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(tablePath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val old = s"${tablePath}_old_${UUID.randomUUID().toString.take(8)}"
+    if (!fs.rename(new Path(tablePath), new Path(old)))
+      throw new java.io.IOException(s"compact: could not stash $tablePath")
+    if (!fs.rename(new Path(staging), new Path(tablePath))) {
+      fs.rename(new Path(old), new Path(tablePath)) // roll back
+      throw new java.io.IOException(s"compact: could not publish $staging")
+    }
+    fs.delete(new Path(old), true)
+    val nAfter = fs.listStatus(new Path(tablePath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (nBefore, nAfter)
+  }
+
   /** `save_to_parquet` local analog (generate_embeddings.py:142-146). */
   def saveToParquet(df: DataFrame, path: String): Unit = timeIt("save_to_parquet") {
     df.write.mode(SaveMode.Overwrite).parquet(path)

@@ -97,4 +97,24 @@ class DocumentStoreSpec extends SparkSpec {
     assert(back.filter(col("generation_date") === "2026-01-01").count() === 2)
     assert(!plan.contains("2026-01-02"))
   }
+
+  test("compact merges micro-batch file debris, preserves rows, swaps atomically") {
+    val path = tmp("compact")
+    // 200 rows landed 10-per-file: the post-streaming debris shape
+    spark.range(200)
+      .select(col("id"), concat(lit("doc "), col("id")).as("text"))
+      .repartition(1)
+      .write.option("maxRecordsPerFile", 10).parquet(path)
+    val before = spark.read.parquet(path)
+      .collect().map(_.toSeq).toSet
+    val (nBefore, nAfter) = DocumentStore.compact(path, targetFileBytes = 1L << 30)
+    assert(nBefore >= 20, s"expected fragmented input, got $nBefore files")
+    assert(nAfter === 1, s"1 GB target must compact to one file, got $nAfter")
+    val after = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    assert(after === before, "compaction must preserve row content exactly")
+    // no staging/old debris left behind
+    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.contains("_compact_") || n.contains("_old_")),
+      s"leftover dirs: ${parent.mkString(",")}")
+  }
 }

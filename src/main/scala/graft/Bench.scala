@@ -30,6 +30,25 @@ object Bench {
     // near-zero and silently improve the total: collect per-query errors,
     // emit them in the JSON, and exit non-zero if any query broke.
     var errors = Map.empty[String, String]
+
+    // Per-query shuffle accounting: a stage-completion listener accumulates
+    // task-level shuffle write bytes (covers EVERY job a query runs,
+    // including iterative operators' internal supersteps); the bus is
+    // drained before reading so the async event queue cannot race the
+    // snapshot.
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def shuffleSnapshot(): Long = {
+      org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
+      shuffleAcc.get()
+    }
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -47,13 +66,17 @@ object Bench {
     System.gc(); Thread.sleep(2000)
 
     val results = queries.filterNot(q => errors.contains(q._1)).map { case (name, fn) =>
+      var shuffleBytes = 0L
       val times = (1 to 2).map { _ =>
         System.gc() // steady-state: GC debt from prior queries stays untimed
+        val s0 = shuffleSnapshot()
         val t0 = System.nanoTime()
         runOnce(name, fn)
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        shuffleBytes = shuffleSnapshot() - s0 // bus drain stays OUTSIDE the timer
+        dt
       }
-      name -> times.min
+      (name, times.min, shuffleBytes)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -61,12 +84,15 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, b) =>
+      jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e6))
+    }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

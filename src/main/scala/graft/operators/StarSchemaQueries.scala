@@ -53,6 +53,48 @@ object StarSchemaQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q6-style forecasting revenue: pure scan + conjunctive filter +
+    * one global aggregate — every predicate (date range, discount band,
+    * quantity cap) reaches PushedFilters, so at 100 TB the scan skips row
+    * groups on min/max stats before any row is materialized. The per-row
+    * price×discount product rounds through DECIMAL(18,4) (doubles with ≤2
+    * decimals each ⇒ the product carries ≤4), making the sum
+    * order-independent and bit-exact cross-engine. */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue
+    * lost to returns in one quarter. Fact-to-fact (lineitem×orders) joins
+    * shuffle on the order key with both sides pre-filtered (returnflag,
+    * date quarter — both pushed down); customer joins on the shuffled key;
+    * the 25-row nation dim broadcasts; final top-20 is
+    * TakeOrderedAndProject. */
+  def q10ReturnedCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, sfDir)
+      .filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q3-style: top-10 open orders by revenue for one segment. */
   def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -348,6 +390,8 @@ object StarSchemaQueries {
     "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
     "events_quartile_stats" -> ((s, d) => eventsQuartileStats(s, d)),
     "events_cube" -> ((s, d) => eventsCube(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d)),
+    "q10_returned_customers" -> ((s, d) => q10ReturnedCustomers(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "user_retention" -> ((s, d) => userRetention(s, d)),
     "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
@@ -370,6 +414,28 @@ object StarSchemaQueries {
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_customers" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  $revenueSql AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
     "events_cube" ->
       """WITH b AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS weekday, value

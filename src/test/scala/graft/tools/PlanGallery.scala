@@ -51,6 +51,13 @@ object PlanGallery {
     "corpus_sample" -> ("Deterministic hash sample: the md5-bucket predicate is " +
       "one codegen'd row-local filter — no shuffle, no RNG state, same sample " +
       "on any engine/partitioning."),
+    "q6_forecast_revenue" -> ("Pushdown showcase: every predicate (date range, " +
+      "discount band, quantity cap) appears in PushedFilters, so row groups " +
+      "are skipped on parquet min/max stats; the rest is one partial+final " +
+      "aggregate with a decimal-exact product sum."),
+    "range_search" -> ("Radius query: one scan, one codegen'd distance+filter " +
+      "per row — embarrassingly parallel; the only shuffle is the output " +
+      "determinism sort."),
   )
 
   def main(args: Array[String]): Unit = {

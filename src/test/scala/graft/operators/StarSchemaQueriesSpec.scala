@@ -48,6 +48,31 @@ class StarSchemaQueriesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("approx_percentile tracks the exact per-group percentiles within 2%") {
+    import org.apache.spark.sql.functions._
+    // the billion-row path for events_value_quantiles: a bounded-memory
+    // mergeable sketch per group instead of percentile()'s exact
+    // per-group value buffer (no DuckDB twin → error-bound gate)
+    val exact = StarSchemaQueries.eventsValueQuantiles(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.Tables.events(spark, Sf001)
+      .groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)").as("q"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[collection.Seq[Double]]("q")).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (p50, p90, p99)) =>
+      val a = approx(k)
+      // exact percentile() interpolates; the sketch returns an observed
+      // sample — sparse tails legitimately differ more than the body
+      Seq((p50, a(0), 0.02), (p90, a(1), 0.02), (p99, a(2), 0.05)).foreach {
+        case (e, g, tol) =>
+          assert(math.abs(g - e) / math.max(math.abs(e), 1e-9) <= tol,
+            s"$k: exact $e vs approx $g (tol $tol)")
+      }
+    }
+  }
+
   test("approx_count_distinct (HLL++) tracks exact distinct users within 3%") {
     import org.apache.spark.sql.functions._
     val exact = StarSchemaQueries.eventsDistinctUsers(spark, Sf0001).collect()

@@ -174,6 +174,37 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** `l1_distance(a, b) = Σ |aᵢ − bᵢ|` — pgvector 0.7's taxicab operator
+  * `<+>` (/root/reference uses cosine ops only; L1 completes the distance
+  * family the extension ships). Same sequential double accumulation as
+  * the rest, so the DuckDB oracle matches bit-for-bit. */
+case class L1Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l1_distance"
+
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += java.lang.Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
+       |}
+       |$result = $acc;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** `inner_product(a, b) = Σ aᵢ·bᵢ`. pgvector's `<#>` is the NEGATIVE inner
   * product (so ORDER BY ascending = max-IP search); negate at the call site. */
 case class InnerProduct(left: Expression, right: Expression) extends VectorBinaryExpression {

@@ -26,8 +26,35 @@ package object functions {
   /** pgvector `a <-> b` (Euclidean distance). */
   def l2_distance(a: Column, b: Column): Column = col(L2Distance(expr(a), expr(b)))
 
+  /** pgvector 0.7 `a <+> b` (taxicab / L1 distance). */
+  def l1_distance(a: Column, b: Column): Column = col(L1Distance(expr(a), expr(b)))
+
   /** Positive inner product; pgvector `a <#> b` = `-inner_product(a, b)`. */
   def inner_product(a: Column, b: Column): Column = col(InnerProduct(expr(a), expr(b)))
+
+  /** pgvector elementwise `a + b` on vectors. */
+  def vector_add(a: Column, b: Column): Column =
+    F.zip_with(a, b, (x, y) => (x + y).cast(FloatType))
+
+  /** pgvector elementwise `a - b` on vectors. */
+  def vector_sub(a: Column, b: Column): Column =
+    F.zip_with(a, b, (x, y) => (x - y).cast(FloatType))
+
+  /** pgvector elementwise `a * b` on vectors. */
+  def vector_mul(a: Column, b: Column): Column =
+    F.zip_with(a, b, (x, y) => (x * y).cast(FloatType))
+
+  /** pgvector `vector_norm(v)` (Euclidean norm, double). */
+  def vector_norm(v: Column): Column =
+    F.sqrt(col(InnerProduct(expr(v), expr(v))))
+
+  /** pgvector `l2_normalize(v)`: v/‖v‖ as float (zero vector passes
+    * through unchanged, matching pgvector's error-free behavior on norm 0
+    * for halfvec/sparsevec and avoiding NaN codes downstream). */
+  def l2_normalize(v: Column): Column = {
+    val n = vector_norm(v)
+    F.when(n === 0.0d, v).otherwise(F.transform(v, x => (x / n).cast(FloatType)))
+  }
 
   /** pgvector `a <#> b` (negative inner product, ascending = max-IP). */
   def neg_inner_product(a: Column, b: Column): Column = -inner_product(a, b)
@@ -130,6 +157,7 @@ package object functions {
       r.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
+      r.createOrReplaceTempFunction("l1_distance", es => L1Distance(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("shingles",
         es => Shingles(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")

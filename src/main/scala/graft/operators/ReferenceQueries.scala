@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{OracleSql => O, Tables}
-import graft.functions.{cosine_distance, inner_product, l2_distance}
+import graft.functions.{cosine_distance, inner_product, l1_distance, l2_distance}
 
 /** The reference's query surface (SURVEY.md §2.2-2.5), re-expressed as
   * declarative DataFrame plans over the fixture tables. The reference's
@@ -128,6 +128,17 @@ object ReferenceQueries {
       .limit(k)
   }
 
+  /** L1/taxicab (pgvector 0.7 `<+>`) top-k — completes the distance
+    * operator family. */
+  def l1TopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val seed = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(seed))
+      .select(col("vec_id"), l1_distance(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Max-inner-product (pgvector `<#>`) top-k — §2.10. */
   def ipTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -202,6 +213,14 @@ object ReferenceQueries {
            |FROM embeddings e, q
            |ORDER BY dist, e.vec_id
            |LIMIT 10""".stripMargin,
+      "l1_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id,
+           |  list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |    s -> abs(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))) AS dist
+           |FROM embeddings e, q
+           |ORDER BY dist, e.vec_id
+           |LIMIT 10""".stripMargin,
       "ip_topk" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
            |SELECT e.vec_id, ${O.innerProduct("e.embedding", "q.qv")} AS ip
@@ -224,6 +243,7 @@ object ReferenceQueries {
     "ilike_filter" -> ((s, d) => ilikeFilter(s, d)),
     "vector_dims" -> ((s, d) => vectorDims(s, d)),
     "l2_topk" -> ((s, d) => l2TopK(s, d)),
+    "l1_topk" -> ((s, d) => l1TopK(s, d)),
     "ip_topk" -> ((s, d) => ipTopK(s, d)),
     "vector_parse_roundtrip" -> ((s, d) => vectorParseRoundtrip(s, d)),
   )

@@ -89,6 +89,52 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("l1_distance: known values, symmetry, triangle inequality, SQL registration") {
+    import graft.functions.l1_distance
+    val a = Array(1.0f, -2.0f, 3.0f)
+    val b = Array(4.0f, 0.0f, -1.0f)
+    assert(one(l1_distance(typedLit(a), typedLit(b))) === 9.0)
+    assert(one(l1_distance(typedLit(b), typedLit(a))) === 9.0)
+    assert(one(l1_distance(typedLit(a), typedLit(a))) === 0.0)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val x = Array.fill(8)(rnd.nextFloat() * 10f - 5f)
+      val y = Array.fill(8)(rnd.nextFloat() * 10f - 5f)
+      val z = Array.fill(8)(rnd.nextFloat() * 10f - 5f)
+      val xy = one(l1_distance(typedLit(x), typedLit(y)))
+      val yz = one(l1_distance(typedLit(y), typedLit(z)))
+      val xz = one(l1_distance(typedLit(x), typedLit(z)))
+      assert(xz <= xy + yz + 1e-9, "L1 is a metric")
+    }
+    graft.functions.registerAll(spark)
+    assert(spark.sql(
+      "SELECT l1_distance(array(1.0f,-2.0f,3.0f), array(4.0f,0.0f,-1.0f))")
+      .head().getDouble(0) === 9.0)
+  }
+
+  test("vector arithmetic: add/sub/mul elementwise; norm; l2_normalize") {
+    import graft.functions.{vector_add, vector_mul, vector_norm, vector_sub, l2_normalize}
+    import org.apache.spark.sql.Row
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      vector_add(col("a"), col("b")).as("s"),
+      vector_sub(col("a"), col("b")).as("d"),
+      vector_mul(col("a"), col("b")).as("m"),
+      vector_norm(col("b")).as("n"),
+      l2_normalize(col("b")).as("u")).head()
+    assert(r.getAs[collection.Seq[Float]]("s") === Seq(4.0f, 6.0f))
+    assert(r.getAs[collection.Seq[Float]]("d") === Seq(-2.0f, -2.0f))
+    assert(r.getAs[collection.Seq[Float]]("m") === Seq(3.0f, 8.0f))
+    assert(r.getAs[Double]("n") === 5.0)
+    val u = r.getAs[collection.Seq[Float]]("u")
+    assert(math.abs(u(0) - 0.6f) < 1e-6 && math.abs(u(1) - 0.8f) < 1e-6)
+    // zero vector: norm 0, normalize is identity (no NaNs)
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+      .select(vector_norm(col("v")).as("n"), l2_normalize(col("v")).as("u")).head()
+    assert(z.getAs[Double]("n") === 0.0)
+    assert(z.getAs[collection.Seq[Float]]("u") === Seq(0.0f, 0.0f))
+  }
+
   // ScalaCheck-style properties (SURVEY.md §5): symmetry, range, dist(x,x)≈0.
   // Evaluated driver-side against the same interpreted `compute` path used by
   // eval; the codegen path is covered by the fixture-column tests above.

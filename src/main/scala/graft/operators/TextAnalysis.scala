@@ -244,6 +244,32 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** One-pass table profile (ANALYZE/data-card analog): per column of
+    * `documents` — non-null count, exact distinct count, min/max rendered
+    * as strings. All 5×3 aggregates fold in a SINGLE aggregation (Spark
+    * plans the multi-distinct via one Expand — same cost as one explode
+    * pass, no per-column scans), then the 1-row result unpivots to rows
+    * with `stack` (driver-free). At 100 TB exact ndv on high-cardinality
+    * columns is the expensive part; swap `countDistinct` for
+    * `approx_count_distinct` per column when the card tolerates ±2%. */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val colsP = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = colsP.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_n"),
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max"))) :+ count(lit(1)).as("_total")
+    val row = Tables.documents(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    row.select(expr(
+        s"stack(${colsP.size}, " + colsP.map(c =>
+          s"'$c', ${c}_n, ${c}_ndv, ${c}_min, ${c}_max, _total").mkString(", ") +
+          ") as (col_name, n_non_null, n_distinct, min_value, max_value, n_rows)"))
+      .select(col("col_name"), col("n_rows"), col("n_non_null"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy("col_name")
+  }
+
   val BigramTopK = 20
 
   /** Corpus-wide top-[[BigramTopK]] token bigrams by DOCUMENT frequency —
@@ -275,6 +301,7 @@ object TextAnalysis {
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
     "source_stats" -> ((s, d) => sourceStats(s, d)),
+    "table_profile" -> ((s, d) => tableProfile(s, d)),
   )
 
   def oracles: Map[String, String] = {
@@ -331,6 +358,15 @@ object TextAnalysis {
            |  FROM b)
            |SELECT lang, split, count(*) AS n FROM s
            |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+      "table_profile" -> {
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_non_null,
+             |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_value, CAST(MAX($c) AS VARCHAR) AS max_value
+             |FROM documents""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
       "source_stats" ->
         """WITH base AS (
           |  SELECT doc_id, source, lang, CAST(length(text) AS BIGINT) AS len,

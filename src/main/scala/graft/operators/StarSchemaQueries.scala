@@ -95,6 +95,52 @@ object StarSchemaQueries {
       .limit(20)
   }
 
+  /** Full-outer join breadth: per-nation customer vs supplier account
+    * balance. Both sides pre-aggregate to ≤|nations| rows BEFORE the join
+    * (aggregate-then-join: the join moves 25 rows, not 150k), the nation
+    * dim broadcasts, and FULL OUTER + coalesce covers nations with only
+    * one side present. */
+  def nationBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(sum(dec2(col("c_acctbal"))).cast("double").as("cust_bal"),
+        count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(sum(dec2(col("s_acctbal"))).cast("double").as("supp_bal"),
+        count(lit(1)).as("n_supp"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("cust_bal"), lit(0.0d)).as("cust_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("supp_bal"), lit(0.0d)).as("supp_bal"))
+      .orderBy("n_name")
+  }
+
+  /** Inter-event gap profiling via `lead`: for each user the time to their
+    * next event, rolled up per event type (engagement cadence). The window
+    * partitions on user_id — bounded per-user groups, the same safe shape
+    * as sessionization — and the rollup is one partial+final agg. µs epoch
+    * longs keep the arithmetic integer-exact cross-engine. */
+  def eventsGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.eventsUs(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        // integer division on both engines (double-divide + cast would
+        // truncate in Spark but round in DuckDB)
+        expr("sum(gap_us) div count(*)").as("mean_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** TPC-H Q3-style: top-10 open orders by revenue for one segment. */
   def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -392,6 +438,8 @@ object StarSchemaQueries {
     "events_cube" -> ((s, d) => eventsCube(s, d)),
     "q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d)),
     "q10_returned_customers" -> ((s, d) => q10ReturnedCustomers(s, d)),
+    "nation_balance" -> ((s, d) => nationBalance(s, d)),
+    "events_gaps" -> ((s, d) => eventsGaps(s, d)),
     "events_funnel" -> ((s, d) => eventsFunnel(s, d)),
     "user_retention" -> ((s, d) => userRetention(s, d)),
     "lineitem_rollup" -> ((s, d) => lineitemRollup(s, d)),
@@ -414,6 +462,34 @@ object StarSchemaQueries {
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "nation_balance" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nationkey,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal,
+        |    COUNT(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |supp AS (
+        |  SELECT s_nationkey AS nationkey,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal,
+        |    COUNT(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT n_name,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(cust_bal, 0.0) AS cust_bal,
+        |  COALESCE(n_supp, 0) AS n_supp, COALESCE(supp_bal, 0.0) AS supp_bal
+        |FROM cust FULL OUTER JOIN supp USING (nationkey)
+        |JOIN nation ON nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "events_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      - epoch_us(ts) AS gap_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+        |  MAX(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

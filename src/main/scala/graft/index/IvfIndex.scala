@@ -6,7 +6,9 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.cosine_distance
+import org.apache.spark.sql.Column
+
+import graft.functions.{cosine_distance, l2_distance}
 import graft.util.Timing.timeIt
 
 /** IVFFLAT-analog batch vector index (the reference's
@@ -15,10 +17,18 @@ import graft.util.Timing.timeIt
   * demo/aws_rds_similarity_search_demo.py:135-139), built as a Spark batch
   * job per the BASELINE.json north star ("batch index creation fits Spark").
   *
-  * Build: L2-normalize (cosine ≡ Euclidean on the unit sphere) → KMeans
-  * (k = lists, FIXED seed for reproducible verify runs, SURVEY.md §7.2) →
-  * assign each vector its nearest-centroid `list_id` → write the index
-  * dataset **Hive-partitioned by list_id** + a tiny centroid sidecar.
+  * Like ivfflat, the whole index is keyed to ONE opclass metric:
+  * `vector_cosine_ops` (L2-normalize, cosine KMeans — cosine ≡ Euclidean
+  * on the unit sphere) or `vector_l2_ops` (raw-space Euclidean KMeans).
+  * The metric persists in a `meta` sidecar and every read path
+  * (probe/probeMany/append, the transparent rewrite's centroid ranking)
+  * resolves it from there — a mixed scheme mis-assigns boundary vectors
+  * and silently costs recall.
+  *
+  * Build: features per the metric → KMeans (k = lists, FIXED seed for
+  * reproducible verify runs, SURVEY.md §7.2) → assign each vector its
+  * nearest-centroid `list_id` → write the index dataset **Hive-partitioned
+  * by list_id** + a tiny centroid sidecar.
   *
   * Probe: rank centroids by cosine distance to the query → read ONLY the
   * `nprobe` nearest list partitions (directory-level partition pruning — at
@@ -29,6 +39,28 @@ object IvfIndex {
 
   val DefaultLists = 100 // pgvector demo default (README.md:185)
   val Seed = 42L
+
+  /** Supported opclass metrics (pgvector: vector_cosine_ops / vector_l2_ops).
+    * The whole index is keyed to ONE metric, like ivfflat. */
+  val Metrics = Set("cosine", "l2")
+
+  /** The metric an index at `indexPath` was built with ("cosine" for
+    * pre-metric indexes without a meta sidecar). */
+  def metricOf(spark: SparkSession, indexPath: String): String = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(metaPath))
+      spark.read.parquet(s"$indexPath/meta").head().getString(0)
+    else "cosine"
+  }
+
+  /** The index's distance column for its opclass metric. */
+  def metricDistance(metric: String)(a: Column, b: Column): Column = metric match {
+    case "cosine" => cosine_distance(a, b)
+    case "l2" => l2_distance(a, b)
+    case other => throw new IllegalArgumentException(
+      s"unsupported ivf metric: $other (${Metrics.mkString("|")})")
+  }
 
   /** Build the index dataset at `indexPath`. The lists dataset keeps ALL
     * source columns (so an index scan can substitute for a table scan in
@@ -43,41 +75,68 @@ object IvfIndex {
     * index to one opclass metric for the same reason. */
   def build(embeddings: DataFrame, indexPath: String,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            lists: Int = DefaultLists): (Long, Int) = timeIt("ivf_build") {
+            lists: Int = DefaultLists, metric: String = "cosine"): (Long, Int) =
+    timeIt("ivf_build") {
+    require(Metrics.contains(metric), s"unsupported ivf metric: $metric")
     val spark = embeddings.sparkSession
     val srcCols = embeddings.columns.toSeq
-    // cosine is undefined for zero-norm vectors (Spark's cosine KMeans
-    // asserts on them): route them to list 0 unconditionally — cosine
-    // distance to anything is NaN, so NO list is more correct and probes
-    // rank them last either way; everything else flows through KMeans
-    val normSq = graft.functions.inner_product(col(vecCol), col(vecCol))
-    val withNorm = embeddings.withColumn("_nsq", normSq)
-    val zeros = withNorm.filter(col("_nsq") === 0.0)
-      .select(srcCols.map(col): _*).withColumn("list_id", lit(0))
-    val feats = withNorm.filter(col("_nsq") > 0.0)
-      .withColumn("fv", array_to_vector(col(vecCol).cast("array<double>")))
-    val normed = new Normalizer().setInputCol("fv").setOutputCol("nfv").setP(2.0)
-      .transform(feats)
-    val model = new KMeans()
-      .setK(lists).setSeed(Seed).setDistanceMeasure("cosine")
-      .setFeaturesCol("nfv").setPredictionCol("list_id")
-      .fit(normed)
-    val assigned = model.transform(normed)
-      .select((srcCols :+ "list_id").map(col): _*)
-      .unionByName(zeros)
+    val assigned = if (metric == "cosine") {
+      // cosine is undefined for zero-norm vectors (Spark's cosine KMeans
+      // asserts on them): route them to list 0 unconditionally — cosine
+      // distance to anything is NaN, so NO list is more correct and probes
+      // rank them last either way; everything else flows through KMeans
+      val normSq = graft.functions.inner_product(col(vecCol), col(vecCol))
+      val withNorm = embeddings.withColumn("_nsq", normSq)
+      val zeros = withNorm.filter(col("_nsq") === 0.0)
+        .select(srcCols.map(col): _*).withColumn("list_id", lit(0))
+      val feats = withNorm.filter(col("_nsq") > 0.0)
+        .withColumn("fv", array_to_vector(col(vecCol).cast("array<double>")))
+      val normed = new Normalizer().setInputCol("fv").setOutputCol("nfv").setP(2.0)
+        .transform(feats)
+      val model = new KMeans()
+        .setK(lists).setSeed(Seed).setDistanceMeasure("cosine")
+        .setFeaturesCol("nfv").setPredictionCol("list_id")
+        .fit(normed)
+      writeCentroids(spark, indexPath, model.clusterCenters, normalize = true)
+      model.transform(normed)
+        .select((srcCols :+ "list_id").map(col): _*)
+        .unionByName(zeros)
+    } else {
+      // l2 opclass: raw-space Euclidean KMeans, centroids stay unnormalized
+      // (normalizing would change the metric geometry); zero vectors are
+      // ordinary points under L2 — no special-casing
+      val feats = embeddings
+        .withColumn("fv", array_to_vector(col(vecCol).cast("array<double>")))
+      val model = new KMeans()
+        .setK(lists).setSeed(Seed).setDistanceMeasure("euclidean")
+        .setFeaturesCol("fv").setPredictionCol("list_id")
+        .fit(feats)
+      writeCentroids(spark, indexPath, model.clusterCenters, normalize = false)
+      model.transform(feats)
+        .select((srcCols :+ "list_id").map(col): _*)
+    }
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    import spark.implicits._
+    Seq(metric).toDF("metric")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    // metadata-only count of what was just written — NOT assigned.count(),
+    // which would re-run normalization + KMeans assignment over the corpus
+    (spark.read.parquet(s"$indexPath/lists").count(), lists)
+  }
+
+  private def writeCentroids(spark: SparkSession, indexPath: String,
+                             centers: Array[org.apache.spark.ml.linalg.Vector],
+                             normalize: Boolean): Unit = {
+    val centroids = centers.zipWithIndex.map { case (c, i) =>
       val arr = c.toArray
       val norm = math.sqrt(arr.map(x => x * x).sum)
       // a zero centroid can only arise from a degenerate/empty cluster —
       // keep it zero rather than writing NaNs into the sidecar
-      (i, if (norm == 0.0) arr.map(_.toFloat) else arr.map(x => (x / norm).toFloat))
+      (i, if (!normalize || norm == 0.0) arr.map(_.toFloat)
+          else arr.map(x => (x / norm).toFloat))
     }
     spark.createDataFrame(centroids.toIndexedSeq).toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    // metadata-only count of what was just written — NOT assigned.count(),
-    // which would re-run normalization + KMeans assignment over the corpus
-    (spark.read.parquet(s"$indexPath/lists").count(), lists)
   }
 
   /** Incremental maintenance — the batch analog of pgvector's ivfflat
@@ -90,13 +149,14 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding"): Long =
     timeIt("ivf_append") {
       val spark = newRows.sparkSession
+      val dist = metricDistance(metricOf(spark, indexPath)) _
       val cents = spark.read.parquet(s"$indexPath/centroids")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(idCol).orderBy(col("cdist"), col("list_id"))
       val srcCols = newRows.columns.toSeq
       val assigned = newRows
         .crossJoin(broadcast(cents))
-        .withColumn("cdist", cosine_distance(col(vecCol), col("centroid")))
+        .withColumn("cdist", dist(col(vecCol), col("centroid")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select((srcCols :+ "list_id").map(col): _*)
@@ -108,20 +168,22 @@ object IvfIndex {
       } finally assigned.unpersist()
     }
 
-  /** Top-k cosine probe of `nprobe` lists for one query vector. */
+  /** Top-k probe of `nprobe` lists for one query vector, in the index's
+    * opclass metric. */
   def probe(spark: SparkSession, indexPath: String, query: Array[Float],
             k: Int, nprobe: Int): DataFrame = {
+    val dist = metricDistance(metricOf(spark, indexPath)) _
     // index metadata lookup: |lists| rows, driver-side by design
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .select(col("list_id"),
-        cosine_distance(col("centroid"), typedLit(query)).as("cdist"))
+        dist(col("centroid"), typedLit(query)).as("cdist"))
       .orderBy(col("cdist"), col("list_id"))
       .limit(nprobe)
       .collect().map(_.getInt(0))
     spark.read.parquet(s"$indexPath/lists")
       .filter(col("list_id").isin(centroids.toIndexedSeq: _*)) // partition pruning
       .select(col("vec_id"),
-        cosine_distance(col("embedding"), typedLit(query)).as("dist"))
+        dist(col("embedding"), typedLit(query)).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
@@ -141,13 +203,14 @@ object IvfIndex {
   def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import graft.functions.top_k_by_distance
+    val dist = metricDistance(metricOf(spark, indexPath)) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val probed = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"),
         col("list_id").cast("long").as("list_id"),
-        cosine_distance(col("centroid"), col("qv")).as("cdist"))
+        dist(col("centroid"), col("qv")).as("cdist"))
       .groupBy("qid")
       .agg(first(col("qv")).as("qv"),
         top_k_by_distance(col("cdist"), col("list_id"), nprobe).as("top"))
@@ -168,7 +231,7 @@ object IvfIndex {
       .filter(col("list_id").isin(listIds: _*)) // directory-level pruning
       .join(broadcast(probeSide), Seq("list_id"))
       .select(col("qid"), col("vec_id"),
-        cosine_distance(col("embedding"), col("qv")).as("dist"))
+        dist(col("embedding"), col("qv")).as("dist"))
       .groupBy("qid")
       .agg(top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))

@@ -31,12 +31,21 @@ object IndexQueries {
   val NswShards = 4
 
   private val cache = new ConcurrentHashMap[String, String]()
+  private val l2Cache = new ConcurrentHashMap[String, String]()
   private val nswCache = new ConcurrentHashMap[String, String]()
 
   def indexFor(spark: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(sfDir, { _ =>
       val path = Files.createTempDirectory("graft_ivf").resolve("index").toString
       IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists)
+      path
+    })
+
+  /** vector_l2_ops analog: the same IVF machinery keyed to the L2 metric. */
+  def l2IndexFor(spark: SparkSession, sfDir: String): String =
+    l2Cache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_ivf_l2").resolve("index").toString
+      IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists, metric = "l2")
       path
     })
 
@@ -78,6 +87,24 @@ object IndexQueries {
   /** Approximate top-k for the vec_id=0 query through the index. */
   def ivfKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val path = indexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfIndex.probe(spark, path, q, K, NProbe)
+  }
+
+  /** Build (cached) + cardinality contract for the L2-opclass IVF index. */
+  def ivfL2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = l2IndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/lists")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  /** Approximate L2 top-k for the vec_id=0 query through the L2 index. */
+  def ivfL2Knn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = l2IndexFor(spark, sfDir)
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getAs[collection.Seq[Float]]("embedding").toArray
@@ -145,6 +172,8 @@ object IndexQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_build" -> ((s, d) => ivfBuild(s, d)),
     "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+    "ivf_l2_build" -> ((s, d) => ivfL2Build(s, d)),
+    "ivf_l2_knn" -> ((s, d) => ivfL2Knn(s, d)),
     "hnsw_build" -> ((s, d) => nswBuild(s, d)),
     "hnsw_knn" -> ((s, d) => hnswKnn(s, d)),
     "pq_build" -> ((s, d) => pqBuild(s, d)),
@@ -156,6 +185,8 @@ object IndexQueries {
   def oracles: Map[String, String] = Map(
     // cardinality contract: every embedding vector indexed exactly once
     "ivf_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    "ivf_l2_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
     "hnsw_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",

@@ -82,8 +82,13 @@ object AnnIndexRegistry {
     val cached = probeMemo.get(key)
     if (cached != null) cached
     else {
+      // rank centroids in the INDEX's opclass metric (the rewrite itself
+      // only fires on cosine sorts today, but the pruning geometry must
+      // always follow the metric the lists were clustered under)
+      val dist = graft.index.IvfIndex.metricDistance(
+        graft.index.IvfIndex.metricOf(spark, entry.indexPath)) _
       val v = spark.read.parquet(s"${entry.indexPath}/centroids")
-        .select(col("list_id"), cosine_distance(col("centroid"), typedLit(q)).as("d"))
+        .select(col("list_id"), dist(col("centroid"), typedLit(q)).as("d"))
         .orderBy(col("d"), col("list_id"))
         .limit(entry.nprobe)
         .collect().map(_.getInt(0)).toSeq

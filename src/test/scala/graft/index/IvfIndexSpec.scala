@@ -83,6 +83,28 @@ class IvfIndexSpec extends SparkSpec {
       s"scan must not read all ${IndexQueries.Lists} lists")
   }
 
+  test("l2 opclass: probe-all equals exact L2 top-k; pruned recall holds; metric persisted") {
+    val l2Path = IndexQueries.l2IndexFor(spark, Sf0001)
+    assert(IvfIndex.metricOf(spark, l2Path) === "l2")
+    assert(IvfIndex.metricOf(spark, indexPath) === "cosine")
+    val exact = ReferenceQueries.l2TopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val all = IvfIndex.probe(spark, l2Path, queryVec, 10, IndexQueries.Lists)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all === exact, "probing all lists must degrade to exact L2 search")
+    val pruned = IvfIndex.probe(spark, l2Path, queryVec, 10, IndexQueries.NProbe)
+      .collect().map(_.getLong(0))
+    assert(pruned.head === 0L, "self is the L2-nearest")
+    // unclustered fixtures: same nprobe/lists floor + monotonicity the
+    // cosine recall test uses
+    val recall4 = pruned.toSet.intersect(exact.toSet).size / 10.0
+    assert(recall4 >= IndexQueries.NProbe.toDouble / IndexQueries.Lists,
+      s"L2 recall@10 $recall4 below the nprobe/lists floor")
+    val recall8 = IvfIndex.probe(spark, l2Path, queryVec, 10, 8)
+      .collect().map(_.getLong(0)).toSet.intersect(exact.toSet).size / 10.0
+    assert(recall8 >= recall4, s"recall must not decrease with nprobe ($recall4 → $recall8)")
+  }
+
   test("probeMany matches single-query probe per qid") {
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))

@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, IntegerLiteral, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, IntegerLiteral, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -72,6 +72,23 @@ object AnnIndexRegistry {
   def lookup(paths: Seq[String]): Option[Entry] =
     paths.map(norm).flatMap(p => Option(byPath.get(p))).headOption
 
+  // metric memo keyed on the same rebuild fingerprint as probedLists —
+  // reading the meta sidecar is a Spark job, far too heavy per optimization
+  private val metricMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  /** The registered index's opclass metric (memoized per rebuild). */
+  def metricOf(spark: SparkSession, entry: Entry): String = {
+    val key = (entry.indexPath, fingerprint(spark, entry.indexPath))
+    val cached = metricMemo.get(key)
+    if (cached != null) cached
+    else {
+      val m = graft.index.IvfIndex.metricOf(spark, entry.indexPath)
+      metricMemo.put(key, m)
+      m
+    }
+  }
+
   def probedLists(spark: SparkSession, entry: Entry, q: Array[Float]): Seq[Int] = {
     val key = (entry.indexPath, fingerprint(spark, entry.indexPath), entry.nprobe,
       collection.immutable.ArraySeq.unsafeWrapArray(q.clone()))
@@ -82,11 +99,9 @@ object AnnIndexRegistry {
     val cached = probeMemo.get(key)
     if (cached != null) cached
     else {
-      // rank centroids in the INDEX's opclass metric (the rewrite itself
-      // only fires on cosine sorts today, but the pruning geometry must
-      // always follow the metric the lists were clustered under)
-      val dist = graft.index.IvfIndex.metricDistance(
-        graft.index.IvfIndex.metricOf(spark, entry.indexPath)) _
+      // rank centroids in the INDEX's opclass metric — the pruning
+      // geometry must follow the metric the lists were clustered under
+      val dist = graft.index.IvfIndex.metricDistance(metricOf(spark, entry)) _
       val v = spark.read.parquet(s"${entry.indexPath}/centroids")
         .select(col("list_id"), dist(col("centroid"), typedLit(q)).as("d"))
         .orderBy(col("d"), col("list_id"))
@@ -100,12 +115,26 @@ object AnnIndexRegistry {
 
 case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def queryVector(e: CosineDistance): Option[(Attribute, Array[Float])] =
-    (e.left, e.right) match {
+  private def queryVector(l: Expression, r: Expression): Option[(Attribute, Array[Float])] =
+    (l, r) match {
       case (a: Attribute, Literal(v: ArrayData, ArrayType(FloatType, _))) =>
         Some((a, v.toFloatArray))
       case (Literal(v: ArrayData, ArrayType(FloatType, _)), a: Attribute) =>
         Some((a, v.toFloatArray))
+      case _ => None
+    }
+
+  /** The sort's distance operator and its opclass metric — the rewrite
+    * fires only when the registered index was built under the SAME metric
+    * (pgvector's planner likewise matches operator to index opclass). */
+  private def sortDistance(srt: Sort): Option[(String, Expression, Expression)] =
+    srt match {
+      case Sort(SortOrder(d: CosineDistance, Ascending, _, _) +: _, true, _, _) =>
+        Some(("cosine", d.left, d.right))
+      case Sort(SortOrder(d: graft.functions.L1Distance, _, _, _) +: _, _, _, _) =>
+        None // no L1 opclass index exists; stay exact
+      case Sort(SortOrder(d: graft.functions.L2Distance, Ascending, _, _) +: _, true, _, _) =>
+        Some(("l2", d.left, d.right))
       case _ => None
     }
 
@@ -137,13 +166,9 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         ll @ LocalLimit(IntegerLiteral(_), limChild)) =>
       val rewritten = for {
         (outerProj, srt) <- peelToSort(limChild)
-        d <- srt match {
-          case Sort(SortOrder(d: CosineDistance, Ascending, _, _) +: _, true, _, _) =>
-            Some(d)
-          case _ => None
-        }
+        (metric, dl, dr) <- sortDistance(srt)
         (stack, rel) <- unwrap(srt.child)
-        (vecAttr, q) <- queryVector(d)
+        (vecAttr, q) <- queryVector(dl, dr)
         // the sorted distance must be over the RELATION's own vector column
         // (pass-through Projects keep exprIds); a derived/aliased vector is
         // a different quantity than the one the index clusters — skip.
@@ -153,6 +178,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         entry <- AnnIndexRegistry.lookup(
           fsRel.location.rootPaths.map(_.toString).toSeq)
+        if AnnIndexRegistry.metricOf(spark, entry) == metric
         lists = AnnIndexRegistry.probedLists(spark, entry, q)
         idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
           .filter(col("list_id").isin(lists: _*))

@@ -111,6 +111,28 @@ class AnnRewriteSpec extends SparkSpec {
     assert(df.collect().length === 5)
   }
 
+  test("l2 sort over an l2-opclass index rewrites; opclass mismatch stays exact") {
+    import graft.functions.l2_distance
+    val l2Index = IndexQueries.l2IndexFor(spark, Sf0001)
+    def l2TopK(k: Int) =
+      spark.read.parquet(tablePath)
+        .orderBy(l2_distance(col("embedding"), vector_lit(queryVec)), col("vec_id"))
+        .limit(k)
+    val exact = l2TopK(10).collect().map(_.getLong(0)).toSeq
+    // cosine index registered: an l2 sort must NOT use it (wrong opclass)
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4)
+    val mismatchPlan = l2TopK(10).queryExecution.executedPlan.toString
+    assert(mismatchPlan.contains("embeddings.parquet"),
+      s"l2 sort must not probe a cosine-opclass index:\n$mismatchPlan")
+    // l2 index registered: the l2 sort rewrites, and probe-all is exact
+    AnnIndexRegistry.register(tablePath, l2Index, nprobe = 4)
+    val plan = l2TopK(10).queryExecution.executedPlan.toString
+    assert(plan.contains("list_id"), s"expected l2 index scan:\n$plan")
+    AnnIndexRegistry.register(tablePath, l2Index, nprobe = IndexQueries.Lists)
+    val ann = l2TopK(10).collect().map(_.getLong(0)).toSeq
+    assert(ann === exact, "probe-all through the l2 index must equal exact L2 search")
+  }
+
   test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rebuild_idx").resolve("idx").toString

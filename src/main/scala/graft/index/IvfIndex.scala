@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.Column
 
-import graft.functions.{cosine_distance, l2_distance}
+import graft.functions.{cosine_distance, l2_distance, neg_inner_product}
 import graft.util.Timing.timeIt
 
 /** IVFFLAT-analog batch vector index (the reference's
@@ -19,8 +19,9 @@ import graft.util.Timing.timeIt
   *
   * Like ivfflat, the whole index is keyed to ONE opclass metric:
   * `vector_cosine_ops` (L2-normalize, cosine KMeans — cosine ≡ Euclidean
-  * on the unit sphere) or `vector_l2_ops` (raw-space Euclidean KMeans).
-  * The metric persists in a `meta` sidecar and every read path
+  * on the unit sphere), `vector_l2_ops` (raw-space Euclidean KMeans), or
+  * `vector_ip_ops` (Euclidean lists, −IP ranking — the Faiss MIPS-IVF
+  * layout). The metric persists in a `meta` sidecar and every read path
   * (probe/probeMany/append, the transparent rewrite's centroid ranking)
   * resolves it from there — a mixed scheme mis-assigns boundary vectors
   * and silently costs recall.
@@ -30,19 +31,21 @@ import graft.util.Timing.timeIt
   * nearest-centroid `list_id` → write the index dataset **Hive-partitioned
   * by list_id** + a tiny centroid sidecar.
   *
-  * Probe: rank centroids by cosine distance to the query → read ONLY the
-  * `nprobe` nearest list partitions (directory-level partition pruning — at
-  * 100 TB a probe touches nprobe/lists of the data) → exact cosine top-k
-  * within them. `nprobe = lists` degrades to exact search (tested).
+  * Probe: rank centroids by the opclass distance to the query → read ONLY
+  * the `nprobe` nearest list partitions (directory-level partition pruning —
+  * at 100 TB a probe touches nprobe/lists of the data) → exact top-k in the
+  * same metric within them. `nprobe = lists` degrades to exact search
+  * (tested per metric).
   */
 object IvfIndex {
 
   val DefaultLists = 100 // pgvector demo default (README.md:185)
   val Seed = 42L
 
-  /** Supported opclass metrics (pgvector: vector_cosine_ops / vector_l2_ops).
-    * The whole index is keyed to ONE metric, like ivfflat. */
-  val Metrics = Set("cosine", "l2")
+  /** Supported opclass metrics (pgvector: vector_cosine_ops /
+    * vector_l2_ops / vector_ip_ops). The whole index is keyed to ONE
+    * metric, like ivfflat. */
+  val Metrics = Set("cosine", "l2", "ip")
 
   /** The metric an index at `indexPath` was built with ("cosine" for
     * pre-metric indexes without a meta sidecar). */
@@ -54,10 +57,13 @@ object IvfIndex {
     else "cosine"
   }
 
-  /** The index's distance column for its opclass metric. */
+  /** The index's ASCENDING-sortable distance column for its opclass
+    * metric (`ip` is pgvector's `<#>`: NEGATIVE inner product, so
+    * ascending order is max-IP search). */
   def metricDistance(metric: String)(a: Column, b: Column): Column = metric match {
     case "cosine" => cosine_distance(a, b)
     case "l2" => l2_distance(a, b)
+    case "ip" => neg_inner_product(a, b)
     case other => throw new IllegalArgumentException(
       s"unsupported ivf metric: $other (${Metrics.mkString("|")})")
   }
@@ -102,9 +108,12 @@ object IvfIndex {
         .select((srcCols :+ "list_id").map(col): _*)
         .unionByName(zeros)
     } else {
-      // l2 opclass: raw-space Euclidean KMeans, centroids stay unnormalized
-      // (normalizing would change the metric geometry); zero vectors are
-      // ordinary points under L2 — no special-casing
+      // l2 / ip opclasses: raw-space Euclidean KMeans, centroids stay
+      // unnormalized (normalizing would change the geometry); zero vectors
+      // are ordinary points — no special-casing. For ip this is the
+      // standard MIPS-IVF layout (Faiss: L2 coarse quantizer, IP ranking) —
+      // inner product is not a metric, so lists cluster under Euclidean
+      // geometry and only the RANKING uses the operator
       val feats = embeddings
         .withColumn("fv", array_to_vector(col(vecCol).cast("array<double>")))
       val model = new KMeans()

@@ -32,6 +32,7 @@ object IndexQueries {
 
   private val cache = new ConcurrentHashMap[String, String]()
   private val l2Cache = new ConcurrentHashMap[String, String]()
+  private val ipCache = new ConcurrentHashMap[String, String]()
   private val nswCache = new ConcurrentHashMap[String, String]()
 
   def indexFor(spark: SparkSession, sfDir: String): String =
@@ -46,6 +47,14 @@ object IndexQueries {
     l2Cache.computeIfAbsent(sfDir, { _ =>
       val path = Files.createTempDirectory("graft_ivf_l2").resolve("index").toString
       IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists, metric = "l2")
+      path
+    })
+
+  /** vector_ip_ops analog: Euclidean-clustered lists ranked by -IP. */
+  def ipIndexFor(spark: SparkSession, sfDir: String): String =
+    ipCache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_ivf_ip").resolve("index").toString
+      IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists, metric = "ip")
       path
     })
 
@@ -105,6 +114,25 @@ object IndexQueries {
   /** Approximate L2 top-k for the vec_id=0 query through the L2 index. */
   def ivfL2Knn(spark: SparkSession, sfDir: String): DataFrame = {
     val path = l2IndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfIndex.probe(spark, path, q, K, NProbe)
+  }
+
+  /** Build (cached) + cardinality contract for the IP-opclass IVF index. */
+  def ivfIpBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ipIndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/lists")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  /** Approximate max-IP top-k for the vec_id=0 query through the IP index.
+    * `dist` is the pgvector `<#>` value (negative inner product). */
+  def ivfIpKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ipIndexFor(spark, sfDir)
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getAs[collection.Seq[Float]]("embedding").toArray
@@ -174,6 +202,8 @@ object IndexQueries {
     "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
     "ivf_l2_build" -> ((s, d) => ivfL2Build(s, d)),
     "ivf_l2_knn" -> ((s, d) => ivfL2Knn(s, d)),
+    "ivf_ip_build" -> ((s, d) => ivfIpBuild(s, d)),
+    "ivf_ip_knn" -> ((s, d) => ivfIpKnn(s, d)),
     "hnsw_build" -> ((s, d) => nswBuild(s, d)),
     "hnsw_knn" -> ((s, d) => hnswKnn(s, d)),
     "pq_build" -> ((s, d) => pqBuild(s, d)),
@@ -187,6 +217,8 @@ object IndexQueries {
     "ivf_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
     "ivf_l2_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    "ivf_ip_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
     "hnsw_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",

@@ -105,6 +105,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall8 >= recall4, s"recall must not decrease with nprobe ($recall4 → $recall8)")
   }
 
+  test("ip opclass: probe-all equals exact max-IP top-k; metric persisted") {
+    val ipPath = IndexQueries.ipIndexFor(spark, Sf0001)
+    assert(IvfIndex.metricOf(spark, ipPath) === "ip")
+    val exact = ReferenceQueries.ipTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val all = IvfIndex.probe(spark, ipPath, queryVec, 10, IndexQueries.Lists)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all === exact, "probing all lists must degrade to exact max-IP search")
+    // pruned probe: recall floor only (IP is not a metric; Euclidean lists
+    // approximate the MIPS neighborhood — the Faiss-style trade)
+    val pruned = IvfIndex.probe(spark, ipPath, queryVec, 10, IndexQueries.NProbe)
+      .collect().map(_.getLong(0)).toSet
+    val recall = pruned.intersect(exact.toSet).size / 10.0
+    assert(recall >= IndexQueries.NProbe.toDouble / IndexQueries.Lists,
+      s"IP recall@10 $recall below the nprobe/lists floor")
+  }
+
   test("probeMany matches single-query probe per qid") {
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))

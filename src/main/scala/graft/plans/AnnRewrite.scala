@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, IntegerLiteral, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, Expression, IntegerLiteral, Literal, SortOrder, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -135,6 +135,12 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         None // no L1 opclass index exists; stay exact
       case Sort(SortOrder(d: graft.functions.L2Distance, Ascending, _, _) +: _, true, _, _) =>
         Some(("l2", d.left, d.right))
+      // pgvector `<#>` is the NEGATIVE inner product sorted ascending;
+      // `inner_product(…) DESC` is the same max-IP search spelled directly.
+      case Sort(SortOrder(UnaryMinus(d: graft.functions.InnerProduct, _), Ascending, _, _) +: _, true, _, _) =>
+        Some(("ip", d.left, d.right))
+      case Sort(SortOrder(d: graft.functions.InnerProduct, Descending, _, _) +: _, true, _, _) =>
+        Some(("ip", d.left, d.right))
       case _ => None
     }
 

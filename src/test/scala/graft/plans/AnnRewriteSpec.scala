@@ -133,6 +133,38 @@ class AnnRewriteSpec extends SparkSpec {
     assert(ann === exact, "probe-all through the l2 index must equal exact L2 search")
   }
 
+  test("ip sort (both <#> spellings) rewrites over an ip-opclass index only") {
+    import graft.functions.inner_product
+    val ipIndex = IndexQueries.ipIndexFor(spark, Sf0001)
+    // pgvector spelling: ascending negative inner product
+    def negIpTopK(k: Int) =
+      spark.read.parquet(tablePath)
+        .orderBy(-inner_product(col("embedding"), vector_lit(queryVec)), col("vec_id"))
+        .limit(k)
+    // direct spelling: descending inner product
+    def descIpTopK(k: Int) =
+      spark.read.parquet(tablePath)
+        .orderBy(inner_product(col("embedding"), vector_lit(queryVec)).desc, col("vec_id"))
+        .limit(k)
+    val exact = negIpTopK(10).collect().map(_.getLong(0)).toSeq
+    // cosine index registered: an ip sort must NOT use it (wrong opclass)
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4)
+    val mismatchPlan = negIpTopK(10).queryExecution.executedPlan.toString
+    assert(mismatchPlan.contains("embeddings.parquet"),
+      s"ip sort must not probe a cosine-opclass index:\n$mismatchPlan")
+    // ip index registered: both spellings rewrite; probe-all is exact
+    AnnIndexRegistry.register(tablePath, ipIndex, nprobe = 4)
+    for ((df, label) <- Seq((negIpTopK(10), "neg-asc"), (descIpTopK(10), "desc"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("list_id"), s"expected ip index scan ($label):\n$plan")
+    }
+    AnnIndexRegistry.register(tablePath, ipIndex, nprobe = IndexQueries.Lists)
+    assert(negIpTopK(10).collect().map(_.getLong(0)).toSeq === exact,
+      "probe-all through the ip index must equal exact max-IP search")
+    assert(descIpTopK(10).collect().map(_.getLong(0)).toSeq === exact,
+      "descending-IP spelling must return the same max-IP answer")
+  }
+
   test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rebuild_idx").resolve("idx").toString

@@ -135,6 +135,16 @@ package object functions {
   def simhash64(h: Column): Column =
     col(SimhashSignature(expr(h)).toAggregateExpression())
 
+  /** pgvector `SUM(vector)`: element-wise sum aggregate, one double[] buffer
+    * per (group × partition) — no dim× explode before the shuffle
+    * ([[VectorSumAvg]]). Returns array<double>; NULL on empty groups. */
+  def vector_sum(v: Column): Column =
+    col(VectorSumAvg(expr(v), returnAvg = false).toAggregateExpression())
+
+  /** pgvector `AVG(vector)`: element-wise mean aggregate ([[VectorSumAvg]]). */
+  def vector_avg(v: Column): Column =
+    col(VectorSumAvg(expr(v), returnAvg = true).toAggregateExpression())
+
   /** Bounded per-group top-k by (dist ASC, id ASC): map-side k-heaps, k-way
     * heap merge — the two-phase replacement for a per-group row_number
     * window ([[TopKByDistance]]). Returns a sorted array<struct<vec_id,

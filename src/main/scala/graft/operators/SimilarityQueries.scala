@@ -53,6 +53,23 @@ object SimilarityQueries {
       .agg(round(avg(col("x").cast("double")), 6).as("centroid_val"))
       .orderBy("label", "dim")
 
+  /** The 100 TB path for [[labelCentroids]]: pgvector's `AVG(vector)`
+    * aggregate ([[graft.functions.vector_avg]]) accumulates ONE double[]
+    * per (label × partition) instead of exploding every row dim× before
+    * the partial agg — the map side does array adds, the shuffle carries
+    * |labels|·|partitions| arrays, and the dim-explosion happens only on
+    * the |labels| result rows for output. Same rounded values as the
+    * explode form (equality pinned in SimilarityQueriesSpec); shares
+    * [[labelCentroids]]'s oracle SQL. */
+  def labelCentroidsFast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .groupBy("label")
+      .agg(graft.functions.vector_avg(col("embedding")).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("x"), 6).as("centroid_val"))
+      .orderBy("label", "dim")
+
   /** Histogram of all pairwise cosine similarities in 0.1-wide buckets —
     * the corpus-redundancy diagnostic. Bucket ids floor bit-exact doubles,
     * so cross-engine counts match exactly. */
@@ -217,6 +234,7 @@ object SimilarityQueries {
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
     "label_centroids" -> ((s, d) => labelCentroids(s, d)),
+    "label_centroids_fast" -> ((s, d) => labelCentroidsFast(s, d)),
     "sim_histogram" -> ((s, d) => simHistogram(s, d)),
     "sim_histogram_sampled" -> ((s, d) => simHistogramSampled(s, d)),
     "avg_pairwise_sim_fast" -> ((s, d) => avgPairwiseSimFast(s, d)),
@@ -263,6 +281,15 @@ object SimilarityQueries {
          |SELECT qid, rank, vec_id, dist FROM scored
          |WHERE rank <= $BatchK
          |ORDER BY qid, rank""".stripMargin,
+    "label_centroids_fast" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
+        |FROM ex GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin,
     "label_centroids" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS x,

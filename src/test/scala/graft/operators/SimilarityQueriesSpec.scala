@@ -107,4 +107,48 @@ class SimilarityQueriesSpec extends SparkSpec {
     val plan = bq.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
+
+  test("label_centroids_fast equals the explode form; plan has no pre-agg explode") {
+    val slow = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
+    val fast = SimilarityQueries.labelCentroidsFast(spark, Sf0001).collect()
+    assert(fast.length === slow.length)
+    fast.zip(slow).foreach { case (f, s) =>
+      assert(f.get(0) === s.get(0))
+      assert(f.getLong(1) === s.getLong(1))
+      assert(f.getDouble(2) === s.getDouble(2),
+        s"label ${f.get(0)} dim ${f.getLong(1)}")
+    }
+    // the explode must sit ABOVE the aggregate (|labels| rows), not below it
+    val plan = SimilarityQueriesSpecHelper.analyzedTree(
+      SimilarityQueries.labelCentroidsFast(spark, Sf0001))
+    assert(plan.indexOf("Generate") < plan.indexOf("vector_avg"),
+      s"explode must be post-aggregate (analyzed plans print top-down):\n$plan")
+  }
+
+  test("vector_sum / vector_avg: values, null handling, dimension mismatch") {
+    import graft.functions.{vector_avg, vector_sum}
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)),
+      ("a", Array(3.0f, 4.5f)),
+      ("b", Array(10.0f, -1.0f)),
+      ("c", null.asInstanceOf[Array[Float]])).toDF("g", "v")
+    val sums = df.groupBy("g")
+      .agg(vector_sum(col("v")).as("s"), vector_avg(col("v")).as("m"))
+      .orderBy("g").collect()
+    assert(sums(0).getAs[collection.Seq[Double]]("s") === Seq(4.0, 6.5))
+    assert(sums(0).getAs[collection.Seq[Double]]("m") === Seq(2.0, 3.25))
+    assert(sums(1).getAs[collection.Seq[Double]]("s") === Seq(10.0, -1.0))
+    // all-null group → SQL NULL, like built-in aggregates
+    assert(sums(2).isNullAt(1) && sums(2).isNullAt(2))
+    val mixed = Seq(Array(1.0f), Array(1.0f, 2.0f)).toDF("v")
+    val err = intercept[Exception] {
+      mixed.agg(vector_sum(col("v"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+}
+
+private object SimilarityQueriesSpecHelper {
+  def analyzedTree(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
 }

@@ -136,6 +136,67 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus PII audit — per-type match totals + count of flagged docs
+    * (emails, SSNs, IPv4s, phone shapes; [[graft.functions.TextFunctions
+    * .PiiPatterns]]). One shuffle-free scan folding into a single row; at
+    * 100 TB this is a map-side-only pass like [[textStats]]. The fixture
+    * corpus is clean (all zeros — the audit's expected steady state);
+    * detection and redaction themselves are pinned on synthetic PII in
+    * TextAnalysisSpec, since a zero-match corpus can't exercise them. */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = piiCounts(col("text"))
+    val flagged = counts.map(_._2).reduce(_ + _) > 0L
+    Tables.documents(spark, sfDir)
+      .select((counts.map { case (n, c) => c.as(s"n_$n") } :+
+        flagged.cast("long").as("flagged")): _*)
+      .agg(
+        sum(col(s"n_${counts.head._1}")).as(s"n_${counts.head._1}"),
+        (counts.tail.map { case (n, _) => sum(col(s"n_$n")).as(s"n_$n") } :+
+          sum(col("flagged")).as("n_docs_flagged")): _*)
+  }
+
+  // BM25 (Robertson/Sparck Jones) parameters — the standard defaults
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25K = 10
+  val Bm25Query = Seq("vector", "hash", "join")
+
+  /** BM25 top-[[Bm25K]] lexical retrieval for the fixed query
+    * [[Bm25Query]] — the sparse-retrieval operator every hybrid
+    * (lexical + vector) search stack pairs with the kNN family.
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape: doc lengths and avgdl are one hash agg + one scalar agg
+    * (at 100 TB both are precomputed index-time stats, like the IVF
+    * sidecar); only tokens MATCHING the query survive the filter into the
+    * tf agg, so the scored relation is the posting lists of the query
+    * terms, not the corpus; df and the two scalars broadcast. Final top-k
+    * is TakeOrderedAndProject. Ranked on the 6dp-rounded score (ln ulp —
+    * same recipe as [[tfidfTopTerms]]) with doc_id tie-break. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val avgdl = tok.agg(count(lit(1)).cast("double").as("ntok")).crossJoin(n)
+      .select((col("ntok") / col("n")).as("avgdl"), col("n"))
+    val qtf = tok.filter(col("token").isin(Bm25Query: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val termScore = idf * (tfD * (lit(Bm25K1) + lit(1.0))) /
+      (tfD + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * dlD / col("avgdl")))
+    qtf.join(dl, "doc_id").join(broadcast(df), "token").crossJoin(broadcast(avgdl))
+      .select(col("doc_id"), termScore.as("s"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
+
   // train/val/test cutoffs over 100 deterministic hash buckets
   val ValBuckets = 10L   // buckets [0,10) → val
   val TestBuckets = 10L  // buckets [10,20) → test; rest train
@@ -296,6 +357,8 @@ object TextAnalysis {
     "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
     "quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
+    "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "pii_scan" -> ((s, d) => piiScan(s, d)),
     "corpus_splits" -> ((s, d) => corpusSplits(s, d)),
     "bigram_top" -> ((s, d) => bigramTop(s, d)),
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
@@ -428,6 +491,44 @@ object TextAnalysis {
            |SELECT doc_id, rank, token, tfidf FROM ranked
            |WHERE rank <= $TfidfTopK
            |ORDER BY doc_id, rank""".stripMargin,
+      "pii_scan" -> {
+        import graft.functions.TextFunctions.PiiPatterns
+        val sums = PiiPatterns.map { case (n, p) =>
+          s"CAST(SUM(len(regexp_extract_all(lower(text), '$p'))) AS BIGINT) AS n_$n"
+        }.mkString(",\n  ")
+        val flagged = PiiPatterns.map { case (_, p) =>
+          s"len(regexp_extract_all(lower(text), '$p'))"
+        }.mkString(" + ")
+        s"""SELECT
+           |  $sums,
+           |  CAST(SUM(CASE WHEN $flagged > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+           |FROM documents""".stripMargin
+      },
+      "bm25_topk" -> {
+        val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($tok) AS token FROM documents),
+           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |ad AS (SELECT CAST(count(*) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM tok),
+           |qtf AS (
+           |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+           |  WHERE token IN ($terms) GROUP BY 1, 2),
+           |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM qtf GROUP BY 1),
+           |scored AS (
+           |  SELECT q.doc_id,
+           |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           |      * (CAST(q.tf AS DOUBLE) * ($Bm25K1 + 1.0))
+           |      / (CAST(q.tf AS DOUBLE)
+           |         + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl.dl AS DOUBLE) / ad.avgdl)) AS s
+           |  FROM qtf q
+           |  JOIN dl USING (doc_id)
+           |  JOIN df ON df.token = q.token, n, ad)
+           |SELECT doc_id, round(sum(s), 6) AS score, count(*) AS n_terms
+           |FROM scored GROUP BY doc_id
+           |ORDER BY score DESC, doc_id
+           |LIMIT $Bm25K""".stripMargin
+      },
       "quality_filter" ->
         s"""WITH base AS (
            |  SELECT

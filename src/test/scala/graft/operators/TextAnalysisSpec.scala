@@ -61,6 +61,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1.length > 20 && s1.length < 90, s"got ${s1.length} of 500")
   }
 
+  test("bm25_topk matches a driver-side reference implementation exactly") {
+    import TextAnalysis.{Bm25B, Bm25K, Bm25K1, Bm25Query}
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val df = Bm25Query.map(t => t -> docs.values.count(_.contains(t)).toDouble).toMap
+    val scores = docs.map { case (id, toks) =>
+      val s = Bm25Query.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0 || df(t) == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+          (tf * (Bm25K1 + 1.0)) /
+          (tf + Bm25K1 * (1.0 - Bm25B + Bm25B * toks.size.toDouble / avgdl))
+      }.sum
+      val matched = Bm25Query.count(t => toks.contains(t)).toLong
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, matched)
+    }.filter(_._3 > 0).toSeq
+      .sortBy { case (id, s, _) => (-s, id) }.take(Bm25K)
+    val got = TextAnalysis.bm25TopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq === scores, "BM25 top-k must match the reference scorer")
+    val plan = TextAnalysis.bm25TopK(spark, Sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+
+  test("pii detection and redaction on synthetic PII; clean corpus scans to zero") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{piiCounts, piiRedact}
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "contact me at alice@example.com or bob.smith@mail.co.uk today",
+      "ssn 123-45-6789 leaked with phone 555-123-4567",
+      "server at 192.168.1.100 and 10.0.0.1 responded",
+      "a perfectly clean sentence with no identifiers at all")
+    val df = rows.toDF("text")
+    val counts = df.select(piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(counts(0).getLong(0) === 2L, "two emails")
+    assert(counts(1).getLong(1) === 1L, "one ssn")
+    assert(counts(1).getLong(3) === 1L, "one phone")
+    assert(counts(2).getLong(2) === 2L, "two ipv4s")
+    assert(counts(3).toSeq === Seq(0L, 0L, 0L, 0L), "clean row flags nothing")
+    val red = df.select(piiRedact(col("text")).as("r")).collect().map(_.getString(0))
+    assert(red(0).contains("<EMAIL>") && !red(0).contains("@"))
+    assert(red(1).contains("<SSN>") && red(1).contains("<PHONE>")
+      && !red(1).contains("123-45-6789") && !red(1).contains("555-123-4567"))
+    assert(red(2).contains("<IPV4>") && !red(2).contains("192.168.1.100"))
+    assert(red(3) === rows(3), "clean text passes through unchanged")
+    // the fixture corpus is clean: the audit query reports zeros
+    val scan = TextAnalysis.piiScan(spark, Sf0001).head()
+    assert(scan.toSeq === Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("knn_batch: rank 1 of each query is itself at distance ~0") {
     val rows = SimilarityQueries.knnBatch(spark, Sf0001).collect()
     assert(rows.length === SimilarityQueries.BatchQueries * SimilarityQueries.BatchK)

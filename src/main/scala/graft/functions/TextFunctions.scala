@@ -35,4 +35,28 @@ object TextFunctions {
   /** Count of tokens found in `words` (the hit score for one language). */
   def stopwordHits(t: Column, words: Seq[String]): Column =
     size(filter(t, x => x.isInCollection(words))).cast("long")
+
+  /** PII patterns, in redaction-application order. Deliberately restricted
+    * to the regex subset Java (Spark) and RE2 (DuckDB) interpret
+    * identically — no backreferences, no lookaround — so scan counts are
+    * oracle-checkable. Matching is on lowercased text. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9-]+(\\.[a-z0-9-]+)+",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b")
+
+  /** Per-type PII match counts for a text column (shuffle-free projection). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, p) =>
+      name -> regexp_count(lower(text), lit(p)).cast("long")
+    }
+
+  /** Mask every PII match with a typed placeholder (`<EMAIL>`, `<SSN>`, …) —
+    * the pre-training redaction pass. Patterns apply in [[PiiPatterns]]
+    * order (SSNs before the looser phone shape). */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, p)) =>
+      regexp_replace(c, p, s"<${name.toUpperCase}>")
+    }
 }

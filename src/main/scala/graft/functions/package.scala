@@ -135,6 +135,22 @@ package object functions {
   def simhash64(h: Column): Column =
     col(SimhashSignature(expr(h)).toAggregateExpression())
 
+  /** pgvector 0.7 `sparsevec` analog: dense array<float> → sparse struct
+    * (dim, ascending indices, non-zero values), keeping |x| > eps. */
+  def sparse_vectorize(v: Column, eps: Double): Column = col(SparseVectorize(expr(v), eps))
+
+  /** sparsevec → dense array<float> (zeros at absent indices). */
+  def sparse_to_dense(s: Column): Column = col(SparseToDense(expr(s)))
+
+  /** Inner product over two sparsevecs (merge-walk, O(nnz)). */
+  def sparse_inner_product(a: Column, b: Column): Column =
+    col(SparseInnerProduct(expr(a), expr(b)))
+
+  /** pgvector `sparsevec <=> sparsevec` — bit-equal to [[cosine_distance]]
+    * on the zero-filled dense forms. */
+  def sparse_cosine_distance(a: Column, b: Column): Column =
+    col(SparseCosineDistance(expr(a), expr(b)))
+
   /** pgvector `SUM(vector)`: element-wise sum aggregate, one double[] buffer
     * per (group × partition) — no dim× explode before the shuffle
     * ([[VectorSumAvg]]). Returns array<double>; NULL on empty groups. */

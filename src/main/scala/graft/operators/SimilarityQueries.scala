@@ -191,6 +191,33 @@ object SimilarityQueries {
       .orderBy("label", "rank")
   }
 
+  // a DOUBLE threshold: the Spark compare is double(|x|) > eps and the
+  // DuckDB literal is double — a float32 eps (0.1f ≠ 0.1d) would flip
+  // elements that sit exactly on the float boundary
+  val SparseEps = 0.1
+  val SparseK = 10
+
+  /** Sparse-vector top-k — the pgvector 0.7 `sparsevec <=> sparsevec`
+    * query shape ([[graft.functions.sparse_vectorize]] at |x| >
+    * [[SparseEps]] keeps ~40% of the fixture dims; real sparsevec corpora
+    * are lexical TF vectors at <1% density). The distance merge-walks the
+    * index arrays — O(nnz) per pair, which is the entire point at 10k+
+    * dims — and is bit-equal to dense cosine on the zero-masked vectors,
+    * so the oracle recomputes it as a CASE-masked dense distance. `nnz`
+    * reports each hit's sparsity. */
+  def sparseKnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{sparse_cosine_distance, sparse_vectorize}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), sparse_vectorize(col("embedding"), SparseEps).as("sv"))
+    val seed = e.filter(col("vec_id") === 0).select(col("sv").as("qv"))
+    e.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        sparse_cosine_distance(col("sv"), col("qv")).as("dist"),
+        size(col("sv.indices")).cast("long").as("nnz"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(SparseK)
+  }
+
   val BqCandidates = 50
   val BqK = 10
 
@@ -239,6 +266,7 @@ object SimilarityQueries {
     "sim_histogram_sampled" -> ((s, d) => simHistogramSampled(s, d)),
     "avg_pairwise_sim_fast" -> ((s, d) => avgPairwiseSimFast(s, d)),
     "sq_knn_topk" -> ((s, d) => sqKnnTopK(s, d)),
+    "sparse_knn_topk" -> ((s, d) => sparseKnnTopK(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -328,6 +356,20 @@ object SimilarityQueries {
          |WHERE e1.vec_id < e2.vec_id
          |GROUP BY 1
          |ORDER BY bucket""".stripMargin,
+    "sparse_knn_topk" ->
+      s"""WITH sp AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CASE WHEN abs(CAST(x AS DOUBLE)) > CAST($SparseEps AS DOUBLE)
+         |           THEN x ELSE CAST(0.0 AS FLOAT) END) AS sv,
+         |    CAST(len(list_filter(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)) > CAST($SparseEps AS DOUBLE))) AS BIGINT) AS nnz
+         |  FROM embeddings),
+         |q AS (SELECT sv AS qv FROM sp WHERE vec_id = 0)
+         |SELECT sp.vec_id, ${O.cosDist("sp.sv", "q.qv")} AS dist, sp.nnz
+         |FROM sp, q
+         |ORDER BY dist, vec_id
+         |LIMIT $SparseK""".stripMargin,
     "sq_knn_topk" ->
       s"""WITH sc AS (
          |  SELECT vec_id, embedding,

@@ -135,6 +135,17 @@ package object functions {
   def simhash64(h: Column): Column =
     col(SimhashSignature(expr(h)).toAggregateExpression())
 
+  /** pgvector 0.7 `halfvec` analog: array<float> → binary16 BINARY
+    * (round-to-nearest-even, 2 bytes/element — 2× less scan bandwidth). */
+  def half_pack(v: Column): Column = col(HalfPack(expr(v)))
+
+  /** halfvec BINARY → array<float>, exact widening. */
+  def half_unpack(b: Column): Column = col(HalfUnpack(expr(b)))
+
+  /** pgvector `halfvec <=> halfvec` (cosine distance, unpacks on the fly). */
+  def half_cosine_distance(a: Column, b: Column): Column =
+    col(HalfCosineDistance(expr(a), expr(b)))
+
   /** pgvector 0.7 `sparsevec` analog: dense array<float> → sparse struct
     * (dim, ascending indices, non-zero values), keeping |x| > eps. */
   def sparse_vectorize(v: Column, eps: Double): Column = col(SparseVectorize(expr(v), eps))

@@ -218,6 +218,26 @@ object SimilarityQueries {
       .limit(SparseK)
   }
 
+  val HalfK = 10
+
+  /** halfvec top-k — pgvector `halfvec <=> halfvec LIMIT k`: vectors
+    * stored as binary16 (2× less scan bandwidth than float32, the same
+    * lever as SQ8's 4×), distance computed without re-materializing float
+    * arrays. Deterministic but not float32-identical, so it is
+    * recall-gated in HalfVecSpec (like the PQ/IVF knn family) rather than
+    * DuckDB-oracled — binary16 rounding has no SQL twin. */
+  def halfKnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{half_cosine_distance, half_pack}
+    val e = Tables.embeddings(spark, sfDir)
+    // at 100 TB the packed column is a written sidecar, like the SQ codes
+    val packed = e.select(col("vec_id"), half_pack(col("embedding")).as("hv"))
+    val seed = packed.filter(col("vec_id") === 0).select(col("hv").as("qv"))
+    packed.crossJoin(broadcast(seed))
+      .select(col("vec_id"), half_cosine_distance(col("hv"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(HalfK)
+  }
+
   val BqCandidates = 50
   val BqK = 10
 
@@ -267,6 +287,7 @@ object SimilarityQueries {
     "avg_pairwise_sim_fast" -> ((s, d) => avgPairwiseSimFast(s, d)),
     "sq_knn_topk" -> ((s, d) => sqKnnTopK(s, d)),
     "sparse_knn_topk" -> ((s, d) => sparseKnnTopK(s, d)),
+    "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
   )
 
   def oracles: Map[String, String] = Map(

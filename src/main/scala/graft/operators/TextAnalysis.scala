@@ -174,7 +174,10 @@ object TextAnalysis {
     * terms, not the corpus; df and the two scalars broadcast. Final top-k
     * is TakeOrderedAndProject. Ranked on the 6dp-rounded score (ln ulp —
     * same recipe as [[tfidfTopTerms]]) with doc_id tie-break. */
-  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopKImpl(spark, sfDir, Bm25K)
+
+  private def bm25TopKImpl(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -194,7 +197,50 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(Bm25K)
+      .limit(k)
+  }
+
+  // Reciprocal-rank-fusion constants (Cormack et al.: k=60 is the
+  // standard damping; CandK bounds each retriever's contribution list)
+  val RrfK = 60
+  val RrfCandK = 30
+  val RrfTopK = 10
+
+  /** Hybrid search — BM25 lexical ranking fused with vector kNN by
+    * reciprocal rank fusion: score(d) = Σ_retrievers 1/(k + rank_r(d)).
+    * The shape every production RAG/search stack runs (pgvector pairs
+    * with tsvector exactly this way; here both retrievers are native).
+    *
+    * Each retriever contributes its top-[[RrfCandK]] (bounded lists —
+    * the rank windows run over ≤ CandK rows after TakeOrderedAndProject,
+    * never the corpus), fused with a full outer join on the doc key.
+    * Exactness: ranks are integers, each RRF term is ONE double division,
+    * and the two-term sum is written in fixed left-to-right order in both
+    * engines — bit-exact with no rounding. */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.cosine_distance
+    val e = Tables.embeddings(spark, sfDir)
+    val seed = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vecTop = e.crossJoin(broadcast(seed))
+      .select(col("vec_id").as("doc_id"),
+        cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(RrfCandK)
+    val vecRanked = vecTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("dist"), col("doc_id")))
+        .cast("long").as("vrank"))
+    val bmRanked = bm25TopKImpl(spark, sfDir, RrfCandK).select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("brank"))
+    vecRanked.join(bmRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK).cast("double") + col("vrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK).cast("double") + col("brank")), lit(0.0)))
+          .as("rrf_score"),
+        coalesce(col("vrank"), lit(0L)).as("vrank"),
+        coalesce(col("brank"), lit(0L)).as("brank"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(RrfTopK)
   }
 
   // train/val/test cutoffs over 100 deterministic hash buckets
@@ -359,6 +405,7 @@ object TextAnalysis {
     "tfidf_top_terms" -> ((s, d) => tfidfTopTerms(s, d)),
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "pii_scan" -> ((s, d) => piiScan(s, d)),
+    "hybrid_search" -> ((s, d) => hybridSearch(s, d)),
     "corpus_splits" -> ((s, d) => corpusSplits(s, d)),
     "bigram_top" -> ((s, d) => bigramTop(s, d)),
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
@@ -366,6 +413,32 @@ object TextAnalysis {
     "source_stats" -> ((s, d) => sourceStats(s, d)),
     "table_profile" -> ((s, d) => tableProfile(s, d)),
   )
+
+  /** The BM25 scoring pipeline as a DuckDB CTE chain (ends at `scored`:
+    * one row per (doc, matched query term) with the term's BM25
+    * contribution `s`) — shared by the bm25_topk and hybrid_search
+    * oracles. */
+  private def bm25Ctes(tok: String): String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest($tok) AS token FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |ad AS (SELECT CAST(count(*) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM tok),
+       |qtf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |  WHERE token IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM qtf GROUP BY 1),
+       |scored AS (
+       |  SELECT q.doc_id,
+       |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (CAST(q.tf AS DOUBLE) * ($Bm25K1 + 1.0))
+       |      / (CAST(q.tf AS DOUBLE)
+       |         + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl.dl AS DOUBLE) / ad.avgdl)) AS s
+       |  FROM qtf q
+       |  JOIN dl USING (doc_id)
+       |  JOIN df ON df.token = q.token, n, ad)""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     val tok = """string_split_regex(trim(text), '\s+')"""
@@ -504,31 +577,38 @@ object TextAnalysis {
            |  CAST(SUM(CASE WHEN $flagged > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
            |FROM documents""".stripMargin
       },
-      "bm25_topk" -> {
-        val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-        s"""WITH tok AS (
-           |  SELECT doc_id, unnest($tok) AS token FROM documents),
-           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
-           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-           |ad AS (SELECT CAST(count(*) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM tok),
-           |qtf AS (
-           |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
-           |  WHERE token IN ($terms) GROUP BY 1, 2),
-           |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM qtf GROUP BY 1),
-           |scored AS (
-           |  SELECT q.doc_id,
-           |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           |      * (CAST(q.tf AS DOUBLE) * ($Bm25K1 + 1.0))
-           |      / (CAST(q.tf AS DOUBLE)
-           |         + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl.dl AS DOUBLE) / ad.avgdl)) AS s
-           |  FROM qtf q
-           |  JOIN dl USING (doc_id)
-           |  JOIN df ON df.token = q.token, n, ad)
+      "bm25_topk" ->
+        s"""WITH ${bm25Ctes(tok)}
            |SELECT doc_id, round(sum(s), 6) AS score, count(*) AS n_terms
            |FROM scored GROUP BY doc_id
            |ORDER BY score DESC, doc_id
-           |LIMIT $Bm25K""".stripMargin
-      },
+           |LIMIT $Bm25K""".stripMargin,
+      "hybrid_search" ->
+        s"""WITH ${bm25Ctes(tok)},
+           |bm AS (
+           |  SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id
+           |  ORDER BY score DESC, doc_id LIMIT $RrfCandK),
+           |bmr AS (
+           |  SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS brank
+           |  FROM bm),
+           |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |vt AS (
+           |  SELECT e.vec_id AS doc_id, ${graft.OracleSql.cosDist("e.embedding", "qv.qv")} AS dist
+           |  FROM embeddings e, qv
+           |  ORDER BY dist, doc_id LIMIT $RrfCandK),
+           |vr AS (
+           |  SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY dist, doc_id) AS BIGINT) AS vrank
+           |  FROM vt)
+           |SELECT COALESCE(vr.doc_id, bmr.doc_id) AS doc_id,
+           |  COALESCE(1.0 / (CAST($RrfK AS DOUBLE) + vr.vrank), 0.0)
+           |    + COALESCE(1.0 / (CAST($RrfK AS DOUBLE) + bmr.brank), 0.0) AS rrf_score,
+           |  COALESCE(vr.vrank, 0) AS vrank,
+           |  COALESCE(bmr.brank, 0) AS brank
+           |FROM vr FULL OUTER JOIN bmr ON vr.doc_id = bmr.doc_id
+           |ORDER BY rrf_score DESC, doc_id
+           |LIMIT $RrfTopK""".stripMargin,
       "quality_filter" ->
         s"""WITH base AS (
            |  SELECT

@@ -88,6 +88,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
 
+  test("hybrid_search: RRF fuses vector and BM25 ranks; deterministic; bounded") {
+    import TextAnalysis.{RrfK, RrfTopK}
+    val r1 = TextAnalysis.hybridSearch(spark, Sf0001).collect()
+    val r2 = TextAnalysis.hybridSearch(spark, Sf0001).collect()
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.length === RrfTopK)
+    // doc 0 is the vector query itself → vrank 1; max possible fused score
+    // is 1/(k+1) + 1/(k+1)
+    val top = r1.head
+    assert(r1.exists(r => r.getLong(0) === 0L && r.getLong(2) === 1L),
+      "the query vector's own doc must appear with vector rank 1")
+    assert(top.getDouble(1) <= 2.0 / (RrfK + 1) + 1e-12)
+    r1.foreach { r =>
+      val (s, vr, br) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(vr > 0 || br > 0, "a fused doc must come from at least one retriever")
+      val expect = (if (vr > 0) 1.0 / (RrfK + vr) else 0.0) +
+        (if (br > 0) 1.0 / (RrfK + br) else 0.0)
+      assert(math.abs(s - expect) < 1e-12)
+    }
+    // scores non-increasing
+    assert(r1.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("pii detection and redaction on synthetic PII; clean corpus scans to zero") {
     import spark.implicits._
     import graft.functions.TextFunctions.{piiCounts, piiRedact}

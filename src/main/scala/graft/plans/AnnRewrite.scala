@@ -182,8 +182,12 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         fsRel <- rel.relation match {
           case r: HadoopFsRelation => Some(r); case _ => None
         }
-        entry <- AnnIndexRegistry.lookup(
+        entry0 <- AnnIndexRegistry.lookup(
           fsRel.location.rootPaths.map(_.toString).toSeq)
+        // pgvector's `SET ivfflat.probes = n` — the session conf overrides
+        // the registered default at plan time
+        entry = spark.conf.getOption("ivfflat.probes")
+          .map(p => entry0.copy(nprobe = p.trim.toInt)).getOrElse(entry0)
         if AnnIndexRegistry.metricOf(spark, entry) == metric
         lists = AnnIndexRegistry.probedLists(spark, entry, q)
         idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
@@ -229,6 +233,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CosineDistance(es(0), es(1))))
     e.injectOptimizerRule(session => AnnRewriteRule(session))
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }
 

@@ -1,0 +1,162 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.index.IvfIndex
+
+/** pgvector DDL surface for `spark.sql(...)` — the statement a reference
+  * user actually types (/root/reference/README.md:185):
+  *
+  * {{{
+  *   CREATE INDEX [IF NOT EXISTS] [name] ON tbl
+  *     USING ivfflat (col vector_cosine_ops) WITH (lists = 100);
+  *   SET ivfflat.probes = 10;   -- plain Spark SET, read by the rewrite
+  *   DROP INDEX name;
+  * }}}
+  *
+  * The parser intercepts exactly this shape (regex on the normalized
+  * statement), builds the IVF index for the view's backing parquet path,
+  * and registers it with [[AnnIndexRegistry]] so `ORDER BY <distance>
+  * LIMIT k` queries against the table transparently swap to the pruned
+  * index scan — the full pgvector index lifecycle without leaving SQL.
+  * Everything else delegates to Spark's parser unchanged.
+  *
+  * `USING hnsw` is rejected with a pointer to [[graft.index.NswIndex]]:
+  * the transparent rewrite swaps scans for PARTITION-PRUNED datasets,
+  * which is the ivfflat layout; a graph index probes via traversal, not a
+  * plan substitution (decision recorded in SURVEY.md round-3 notes).
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftDdl.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftDdl {
+
+  private val Create = Pattern.compile(
+    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+\s+)?ON\s+(\w+)\s+""" +
+      """USING\s+(\w+)\s*\(\s*(\w+)\s+(vector_\w+_ops)\s*\)""" +
+      """(?:\s*WITH\s*\(\s*lists\s*=\s*(\d+)\s*\))?\s*;?\s*""")
+
+  private val Drop = Pattern.compile("""(?is)\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""")
+
+  private val opclassMetric = Map(
+    "vector_cosine_ops" -> "cosine",
+    "vector_l2_ops" -> "l2",
+    "vector_ip_ops" -> "ip")
+
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    val c = Create.matcher(sqlText)
+    if (c.matches()) {
+      val method = c.group(4).toLowerCase
+      if (method == "hnsw") {
+        throw new IllegalArgumentException(
+          "USING hnsw is not supported by the transparent rewrite (it swaps " +
+            "scans for partition-pruned list datasets, an ivfflat layout); " +
+            "use graft.index.NswIndex for graph-ANN probes")
+      }
+      if (method != "ivfflat") return None // not ours — let Spark reject it
+      val opclass = c.group(6).toLowerCase
+      val metric = opclassMetric.getOrElse(opclass,
+        throw new IllegalArgumentException(
+          s"unknown operator class $opclass (${opclassMetric.keys.mkString("|")})"))
+      val table = c.group(3)
+      Some(CreateVectorIndexCommand(
+        indexName = Option(c.group(2)).map(_.trim).getOrElse(s"${table}_${c.group(5)}_idx"),
+        tableName = table,
+        colName = c.group(5),
+        metric = metric,
+        lists = Option(c.group(7)).map(_.toInt).getOrElse(IvfIndex.DefaultLists),
+        ifNotExists = c.group(1) != null))
+    } else {
+      val d = Drop.matcher(sqlText)
+      if (d.matches() && VectorIndexCatalog.contains(d.group(1))) {
+        Some(DropVectorIndexCommand(d.group(1)))
+      } else None // unknown index name: let Spark's DROP INDEX path handle it
+    }
+  }
+}
+
+/** name → registered (tablePath, indexPath), for DROP INDEX. */
+object VectorIndexCatalog {
+  private val byName = new ConcurrentHashMap[String, (String, String)]()
+  def put(name: String, tablePath: String, indexPath: String): Unit =
+    byName.put(name, (tablePath, indexPath))
+  def contains(name: String): Boolean = byName.containsKey(name)
+  def remove(name: String): Option[(String, String)] = Option(byName.remove(name))
+}
+
+case class CreateVectorIndexCommand(
+    indexName: String, tableName: String, colName: String,
+    metric: String, lists: Int, ifNotExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (VectorIndexCatalog.contains(indexName)) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(s"index $indexName already exists")
+    }
+    val df = session.table(tableName)
+    val path = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.head.toString
+    }.getOrElse(throw new IllegalArgumentException(
+      s"CREATE INDEX: $tableName is not a file-backed table — the ANN " +
+        "rewrite substitutes file scans, so only parquet-backed views are indexable"))
+    require(df.columns.contains(colName),
+      s"CREATE INDEX: $tableName has no column $colName")
+    val baseDir = session.conf.getOption("graft.index.location")
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_indexes")
+    val indexPath = s"$baseDir/${tableName}_${colName}_$metric"
+    // the catalog is the source of truth within this driver; a leftover
+    // directory from a previous run is stale — clear it before rebuilding
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(session.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    // first-writer wins, like IF NOT EXISTS; rebuild = DROP then CREATE
+    IvfIndex.build(df, indexPath, idCol = df.columns.head, vecCol = colName,
+      lists = lists, metric = metric)
+    // pgvector defaults probes to 1; `SET ivfflat.probes = n` overrides at
+    // plan time (AnnRewriteRule reads the session conf)
+    AnnIndexRegistry.register(path, indexPath, nprobe = 1)
+    VectorIndexCatalog.put(indexName, path, indexPath)
+    Seq.empty
+  }
+}
+
+case class DropVectorIndexCommand(indexName: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    VectorIndexCatalog.remove(indexName).foreach { case (tablePath, _) =>
+      AnnIndexRegistry.unregister(tablePath)
+    }
+    Seq.empty
+  }
+}

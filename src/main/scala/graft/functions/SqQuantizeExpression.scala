@@ -58,7 +58,12 @@ object SqQuantize {
       i += 1
     }
     val codes = new Array[Byte](n)
-    if (scale != 0.0f) {
+    // Non-finite scale means some element was NaN/±Inf (Math.max propagated
+    // it): emit zero codes instead of letting BigDecimal.valueOf(NaN) throw
+    // — a dirty embedding must degrade, not fail the whole query. The NaN/Inf
+    // scale itself is kept, so downstream distances flag the row as garbage
+    // the same way the HOF round()/cast form does.
+    if (scale != 0.0f && java.lang.Float.isFinite(scale)) {
       val s = scale.toDouble
       i = 0
       while (i < n) {

@@ -30,8 +30,13 @@ import graft.functions.{cosine_distance, CosineDistance}
   * configuring `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 object AnnIndexRegistry {
-  final case class Entry(indexPath: String, nprobe: Int)
-  private val byPath = new ConcurrentHashMap[String, Entry]()
+  /** `column = None` means "built before column tracking / unknown" — the
+    * rewrite then matches on metric alone (single-index legacy behavior). */
+  final case class Entry(indexPath: String, nprobe: Int, column: Option[String] = None)
+  // path → (indexPath → Entry): pgvector allows several indexes per table
+  // (different column/opclass); a flat path→entry map would let a second
+  // CREATE INDEX silently evict the first and DROP of either kill both.
+  private val byPath = new ConcurrentHashMap[String, Map[String, Entry]]()
 
   /** Memoized centroid rankings, keyed by (indexPath, index fingerprint,
     * nprobe, FULL query vector). Content-equality on the vector — a 32-bit
@@ -65,12 +70,29 @@ object AnnIndexRegistry {
   }
 
   def register(tablePath: String, indexPath: String, nprobe: Int): Unit =
-    byPath.put(norm(tablePath), Entry(indexPath, nprobe))
+    register(tablePath, indexPath, nprobe, column = None)
 
+  /** Re-registering the same indexPath replaces its entry (nprobe update);
+    * a different indexPath ADDS a second index on the table. */
+  def register(tablePath: String, indexPath: String, nprobe: Int,
+               column: Option[String]): Unit =
+    byPath.merge(norm(tablePath), Map(indexPath -> Entry(indexPath, nprobe, column)),
+      (old, one) => old ++ one)
+
+  /** Remove ALL indexes registered for the table. */
   def unregister(tablePath: String): Unit = byPath.remove(norm(tablePath))
 
-  def lookup(paths: Seq[String]): Option[Entry] =
-    paths.map(norm).flatMap(p => Option(byPath.get(p))).headOption
+  /** Remove only the named index — DROP INDEX of one of a table's indexes
+    * must not disable the others' rewrites. */
+  def unregister(tablePath: String, indexPath: String): Unit =
+    byPath.computeIfPresent(norm(tablePath), (_, m) => {
+      val rest = m - indexPath
+      if (rest.isEmpty) null else rest
+    })
+
+  def lookupAll(paths: Seq[String]): Seq[Entry] =
+    paths.map(norm).flatMap(p =>
+      Option(byPath.get(p)).toSeq.flatMap(_.values)).distinct
 
   // metric memo keyed on the same rebuild fingerprint as probedLists —
   // reading the meta sidecar is a Spark job, far too heavy per optimization
@@ -182,13 +204,26 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         fsRel <- rel.relation match {
           case r: HadoopFsRelation => Some(r); case _ => None
         }
-        entry0 <- AnnIndexRegistry.lookup(
-          fsRel.location.rootPaths.map(_.toString).toSeq)
+        // among the table's registered indexes, the one matching this
+        // sort's opclass metric AND column (pgvector's planner does the
+        // same operator-to-opclass matching across multiple indexes)
+        entry0 <- AnnIndexRegistry.lookupAll(
+            fsRel.location.rootPaths.map(_.toString).toSeq)
+          .find(e => e.column.forall(_ == vecAttr.name) &&
+            AnnIndexRegistry.metricOf(spark, e) == metric)
         // pgvector's `SET ivfflat.probes = n` — the session conf overrides
-        // the registered default at plan time
+        // the registered default at plan time. A malformed value must not
+        // fail every kNN query inside the optimizer: warn and keep the
+        // registered default instead.
         entry = spark.conf.getOption("ivfflat.probes")
-          .map(p => entry0.copy(nprobe = p.trim.toInt)).getOrElse(entry0)
-        if AnnIndexRegistry.metricOf(spark, entry) == metric
+          .flatMap { p =>
+            val parsed = scala.util.Try(p.trim.toInt).toOption.filter(_ > 0)
+            if (parsed.isEmpty) logWarning(
+              s"ignoring non-positive-integer ivfflat.probes value '$p'; " +
+                s"using registered nprobe=${entry0.nprobe}")
+            parsed
+          }
+          .map(n => entry0.copy(nprobe = n)).getOrElse(entry0)
         lists = AnnIndexRegistry.probedLists(spark, entry, q)
         idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
           .filter(col("list_id").isin(lists: _*))

@@ -146,7 +146,7 @@ case class CreateVectorIndexCommand(
       lists = lists, metric = metric)
     // pgvector defaults probes to 1; `SET ivfflat.probes = n` overrides at
     // plan time (AnnRewriteRule reads the session conf)
-    AnnIndexRegistry.register(path, indexPath, nprobe = 1)
+    AnnIndexRegistry.register(path, indexPath, nprobe = 1, column = Some(colName))
     VectorIndexCatalog.put(indexName, path, indexPath)
     Seq.empty
   }
@@ -154,8 +154,10 @@ case class CreateVectorIndexCommand(
 
 case class DropVectorIndexCommand(indexName: String) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    VectorIndexCatalog.remove(indexName).foreach { case (tablePath, _) =>
-      AnnIndexRegistry.unregister(tablePath)
+    // unregister ONLY this index's entry: pgvector allows several indexes
+    // per table, and dropping one must not disable the others' rewrites
+    VectorIndexCatalog.remove(indexName).foreach { case (tablePath, indexPath) =>
+      AnnIndexRegistry.unregister(tablePath, indexPath)
     }
     Seq.empty
   }

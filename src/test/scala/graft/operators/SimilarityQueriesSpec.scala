@@ -22,6 +22,23 @@ class SimilarityQueriesSpec extends SparkSpec {
     }
   }
 
+  test("sq_quantize on NaN/Inf embeddings degrades (zero codes), never throws") {
+    // dirty embeddings happen in real pipelines; the quantizer must not
+    // fail the whole query with NumberFormatException from BigDecimal(NaN)
+    val dirty = Seq(
+      Array(Float.NaN, 1.0f),
+      Array(Float.PositiveInfinity, -2.0f),
+      Array(Float.NegativeInfinity, 0.5f))
+    val rows = dirty.map(Tuple1(_)).toDF("v")
+      .select(sq_quantize(col("v")).as("sq"))
+      .select("sq.scale", "sq.codes").collect()
+    rows.foreach { r =>
+      assert(!java.lang.Float.isFinite(r.getFloat(0)),
+        "non-finite scale must propagate to flag the garbage row")
+      assert(r.getAs[collection.Seq[Byte]](1).forall(_ == 0))
+    }
+  }
+
   test("sq distance approximates exact cosine distance closely") {
     val e = graft.Tables.embeddings(spark, Sf0001)
     val q = e.filter(col("vec_id") === 0)

@@ -19,8 +19,12 @@ class GraftSqlDdlSpec extends SparkSpec {
     val prev = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // NOT .config("spark.sql.extensions", …): that key is read from the
+    // SparkContext's STATIC conf, which this suite's shared context has
+    // already frozen — the extension would silently never install.
+    // builder.withExtensions applies at session construction regardless.
     val s2 = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .withExtensions(e => new GraftExtensions()(e))
       .getOrCreate()
     try f(s2)
     finally {
@@ -83,13 +87,53 @@ class GraftSqlDdlSpec extends SparkSpec {
     }
   }
 
+  test("two indexes on one table coexist; DROP of one keeps the other's rewrite") {
+    withExtensionSession { s2 =>
+      s2.read.parquet(tablePath).createOrReplaceTempView("items3")
+      val q = s2.table("items3").filter(col("vec_id") === 0)
+        .head().getAs[collection.Seq[Float]]("embedding").toArray
+
+      def cosTopK = s2.table("items3")
+        .orderBy(cosine_distance(col("embedding"), vector_lit(q)), col("vec_id"))
+        .limit(10)
+      def l2TopK = s2.table("items3")
+        .orderBy(graft.functions.l2_distance(col("embedding"), vector_lit(q)), col("vec_id"))
+        .limit(10)
+
+      s2.sql("CREATE INDEX items3_cos ON items3 " +
+        s"USING ivfflat (embedding vector_cosine_ops) WITH (lists = ${IndexQueries.Lists})")
+      s2.sql("CREATE INDEX items3_l2 ON items3 " +
+        s"USING ivfflat (embedding vector_l2_ops) WITH (lists = ${IndexQueries.Lists})")
+
+      // each sort picks ITS opclass index — both rewrites live concurrently
+      assert(cosTopK.queryExecution.executedPlan.toString.contains("list_id"))
+      assert(l2TopK.queryExecution.executedPlan.toString.contains("list_id"))
+
+      // dropping the cosine index must not disable the l2 index (pgvector
+      // multi-index semantics; a path-keyed registry used to kill both)
+      s2.sql("DROP INDEX items3_cos")
+      val cosPlan = cosTopK.queryExecution.executedPlan.toString
+      assert(cosPlan.contains("embeddings.parquet"),
+        s"dropped cosine index must restore the exact scan:\n$cosPlan")
+      val l2Plan = l2TopK.queryExecution.executedPlan.toString
+      assert(l2Plan.contains("list_id"),
+        s"l2 index must survive DROP of the cosine index:\n$l2Plan")
+      s2.sql("DROP INDEX items3_l2")
+      assert(l2TopK.queryExecution.executedPlan.toString.contains("embeddings.parquet"))
+    }
+  }
+
   test("USING hnsw is rejected with guidance; unrelated SQL parses through") {
     withExtensionSession { s2 =>
       s2.read.parquet(tablePath).createOrReplaceTempView("items2")
       val err = intercept[Exception] {
         s2.sql("CREATE INDEX ON items2 USING hnsw (embedding vector_cosine_ops)")
       }
-      assert(err.getMessage.contains("hnsw"))
+      // assert on the guidance text, not "hnsw": the native parser's error
+      // echoes the SQL (which contains "hnsw"), so that match is vacuous —
+      // only GraftSqlParser's rejection message names NswIndex.
+      assert(err.getMessage.contains("NswIndex"),
+        s"expected GraftSqlParser guidance, got: ${err.getMessage}")
       // the delegating path stays intact
       assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
       assert(s2.sql("SELECT count(*) FROM items2").head().getLong(0) === 500L)

@@ -128,9 +128,47 @@ object IvfIndex {
     import spark.implicits._
     Seq(metric).toDF("metric")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    // per-list covering radii into the centroids sidecar — one extra scan at
+    // build time (KMeans already did several) buys the filtered/iterative
+    // probe its exact-termination bound ([[filteredKnn]])
+    writeRadii(spark, indexPath, metric, vecCol)
     // metadata-only count of what was just written — NOT assigned.count(),
     // which would re-run normalization + KMeans assignment over the corpus
     (spark.read.parquet(s"$indexPath/lists").count(), lists)
+  }
+
+  /** Covering-radius expression for `metric`'s bound geometry: ANGLE to the
+    * centroid for cosine (angular distance is a metric on the sphere —
+    * cosine distance itself violates the triangle inequality), raw L2 for
+    * l2/ip (ip lists cluster under Euclidean geometry; no IP bound exists,
+    * [[filteredKnn]] degrades to full expansion for ip). Cosine is clamped
+    * into [-1,1] before acos — float noise past ±1 yields NaN, which as a
+    * radius would silently disable the bound for the whole list. */
+  private def radiusExpr(metric: String)(v: Column, c: Column): Column = metric match {
+    case "cosine" => acos(least(greatest(
+      graft.functions.cosine_similarity(v, c), lit(-1.0)), lit(1.0)))
+    case _ => graft.functions.l2_distance(v, c)
+  }
+
+  /** Rewrite the centroids sidecar with a `radius` column = max covering
+    * radius of each list's members (0.0 for empty lists). Driver-side merge
+    * is |lists| rows — index METADATA, same budget as centroid ranking. */
+  private def writeRadii(spark: SparkSession, indexPath: String, metric: String,
+                         vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select("list_id", "centroid").collect()
+      .map(r => r.getInt(0) -> r.getAs[collection.Seq[Float]](1).toArray)
+    val centsDf = spark.createDataFrame(
+      cents.map { case (i, c) => (i, c) }.toIndexedSeq).toDF("list_id", "centroid")
+    val radii = spark.read.parquet(s"$indexPath/lists")
+      .join(broadcast(centsDf), "list_id")
+      .groupBy("list_id")
+      .agg(max(radiusExpr(metric)(col(vecCol), col("centroid"))).as("radius"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    spark.createDataFrame(cents.map { case (i, c) =>
+        (i, c, radii.getOrElse(i, 0.0))
+      }.toIndexedSeq).toDF("list_id", "centroid", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
   private def writeCentroids(spark: SparkSession, indexPath: String,
@@ -173,6 +211,23 @@ object IvfIndex {
       try {
         assigned.write.mode("append").partitionBy("list_id")
           .parquet(s"$indexPath/lists")
+        // a new member can only GROW its list's covering radius: merge the
+        // appended rows' max radius per list into the sidecar so the
+        // filtered probe's termination bound stays sound after appends
+        val metric = metricOf(spark, indexPath)
+        val newRad = assigned.join(broadcast(cents.select("list_id", "centroid")), "list_id")
+          .groupBy("list_id")
+          .agg(max(radiusExpr(metric)(col(vecCol), col("centroid"))).as("radius"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val old = spark.read.parquet(s"$indexPath/centroids").collect().map { r =>
+          val lid = r.getInt(r.fieldIndex("list_id"))
+          val c = r.getAs[collection.Seq[Float]]("centroid").toArray
+          val r0 = if (r.schema.fieldNames.contains("radius"))
+            r.getDouble(r.fieldIndex("radius")) else 0.0
+          (lid, c, math.max(r0, newRad.getOrElse(lid, 0.0)))
+        }
+        spark.createDataFrame(old.toIndexedSeq).toDF("list_id", "centroid", "radius")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
         assigned.count()
       } finally assigned.unpersist()
     }
@@ -246,5 +301,116 @@ object IvfIndex {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
         col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
+  }
+
+  /** Filtered kNN with ITERATIVE probe expansion — pgvector 0.8's headline
+    * `ivfflat.iterative_scan` (/root/reference/README.md:9), strengthened to
+    * an EXACT answer: `WHERE pred ORDER BY dist LIMIT k` keeps probing more
+    * lists when the predicate starves the result below k, and stops early
+    * only when a triangle-inequality bound PROVES no unprobed list can beat
+    * the current k-th result.
+    *
+    * Bound, per unprobed list l with covering radius r_l (the `radius`
+    * sidecar column written at build/append):
+    *  - cosine: member angle ≥ θ(q, c_l) − r_l (angular distance is a
+    *    metric), so member cos-distance ≥ 1 − cos(max(0, θ(q,c_l) − r_l));
+    *  - l2: member distance ≥ d(q, c_l) − r_l;
+    *  - ip: inner product admits no such bound → the bound is −∞ and the
+    *    loop expands to ALL lists before returning (exact, no early stop).
+    * Missing/NaN radii (legacy sidecar, dirty vectors) also degrade the
+    * bound to −∞ — never to a wrong early termination. NaN distances (e.g.
+    * zero-norm vectors under cosine) sort last and a NaN k-th distance
+    * never satisfies the strict `<` stop test, so such results only return
+    * after every list was probed — still exact.
+    *
+    * Scale shape: each round scans ONLY the newly probed list directories
+    * (partition-pruned `isin`, doubling schedule ⇒ O(log lists) rounds, at
+    * most 2× the minimal prefix re-scanned in total... never re-reads a
+    * probed list); per-round driver traffic is the k-row top-k — the same
+    * driver merge TakeOrderedAndProject does. Centroid ranking and bounds
+    * are |lists|-row index metadata computed driver-side; ordering there
+    * doesn't need bit-exactness (only the OUTPUT dist is contract-bearing,
+    * and it comes from the Catalyst expression inside the scan). */
+  def filteredKnn(spark: SparkSession, indexPath: String, query: Array[Float],
+                  k: Int, predicate: Column,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  initProbes: Int = 4): DataFrame =
+    filteredKnnStats(spark, indexPath, query, k, predicate,
+      idCol, vecCol, initProbes)._1
+
+  /** [[filteredKnn]] plus the number of lists actually probed — lets specs
+    * pin BOTH behaviors: expansion past `initProbes` under a selective
+    * filter, and early termination below `lists` when the bound engages. */
+  def filteredKnnStats(spark: SparkSession, indexPath: String, query: Array[Float],
+                  k: Int, predicate: Column,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  initProbes: Int = 4): (DataFrame, Int) = {
+    val metric = metricOf(spark, indexPath)
+    val dist = metricDistance(metric) _
+    val centsDf = spark.read.parquet(s"$indexPath/centroids")
+    val hasRadius = centsDf.columns.contains("radius")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    // (list_id, probe-order distance, lower bound on member output-distance)
+    val ranked = centsDf.collect().map { r =>
+      val lid = r.getInt(r.fieldIndex("list_id"))
+      val c = r.getAs[collection.Seq[Float]]("centroid").toArray
+      val rad = if (hasRadius) r.getDouble(r.fieldIndex("radius")) else Double.NaN
+      val (cdist, lb0) = metric match {
+        case "cosine" =>
+          val cs = dot(query, c) /
+            (math.sqrt(dot(query, query)) * math.sqrt(dot(c, c)))
+          val thetaQ = math.acos(math.max(-1.0, math.min(1.0, cs)))
+          (1.0 - math.cos(thetaQ), 1.0 - math.cos(math.max(0.0, thetaQ - rad)))
+        case "l2" =>
+          val d = l2(query, c)
+          (d, math.max(0.0, d - rad))
+        case _ => (-dot(query, c), Double.NegativeInfinity)
+      }
+      (lid, cdist, if (lb0.isNaN) Double.NegativeInfinity else lb0)
+    }.sortWith { (x, y) =>
+      val c = java.lang.Double.compare(x._2, y._2) // NaN cdist ranks last
+      if (c != 0) c < 0 else x._1 < y._1
+    }
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val best = collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def lt(x: (Long, Double), y: (Long, Double)): Boolean = {
+      val c = java.lang.Double.compare(x._2, y._2) // NaN dist sorts last
+      if (c != 0) c < 0 else x._1 < y._1
+    }
+    var probed = 0
+    var p = math.min(math.max(1, initProbes), ranked.length)
+    var done = ranked.isEmpty
+    while (!done) {
+      val newIds = ranked.slice(probed, p).map(_._1).toIndexedSeq
+      best ++= lists
+        .filter(col("list_id").isin(newIds: _*)) // directory-level pruning
+        .filter(predicate)
+        .select(col(idCol).cast("long").as("vec_id"),
+          dist(col(vecCol), typedLit(query)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val top = best.sortWith(lt).take(k)
+      best.clear(); best ++= top
+      probed = p
+      if (probed >= ranked.length) done = true
+      else {
+        val bound = ranked.drop(probed).map(_._3).min
+        // strict <: at equality an unprobed point could TIE on dist and
+        // win the vec_id tie-break, so equality must keep probing
+        if (best.length >= k && best(k - 1)._2 < bound) done = true
+        else p = math.min(ranked.length, p * 2)
+      }
+    }
+    import spark.implicits._
+    (best.toSeq.toDF("vec_id", "dist"), probed)
   }
 }

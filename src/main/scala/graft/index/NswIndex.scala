@@ -2,7 +2,7 @@ package graft.index
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.util.Timing.timeIt
@@ -261,6 +261,62 @@ object NswIndex {
       .toDF("vec_id", "dist")
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Per-shard beam-search candidates: like [[search]] but keeps `perShard`
+    * rows per shard instead of k — the raw-candidate feed for filtered
+    * search, where post-filtering needs a deeper pool than k. */
+  private def candidates(spark: SparkSession, indexPath: String,
+                         q: Array[Float], ef: Int, perShard: Int): DataFrame = {
+    import spark.implicits._
+    readGraph(spark, indexPath).groupByKey(_.shard_id)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val (ids, vecs, adj) = loadShard(rows)
+          beamSearch(q, vecs, adj, entry = 0, ef = ef)
+            .iterator.take(perShard).map { case (d, idx) => (ids(idx), d) }
+        }
+      }
+      .toDF("vec_id", "dist")
+  }
+
+  /** Filtered graph search — the NSW counterpart of pgvector 0.8's
+    * iterative index scans ([[graft.index.IvfIndex.filteredKnn]] is the
+    * IVF one): a graph probe takes no predicate, so a selective filter
+    * starves a fixed-ef search below k. Standard graph-ANN answer is
+    * post-filter with ADAPTIVE ef: beam-search every shard with beam ef,
+    * keep candidates that survive `predicate` (checked against `attrs`,
+    * the table carrying the filter columns, joined on `idCol`), and if
+    * fewer than k survive, double ef and re-search — capped at the graph
+    * size, where beam search degrades to a full (exact) shard scan, so
+    * the loop always terminates with every survivor found. Approximate
+    * like all graph probes (recall-gated in NswIndexSpec, no oracle);
+    * each round's candidate set is |shards|·ef rows — small — broadcast
+    * against the filtered attrs scan. */
+  def searchFiltered(spark: SparkSession, indexPath: String, q: Array[Float],
+                     k: Int, attrs: DataFrame, predicate: Column,
+                     idCol: String = "vec_id", ef: Int = EfSearch): DataFrame = {
+    val keep = attrs.filter(predicate)
+      .select(col(idCol).cast("long").as("vec_id"))
+    // full-exploration cap: one metadata-cheap count, after which a beam
+    // of that width visits an entire shard (shard size ≤ total rows)
+    lazy val total = spark.read.parquet(s"$indexPath/graph").count()
+    var curEf = math.max(ef, k)
+    var out: DataFrame = null
+    var done = false
+    while (!done) {
+      out = broadcast(candidates(spark, indexPath, q, curEf, perShard = curEf))
+        .join(keep, "vec_id")
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(k)
+      // a round that already explored whole shards (curEf ≥ total) found
+      // every survivor there is — return it even when short of k
+      if (out.count() >= k || curEf >= total) done = true
+      else curEf = math.min(total, curEf.toLong * 2).toInt
+    }
+    out
   }
 
   /** Batch search: many queries in one distributed pass — every shard

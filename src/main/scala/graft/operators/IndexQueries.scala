@@ -102,6 +102,20 @@ object IndexQueries {
     IvfIndex.probe(spark, path, q, K, NProbe)
   }
 
+  /** Filtered kNN through the index with iterative probe expansion —
+    * pgvector 0.8's `ivfflat.iterative_scan` headline, strengthened to an
+    * exact answer by the covering-radius bound ([[IvfIndex.filteredKnn]]),
+    * which is what makes this oracle-checkable: predicate + top-k in
+    * DuckDB is the exact filtered answer. */
+  def filteredKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = indexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfIndex.filteredKnn(spark, path, q, K, col("label") === 7,
+      initProbes = NProbe)
+  }
+
   /** Build (cached) + cardinality contract for the L2-opclass IVF index. */
   def ivfL2Build(spark: SparkSession, sfDir: String): DataFrame = {
     val path = l2IndexFor(spark, sfDir)
@@ -200,6 +214,7 @@ object IndexQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_build" -> ((s, d) => ivfBuild(s, d)),
     "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+    "filtered_knn" -> ((s, d) => filteredKnn(s, d)),
     "ivf_l2_build" -> ((s, d) => ivfL2Build(s, d)),
     "ivf_l2_knn" -> ((s, d) => ivfL2Knn(s, d)),
     "ivf_ip_build" -> ((s, d) => ivfIpBuild(s, d)),
@@ -216,6 +231,15 @@ object IndexQueries {
     // cardinality contract: every embedding vector indexed exactly once
     "ivf_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // exact by construction (covering-radius termination bound), so the
+    // filtered-ANN path gets a FULL hash oracle despite probing an index
+    "filtered_knn" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${graft.OracleSql.cosDist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, q
+         |WHERE e.label = 7
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
     "ivf_l2_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
     "ivf_ip_build" ->

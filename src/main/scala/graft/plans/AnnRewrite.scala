@@ -3,7 +3,8 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, Expression, IntegerLiteral, Literal, SortOrder, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, Descending, Expression, IntegerLiteral, Literal, SortOrder, UnaryMinus}
+import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -111,6 +112,45 @@ object AnnIndexRegistry {
     }
   }
 
+  /** pgvector 0.8's `ivfflat.iterative_scan` analog for filtered kNN
+    * through the transparent rewrite: when the query carries a predicate,
+    * a fixed `nprobe` can starve the result below k (the filter eats most
+    * of the probed lists' rows). Expand the probe prefix ×2, ×4, …, capped
+    * at all lists, until ≥ k rows SURVIVE the predicate. Runs the survivor
+    * counts at plan time over partition-pruned prefixes — the same
+    * plan-time-Spark-job budget [[probedLists]] already spends, one count
+    * per doubling (O(log lists) rounds). Results stay approximate, exactly
+    * like pgvector's iterative scans; [[graft.index.IvfIndex.filteredKnn]]
+    * is the exact-answer API variant. */
+  def iterativeProbedLists(spark: SparkSession, entry: Entry, q: Array[Float],
+                           k: Int, conds: Seq[Expression]): Seq[Int] = {
+    val ranked = probedLists(spark, entry.copy(nprobe = Int.MaxValue), q)
+    val idx = spark.read.parquet(s"${entry.indexPath}/lists")
+    val byName = idx.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    // rebind the plan's filter (which references the BASE relation's
+    // attribute ids) onto the index dataset's attributes, by name
+    val rebound = scala.util.Try {
+      conds.map(_.transform {
+        case a: AttributeReference => byName(a.name)
+      }).reduceLeft[Expression](And(_, _))
+    }.toOption
+    rebound match {
+      case None => ranked.take(entry.nprobe) // unmappable predicate: fixed probes
+      case Some(cond) =>
+        val condCol = ColumnBridge.column(cond)
+        var p = math.min(math.max(1, entry.nprobe), ranked.length)
+        var done = ranked.isEmpty
+        while (!done) {
+          val survivors = idx
+            .filter(col("list_id").isin(ranked.take(p): _*))
+            .filter(condCol).limit(k).count()
+          if (survivors >= k || p >= ranked.length) done = true
+          else p = math.min(ranked.length, p * 2)
+        }
+        ranked.take(p)
+    }
+  }
+
   def probedLists(spark: SparkSession, entry: Entry, q: Array[Float]): Seq[Int] = {
     val key = (entry.indexPath, fingerprint(spark, entry.indexPath), entry.nprobe,
       collection.immutable.ArraySeq.unsafeWrapArray(q.clone()))
@@ -190,7 +230,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case gl @ GlobalLimit(IntegerLiteral(_),
+    case gl @ GlobalLimit(IntegerLiteral(kLimit),
         ll @ LocalLimit(IntegerLiteral(_), limChild)) =>
       val rewritten = for {
         (outerProj, srt) <- peelToSort(limChild)
@@ -224,7 +264,14 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             parsed
           }
           .map(n => entry0.copy(nprobe = n)).getOrElse(entry0)
-        lists = AnnIndexRegistry.probedLists(spark, entry, q)
+        // a predicate between sort and scan switches to the iterative
+        // expand-until-k probe (pgvector iterative_scan); bare kNN keeps
+        // the fixed-nprobe probe
+        filterConds = stack.collect { case f: Filter => f.condition }
+        lists = if (filterConds.isEmpty)
+            AnnIndexRegistry.probedLists(spark, entry, q)
+          else AnnIndexRegistry.iterativeProbedLists(
+            spark, entry, q, kLimit, filterConds)
         idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
           .filter(col("list_id").isin(lists: _*))
           .queryExecution.analyzed

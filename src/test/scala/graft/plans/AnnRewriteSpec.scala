@@ -84,6 +84,22 @@ class AnnRewriteSpec extends SparkSpec {
     assert(ids.head === 0L)
   }
 
+  test("selective filter triggers iterative probe expansion (returns k rows)") {
+    // pgvector 0.8 iterative_scan analog: nprobe=1 probes ~1/16 of rows, of
+    // which only ~1/10 carry label 7 — a fixed probe starves the LIMIT 10
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = 1)
+    val df = spark.read.parquet(tablePath)
+      .filter(col("label") === 7)
+      .orderBy(cosine_distance(col("embedding"), vector_lit(queryVec)), col("vec_id"))
+      .limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("list_id"), s"filtered kNN must still use the index:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === 10,
+      s"iterative expansion must find k surviving rows, got ${rows.length}")
+    assert(rows.forall(_.getAs[Int]("label") === 7))
+  }
+
   test("aliased/derived vector column: rewrite must NOT fire (different quantity)") {
     AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4)
     val df = spark.read.parquet(tablePath)

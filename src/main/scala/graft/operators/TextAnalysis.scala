@@ -167,38 +167,38 @@ object TextAnalysis {
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
     * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
     *
-    * Scale shape: doc lengths and avgdl are one hash agg + one scalar agg
-    * (at 100 TB both are precomputed index-time stats, like the IVF
-    * sidecar); only tokens MATCHING the query survive the filter into the
-    * tf agg, so the scored relation is the posting lists of the query
-    * terms, not the corpus; df and the two scalars broadcast. Final top-k
-    * is TakeOrderedAndProject. Ranked on the 6dp-rounded score (ln ulp —
-    * same recipe as [[tfidfTopTerms]]) with doc_id tie-break. */
+    * Scale shape: corpus stats (dl, df, avgdl) come from the
+    * [[graft.index.Bm25Index]] sidecar built once per corpus version
+    * (mtime-fingerprinted, like the ANN registry) — a query reads ONLY its
+    * terms' posting buckets + a one-row stats table, never the corpus.
+    * Final top-k is TakeOrderedAndProject. Ranked on the 6dp-rounded score
+    * (ln ulp — same recipe as [[tfidfTopTerms]]) with doc_id tie-break. */
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
     bm25TopKImpl(spark, sfDir, Bm25K)
 
-  private def bm25TopKImpl(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    val avgdl = tok.agg(count(lit(1)).cast("double").as("ntok")).crossJoin(n)
-      .select((col("ntok") / col("n")).as("avgdl"), col("n"))
-    val qtf = tok.filter(col("token").isin(Bm25Query: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = qtf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
-    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val tfD = col("tf").cast("double")
-    val dlD = col("dl").cast("double")
-    val termScore = idf * (tfD * (lit(Bm25K1) + lit(1.0))) /
-      (tfD + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * dlD / col("avgdl")))
-    qtf.join(dl, "doc_id").join(broadcast(df), "token").crossJoin(broadcast(avgdl))
-      .select(col("doc_id"), termScore.as("s"))
-      .groupBy("doc_id")
-      .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+  // sfDir → (documents fingerprint, sidecar path): stale corpora rebuild
+  private val bm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** The BM25 sidecar for `sfDir`'s documents table, built on first use and
+    * rebuilt when the backing parquet's mtime changes. */
+  def bm25IndexFor(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fp = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p).getModificationTime
+    bm25Cache.compute(sfDir, (_, old) =>
+      if (old != null && old._1 == fp) old
+      else {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bm25").resolve("index").toString
+        graft.index.Bm25Index.build(Tables.documents(spark, sfDir), path)
+        (fp, path)
+      })._2
   }
+
+  private def bm25TopKImpl(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    graft.index.Bm25Index.topK(spark, bm25IndexFor(spark, sfDir),
+      Bm25Query, k, Bm25K1, Bm25B)
 
   // Reciprocal-rank-fusion constants (Cormack et al.: k=60 is the
   // standard damping; CandK bounds each retriever's contribution list)

@@ -1,0 +1,78 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.tokens
+import graft.operators.TextAnalysis
+
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The pre-sidecar inline scan form — the reference implementation the
+    * sidecar must reproduce bit-for-bit. */
+  private def inlineBm25(sfDir: String, k: Int): Seq[(Long, Double, Long)] = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val avgdl = tok.agg(count(lit(1)).cast("double").as("ntok")).crossJoin(n)
+      .select((col("ntok") / col("n")).as("avgdl"), col("n"))
+    val qtf = tok.filter(col("token").isin(TextAnalysis.Bm25Query: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val termScore = idf * (tfD * (lit(TextAnalysis.Bm25K1) + lit(1.0))) /
+      (tfD + lit(TextAnalysis.Bm25K1) *
+        (lit(1.0) - lit(TextAnalysis.Bm25B) + lit(TextAnalysis.Bm25B) * dlD / col("avgdl")))
+    qtf.join(dl, "doc_id").join(broadcast(df), "token").crossJoin(broadcast(avgdl))
+      .select(col("doc_id"), termScore.as("s"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+  }
+
+  test("sidecar BM25 equals the inline scan form bit-for-bit") {
+    val got = TextAnalysis.bm25TopK(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === inlineBm25(Sf001, TextAnalysis.Bm25K))
+  }
+
+  test("query reads only the query terms' posting buckets (partition pruning)") {
+    val idxPath = TextAnalysis.bm25IndexFor(spark, Sf001)
+    val df = Bm25Index.topK(spark, idxPath, TextAnalysis.Bm25Query,
+      10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val postingsScan = scans.find(_.relation.location.rootPaths.exists(
+      _.toString.contains("postings"))).get
+    // ≤ 3 query terms → ≤ 3 of the 32 bucket directories read
+    val parts = postingsScan.relation.location
+      .listFiles(postingsScan.partitionFilters, postingsScan.dataFilters)
+    assert(parts.length <= TextAnalysis.Bm25Query.length,
+      s"expected ≤${TextAnalysis.Bm25Query.length} posting buckets, " +
+        s"got ${parts.length}")
+  }
+
+  test("mtime staleness: corpus rewrite triggers sidecar rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_stale").toString
+    Seq((0L, "vector hash join"), (1L, "hash hash hash"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx1 = TextAnalysis.bm25IndexFor(spark, dir)
+    assert(TextAnalysis.bm25IndexFor(spark, dir) === idx1, "fresh corpus: cached")
+    Thread.sleep(1100) // mtime granularity
+    Seq((0L, "vector vector vector"), (1L, "join join"), (2L, "hash"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx2 = TextAnalysis.bm25IndexFor(spark, dir)
+    assert(idx2 !== idx1, "rewritten corpus must rebuild the sidecar")
+    // and the rebuilt sidecar reflects the NEW corpus
+    val n = spark.read.parquet(s"$idx2/stats").head().getAs[Double]("n")
+    assert(n === 3.0)
+  }
+}

@@ -74,6 +74,17 @@ package object functions {
   /** `vector_dims(v)` (/root/reference/demo/README.md:96). */
   def vector_dims(v: Column): Column = F.size(v)
 
+  /** pgvector 0.8 `subvector(v, start, count)` — 1-based, like the SQL
+    * standard substring. Spark's codegen'd `slice` IS this operator
+    * (compose-don't-rebuild); deviation: out-of-range slices clamp to the
+    * available elements instead of raising, matching `slice`/DuckDB list
+    * slicing (pgvector raises — documented contract difference). */
+  def subvector(v: Column, start: Int, count: Int): Column =
+    F.slice(v, start, count)
+
+  /** pgvector `a || b` vector concatenation (codegen'd `concat`). */
+  def vector_concat(a: Column, b: Column): Column = F.concat(a, b)
+
   /** Enforce pgvector's `VECTOR(n)` fixed-dimension typing at ingest:
     * errors on mismatch like pgvector, passes the value through otherwise. */
   def validate_vector(v: Column, dim: Int): Column =
@@ -200,6 +211,11 @@ package object functions {
         es => Shingles(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
       r.createOrReplaceTempFunction("hash_embed",
         es => HashEmbed(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
+      r.createOrReplaceTempFunction("subvector",
+        es => org.apache.spark.sql.catalyst.expressions.Slice(es(0), es(1), es(2)),
+        "scala_udf")
+      r.createOrReplaceTempFunction("vector_concat",
+        es => org.apache.spark.sql.catalyst.expressions.Concat(es), "scala_udf")
     }
   }
 }

@@ -166,6 +166,25 @@ object ReferenceQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** pgvector 0.8 `subvector` / `||` function family over the embeddings
+    * table: a 4-wide mid slice, a concat of head+tail slices, the concat'd
+    * dimension, and an out-of-range slice (clamps — documented deviation
+    * from pgvector's raise; DuckDB clamps identically). */
+  def vectorSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{subvector, vector_concat, vector_dims}
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        subvector(col("embedding"), 3, 4).as("sub"),
+        vector_concat(
+          subvector(col("embedding"), 1, 2),
+          subvector(col("embedding"), 63, 2)).as("head_tail"),
+        vector_dims(vector_concat(col("embedding"), col("embedding")))
+          .cast("long").as("cat_dims"),
+        subvector(col("embedding"), 63, 10).as("clamped"))
+      .orderBy("vec_id")
+  }
+
   /** Oracle SQL (DuckDB dialect) for every query above; fragments built by
     * [[graft.OracleSql]] are bit-exact with the Catalyst expressions. */
   def oracles: Map[String, String] = {
@@ -229,6 +248,14 @@ object ReferenceQueries {
            |LIMIT 10""".stripMargin,
       "vector_parse_roundtrip" ->
         "SELECT CAST(0 AS BIGINT) AS n_mismatch, COUNT(*) AS n_rows FROM embeddings",
+      // DuckDB list slicing is 1-based inclusive: v[3:6] = slice(v, 3, 4)
+      "vector_slice" ->
+        """SELECT vec_id,
+          |  embedding[3:6] AS sub,
+          |  embedding[1:2] || embedding[63:64] AS head_tail,
+          |  CAST(len(embedding || embedding) AS BIGINT) AS cat_dims,
+          |  embedding[63:72] AS clamped
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
     )
   }
 
@@ -246,5 +273,6 @@ object ReferenceQueries {
     "l1_topk" -> ((s, d) => l1TopK(s, d)),
     "ip_topk" -> ((s, d) => ipTopK(s, d)),
     "vector_parse_roundtrip" -> ((s, d) => vectorParseRoundtrip(s, d)),
+    "vector_slice" -> ((s, d) => vectorSlice(s, d)),
   )
 }

@@ -135,6 +135,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(z.getAs[collection.Seq[Float]]("u") === Seq(0.0f, 0.0f))
   }
 
+  test("subvector is 1-based with count; clamps; vector_concat appends; SQL names registered") {
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f)
+    val r = Seq(Tuple1(v)).toDF("v").select(
+      subvector(col("v"), 2, 3).as("mid"),
+      subvector(col("v"), 4, 10).as("clamped"),
+      vector_concat(subvector(col("v"), 1, 1), subvector(col("v"), 5, 1)).as("cat"))
+      .head()
+    assert(r.getAs[collection.Seq[Float]]("mid") === Seq(2.0f, 3.0f, 4.0f))
+    assert(r.getAs[collection.Seq[Float]]("clamped") === Seq(4.0f, 5.0f))
+    assert(r.getAs[collection.Seq[Float]]("cat") === Seq(1.0f, 5.0f))
+    // pgvector's SQL spelling through the registered names
+    graft.functions.registerAll(spark)
+    val sql = spark.sql(
+      "SELECT vector_concat(subvector(array(1.0F, 2.0F, 3.0F), 1, 2), " +
+        "array(9.0F)) AS c").head()
+    assert(sql.getAs[collection.Seq[Float]]("c") === Seq(1.0f, 2.0f, 9.0f))
+  }
+
   // ScalaCheck-style properties (SURVEY.md §5): symmetry, range, dist(x,x)≈0.
   // Evaluated driver-side against the same interpreted `compute` path used by
   // eval; the codegen path is covered by the fixture-column tests above.

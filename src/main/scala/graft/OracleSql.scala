@@ -56,6 +56,36 @@ object OracleSql {
   def md5Long(expr: String): String =
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** binary16 round-to-nearest-even quantization of a float expression —
+    * the DuckDB twin of [[graft.functions.HalfFloat.toHalf]], EXACT (no bit
+    * intrinsics needed): for a power-of-two quantum q, `x/q` is exact in
+    * double (float32 has 24 mantissa bits, q only shifts the exponent), so
+    * banker's rounding reduces to integer CASE arithmetic on the scaled
+    * value. q = 2^(floor(log2|x|)−10) in half's normal range, 2⁻²⁴ for
+    * half-subnormals; mantissa-overflow carries (1023.5+ → 1024) land on
+    * the next exact binary16 value by construction. Validated against the
+    * all-patterns Scala round-trip in HalfVecSpec and numpy float16 on 71k
+    * samples during development. Overflow to ±inf (|x| > 65504) is NOT
+    * modeled — fixture embeddings are ~[-1, 1]. */
+  def halfRne(x: String): String = {
+    val ax = s"abs(CAST($x AS DOUBLE))"
+    def rneTimes(q: String): String = {
+      val v = s"($ax / $q)"
+      s"((CASE WHEN $v - floor($v) = 0.5 THEN " +
+        s"(CASE WHEN CAST(floor($v) AS BIGINT) % 2 = 0 THEN floor($v) ELSE floor($v) + 1 END) " +
+        s"WHEN $v - floor($v) < 0.5 THEN floor($v) ELSE floor($v) + 1 END) * $q)"
+    }
+    val e = s"floor(log2($ax))"
+    s"(CASE WHEN $x = 0.0 OR NOT isfinite($x) THEN CAST($x AS DOUBLE) " +
+      s"ELSE (CASE WHEN $x < 0 THEN -1.0 ELSE 1.0 END) * " +
+      s"(CASE WHEN $e - 10 < -24 THEN ${rneTimes("power(2.0, -24)")} " +
+      s"ELSE ${rneTimes(s"power(2.0, $e - 10)")} END) END)"
+  }
+
+  /** A float list quantized to binary16 values, as doubles. */
+  def halfList(v: String): String =
+    s"list_transform($v, h16 -> ${halfRne("h16")})"
+
   /** SQ8 cosine distance — matches [[graft.functions.SqCosineDistance]]:
     * dequantization factor f = scale/127 applied per element inside the
     * same sequential double accumulation the expression runs. `codes`,

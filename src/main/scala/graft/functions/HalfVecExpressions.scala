@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   *
   * [[HalfCosineDistance]] unpacks on the fly inside the same sequential
   * double accumulation as [[CosineDistance]] — bit-equal to dense cosine
-  * over the unpacked arrays, so correctness is spec-pinned against the
-  * dense expression (a DuckDB oracle would need binary16 rounding in SQL;
-  * the knn query is recall-gated instead, like the PQ/IVF families).
+  * over the unpacked arrays, spec-pinned against the dense expression AND
+  * hash-oracled end-to-end: binary16 RNE is expressible exactly in DuckDB
+  * SQL ([[graft.OracleSql.halfRne]]), so `halfvec_knn` carries a full
+  * oracle like the float32 kNN family.
   */
 object HalfFloat {
 

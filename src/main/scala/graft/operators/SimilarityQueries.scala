@@ -223,9 +223,12 @@ object SimilarityQueries {
   /** halfvec top-k — pgvector `halfvec <=> halfvec LIMIT k`: vectors
     * stored as binary16 (2× less scan bandwidth than float32, the same
     * lever as SQ8's 4×), distance computed without re-materializing float
-    * arrays. Deterministic but not float32-identical, so it is
-    * recall-gated in HalfVecSpec (like the PQ/IVF knn family) rather than
-    * DuckDB-oracled — binary16 rounding has no SQL twin. */
+    * arrays. Deterministic AND fully DuckDB-oracled: binary16 RNE is
+    * expressible exactly in SQL ([[graft.OracleSql.halfRne]] — power-of-two
+    * quantization makes the scaled value exact in double, so banker's
+    * rounding is CASE arithmetic), and the distance accumulates the same
+    * rounded doubles in the same order. Recall vs float32 additionally
+    * pinned in HalfVecSpec. */
   def halfKnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{half_cosine_distance, half_pack}
     val e = Tables.embeddings(spark, sfDir)
@@ -291,6 +294,13 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "halfvec_knn" ->
+      s"""WITH h AS (SELECT vec_id, ${O.halfList("embedding")} AS hv FROM embeddings),
+         |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
+         |SELECT h.vec_id, ${O.cosDist("h.hv", "q.qv")} AS dist
+         |FROM h, q
+         |ORDER BY dist, h.vec_id
+         |LIMIT $HalfK""".stripMargin,
     "range_search" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ${O.cosDist("e.embedding", "q.qv")} AS dist

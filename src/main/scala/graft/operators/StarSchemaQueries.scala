@@ -378,6 +378,31 @@ object StarSchemaQueries {
       .orderBy("event_type", "quartile")
   }
 
+  /** The billion-row path [[eventsQuartileStats]]'s scale note promises:
+    * approximate quartile CUT POINTS per event_type (one-pass
+    * approx_percentile sketch, no total order ever materialized), broadcast
+    * back, each row bucketed by comparison — two scans, zero sorts, zero
+    * windows. Same (event_type, quartile, n, lo, hi) shape minus the
+    * inherently total-order max_pr column. Approximate by construction →
+    * rows-gated, with a tolerance spec against the exact form
+    * (StarSchemaQueriesSpec). */
+  def eventsQuartileStatsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cuts = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)").as("c"))
+    ev.join(broadcast(cuts), "event_type")
+      .select(col("event_type"),
+        when(col("value") <= col("c").getItem(0), 1L)
+          .when(col("value") <= col("c").getItem(1), 2L)
+          .when(col("value") <= col("c").getItem(2), 3L)
+          .otherwise(4L).as("quartile"),
+        col("value"))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy("event_type", "quartile")
+  }
+
   /** Ordered 3-step funnel (signup → first click after it → first purchase
     * after that) counted per user — the conversion query every event
     * pipeline runs. Each stage is one equi-join on user_id plus a min-agg:
@@ -435,6 +460,9 @@ object StarSchemaQueries {
     "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
     "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
     "events_quartile_stats" -> ((s, d) => eventsQuartileStats(s, d)),
+    // approximate by construction (percentile sketch) → rows-only gate,
+    // tolerance-pinned against the exact form in StarSchemaQueriesSpec
+    "events_quartile_stats_approx" -> ((s, d) => eventsQuartileStatsApprox(s, d)),
     "events_cube" -> ((s, d) => eventsCube(s, d)),
     "q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d)),
     "q10_returned_customers" -> ((s, d) => q10ReturnedCustomers(s, d)),

@@ -73,6 +73,30 @@ class StarSchemaQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_quartile_stats_approx tracks the exact quartile rollup within 5%") {
+    val exact = StarSchemaQueries.eventsQuartileStats(spark, Sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approxDf = StarSchemaQueries.eventsQuartileStatsApprox(spark, Sf001)
+    // scale-shape audit: the approx path must have NO window/sort funnel
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"),
+      s"approx quartiles must not materialize a total order:\n$plan")
+    val approx = approxDf.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet === exact.keySet, "all (event_type, quartile) groups present")
+    exact.foreach { case (k, (n, lo, hi)) =>
+      val (an, alo, ahi) = approx(k)
+      // sketch cut points shift a few boundary rows between quartiles
+      assert(math.abs(an - n).toDouble / n <= 0.05,
+        s"$k: exact n=$n vs approx n=$an")
+      // boundary values move by at most the cut-point error
+      assert(math.abs(alo - lo) / math.max(math.abs(lo), 1e-9) <= 0.05, s"$k lo: $lo vs $alo")
+      assert(math.abs(ahi - hi) / math.max(math.abs(hi), 1e-9) <= 0.05, s"$k hi: $hi vs $ahi")
+    }
+  }
+
   test("approx_count_distinct (HLL++) tracks exact distinct users within 3%") {
     import org.apache.spark.sql.functions._
     val exact = StarSchemaQueries.eventsDistinctUsers(spark, Sf0001).collect()

@@ -309,6 +309,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram repetition signals — the rest of the Gopher
+    * repetition family ([[qualitySignals]] covers unigrams): duplicate
+    * bigram/trigram fraction (1 − distinct/total) and top bigram/trigram
+    * share. Degenerate generated text ("the the the…", templated spam)
+    * scores high here while passing unigram checks.
+    *
+    * Scale shape: ngram expansion is a per-row transform (no shuffle);
+    * counting is the same two bounded hash aggs as [[qualitySignals]] —
+    * (doc_id, gram) partials then doc_id — no windows, no sorts except the
+    * oracle ORDER BY. Ratios are single double divisions of exact integer
+    * counts, rounded 6dp. Docs shorter than n+1 tokens have no n-grams and
+    * are dropped (inner join), identically in the oracle. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def gramStats(n: Int, label: String): DataFrame = {
+      val t = tokens(col("text"))
+      val grams = transform(
+        sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
+      docs.filter(size(tokens(col("text"))) >= n)
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as(s"n_${label}s"),
+          count(lit(1)).as("d"),
+          max(col("c")).as("m"))
+        .select(col("doc_id"), col(s"n_${label}s"),
+          round(lit(1.0) - col("d").cast("double") / col(s"n_${label}s"), 6)
+            .as(s"dup_${label}_frac"),
+          round(col("m").cast("double") / col(s"n_${label}s"), 6)
+            .as(s"top_${label}_share"))
+    }
+    gramStats(2, "bigram").join(gramStats(3, "trigram"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM quality score — the deterministic core of CCNet-style LM
+    * filtering: train unigram probabilities on the corpus itself (Laplace
+    * smoothing: p(t) = (count+1)/(N+V)) and score each document by its
+    * mean per-token negative log-probability. High = surprising under the
+    * corpus distribution (gibberish, wrong-language); low = templated.
+    * (Real pipelines swap in a KenLM 5-gram — the dataflow, smoothing and
+    * scoring contract are identical; unigram keeps it exactly
+    * reproducible + oracle-checkable offline.)
+    *
+    * Scale shape: the "model" is one hash agg (vocab-sized, broadcast);
+    * scoring is one (doc_id, token) agg + a broadcast join. Cross-engine
+    * exactness: each term tf·(−ln p) is rounded to 6dp and summed as
+    * DECIMAL(18,6) — exact integer-scaled addition, no float
+    * accumulation-order dependence — then one division by the doc's token
+    * count ([[graft.OracleSql.sumExact]] recipe). */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val scalars = vocab.agg(
+      sum(col("cnt")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("v"))
+    val probs = vocab.crossJoin(broadcast(scalars))
+      .select(col("token"),
+        ((col("cnt").cast("double") + lit(1.0)) / (col("n_total") + col("v")))
+          .as("p"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(probs), "token")
+      .select(col("doc_id"), col("tf"),
+        round(col("tf").cast("double") * -log(col("p")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("term")).as("neg_log_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("neg_log_sum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   // deterministic-sample parameters: keep buckets [0, SampleBuckets) of 100
   val SampleBuckets = 10L
   val SampleSalt = "sample-v1"
@@ -409,6 +485,8 @@ object TextAnalysis {
     "corpus_splits" -> ((s, d) => corpusSplits(s, d)),
     "bigram_top" -> ((s, d) => bigramTop(s, d)),
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
+    "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
+    "lm_score" -> ((s, d) => lmScore(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
     "source_stats" -> ((s, d) => sourceStats(s, d)),
     "table_profile" -> ((s, d) => tableProfile(s, d)),
@@ -481,6 +559,50 @@ object TextAnalysis {
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // DuckDB range(1, n) is [1, n): i pairs with t[i+1] ≤ t[len] — the
+      // same len−1 bigrams Spark's 1-based inclusive sequence builds
+      "repetition_signals" ->
+        s"""WITH tok AS (SELECT doc_id, $tok AS t FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           |    i -> t[i] || ' ' || t[i+1])) AS g
+           |  FROM tok WHERE len(t) >= 2),
+           |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+           |b AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |    count(*) AS d, max(c) AS m FROM bgc GROUP BY doc_id),
+           |b2 AS (SELECT doc_id, n_bigrams,
+           |    round(1.0 - CAST(d AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+           |    round(CAST(m AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_share
+           |  FROM b),
+           |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+           |  FROM tok WHERE len(t) >= 3),
+           |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+           |t3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+           |    count(*) AS d, max(c) AS m FROM tgc GROUP BY doc_id),
+           |t32 AS (SELECT doc_id, n_trigrams,
+           |    round(1.0 - CAST(d AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS dup_trigram_frac,
+           |    round(CAST(m AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS top_trigram_share
+           |  FROM t3)
+           |SELECT b2.doc_id, n_bigrams, dup_bigram_frac, top_bigram_share,
+           |  n_trigrams, dup_trigram_frac, top_trigram_share
+           |FROM b2 JOIN t32 ON b2.doc_id = t32.doc_id
+           |ORDER BY b2.doc_id""".stripMargin,
+      // per-term 6dp round → DECIMAL(18,6) sum: exact integer-scaled
+      // addition, immune to accumulation order (OracleSql.sumExact recipe)
+      "lm_score" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($tok) AS token FROM documents),
+           |vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+           |scal AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+           |    CAST(count(*) AS DOUBLE) AS v FROM vocab),
+           |probs AS (SELECT token,
+           |    (CAST(cnt AS DOUBLE) + 1.0) / (n_total + v) AS p FROM vocab, scal),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+           |terms AS (SELECT doc_id, tf,
+           |    CAST(round(CAST(tf AS DOUBLE) * -ln(p), 6) AS DECIMAL(18,6)) AS term
+           |  FROM tf JOIN probs USING (token))
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS lm_score
+           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "corpus_splits" ->
         s"""WITH b AS (
            |  SELECT lang,

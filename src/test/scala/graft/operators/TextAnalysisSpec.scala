@@ -3,6 +3,59 @@ package graft.operators
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a throwaway documents.parquet so corpus-level operators can run
+    * on handcrafted texts. */
+  private def corpusDir(texts: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    texts.toSeq.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetition_signals separates degenerate from diverse text") {
+    val dir = corpusDir(
+      0L -> "spam spam spam spam spam spam spam spam",      // one bigram repeated
+      1L -> "alpha beta gamma delta epsilon zeta eta theta", // all distinct
+      2L -> "go go stop go go stop go go")                   // mixed
+    val rows = TextAnalysis.repetitionSignals(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: 7 bigrams, all "spam spam" → dup frac 1−1/7, top share 1.0
+    assert(rows(0L).getAs[Long]("n_bigrams") === 7L)
+    assert(math.abs(rows(0L).getAs[Double]("dup_bigram_frac") - (1.0 - 1.0 / 7)) < 1e-6)
+    assert(rows(0L).getAs[Double]("top_bigram_share") === 1.0)
+    assert(rows(0L).getAs[Double]("dup_trigram_frac") > 0.8)
+    // doc 1: no repeated n-grams at all
+    assert(rows(1L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(rows(1L).getAs[Double]("dup_trigram_frac") === 0.0)
+    // degenerate ranks strictly above diverse on every signal
+    assert(rows(0L).getAs[Double]("dup_bigram_frac") >
+      rows(2L).getAs[Double]("dup_bigram_frac"))
+    assert(rows(2L).getAs[Double]("dup_bigram_frac") >
+      rows(1L).getAs[Double]("dup_bigram_frac"))
+  }
+
+  test("repetition_signals drops docs shorter than the n-gram order") {
+    val dir = corpusDir(0L -> "solo", 1L -> "two tokens", 2L -> "three tokens here")
+    val ids = TextAnalysis.repetitionSignals(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(2L), "needs ≥3 tokens for the trigram join")
+  }
+
+  test("lm_score: rare-token documents score higher than common-token ones") {
+    val common = "the data table row value"
+    val dir = corpusDir(
+      (0L to 19L).map(i => i -> common) :+ (20L -> "zyzzyva qwerty xylophone"): _*)
+    val rows = TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    assert(rows(20L) > rows(0L) * 2,
+      s"rare doc ${rows(20L)} must far exceed common doc ${rows(0L)}")
+    // all common docs share one score (same text → same mean log-prob)
+    assert((0L to 19L).map(rows).toSet.size === 1)
+    assert(rows.values.forall(_ > 0.0), "negative log probs are positive")
+  }
+
 
   test("text_stats ratios bounded and token counts positive") {
     val rows = TextAnalysis.textStats(spark, Sf0001).collect()

@@ -60,6 +60,42 @@ object Bm25Index {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
+  /** Incremental maintenance — the batch analog of new documents arriving
+    * after `CREATE INDEX` (mirrors [[IvfIndex.append]]): tokenize ONLY the
+    * new docs, append their doclen + posting rows, then rebuild the two
+    * DERIVED sidecars (df, stats) from the postings/doclen datasets —
+    * index-sized inputs, never the corpus. Caller must not reuse doc_ids
+    * (same contract as the ANN appends). avgdl legitimately shifts: BM25
+    * normalizes against the CURRENT corpus, so post-append scores equal a
+    * full rebuild's — pinned bit-exact in Bm25IndexSpec. */
+  def append(newDocs: DataFrame, indexPath: String, idCol: String = "doc_id",
+             textCol: String = "text"): Unit = timeIt("bm25_append") {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val tok = newDocs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val dlNew = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist() // one execution across the two appends
+    try {
+      dlNew.write.mode("append").parquet(s"$indexPath/doclen")
+      tok.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        .join(dlNew, "doc_id")
+        .withColumn("bucket", bucketOf(col("token")))
+        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/postings")
+    } finally dlNew.unpersist()
+    // derived sidecars: recomputed from the index datasets (reads postings/
+    // doclen, writes df/stats — distinct paths, safe to overwrite)
+    spark.read.parquet(s"$indexPath/postings")
+      .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("bucket", bucketOf(col("token")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/df")
+    val dl = spark.read.parquet(s"$indexPath/doclen")
+      .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double")).head()
+    val (nDocs, nTok) = (dl.getDouble(0), dl.getDouble(1))
+    Seq((nDocs, nTok, nTok / nDocs)).toDF("n", "ntok", "avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
   /** BM25 top-k over the sidecar: reads ONLY the query terms' posting
     * buckets + the one-row stats — never the corpus. Bit-exact with the
     * inline scan form (same counts, same expression tree). */

@@ -58,6 +58,32 @@ class Bm25IndexSpec extends SparkSpec {
         s"got ${parts.length}")
   }
 
+  test("append equals full rebuild bit-for-bit (postings, stats, scores)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val incremental = java.nio.file.Files
+      .createTempDirectory("graft_bm25_inc").resolve("idx").toString
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_bm25_full").resolve("idx").toString
+    Bm25Index.build(docs.filter(col("doc_id") < 250), incremental)
+    Bm25Index.append(docs.filter(col("doc_id") >= 250), incremental)
+    Bm25Index.build(docs, full)
+    def top(p: String) = Bm25Index.topK(spark, p, TextAnalysis.Bm25Query,
+        10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(top(incremental) === top(full),
+      "post-append scores must equal a full rebuild (BM25 normalizes " +
+        "against the CURRENT corpus stats)")
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .head() match { case r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)) }
+    assert(stats(incremental) === stats(full))
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .orderBy("token", "doc_id")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("dl"))).toSeq
+    assert(postings(incremental) === postings(full))
+  }
+
   test("mtime staleness: corpus rewrite triggers sidecar rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_stale").toString
     Seq((0L, "vector hash join"), (1L, "hash hash hash"))

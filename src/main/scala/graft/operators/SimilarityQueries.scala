@@ -70,6 +70,46 @@ object SimilarityQueries {
         round(col("x"), 6).as("centroid_val"))
       .orderBy("label", "dim")
 
+  /** Outlier z-score threshold for [[embeddingOutliers]]. */
+  val OutlierZ = 2.0
+
+  /** Embedding outlier detection — the mislabeled/garbage-vector sweep a
+    * training pipeline runs before contrastive fine-tuning: distance of
+    * each vector to ITS label's centroid, z-scored within the label, rows
+    * with z ≥ [[OutlierZ]] reported worst-first.
+    *
+    * Scale shape: one vector_avg agg (|labels| arrays), centroids
+    * broadcast back, one scan for distances, one |labels|-row stats agg,
+    * second broadcast join — no windows, no self-joins.
+    *
+    * Cross-engine exactness (the round-then-derive recipe): centroid
+    * components round to 6dp THEN cast float (both engines RNE) — from
+    * there every distance is the bit-exact [[cosine_distance]]; per-label
+    * mean/std round to 6dp (absorbing agg-order ulps, as in
+    * [[labelCentroids]]); z is then one subtraction + division over
+    * already-identical doubles. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.groupBy("label")
+      .agg(graft.functions.vector_avg(col("embedding")).as("c"))
+      .select(col("label"),
+        transform(col("c"), x => round(x, 6).cast("float")).as("centroid"))
+    val d = e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(cosine_distance(col("embedding"), col("centroid")), 6).as("dist"))
+    val stats = d.groupBy("label").agg(
+      round(avg(col("dist")), 6).as("mean_d"),
+      round(stddev_samp(col("dist")), 6).as("std_d"))
+      // a zero-spread label has no outliers BY DEFINITION — and its z
+      // division would raise under ANSI mode (DuckDB would emit ±inf)
+      .filter(col("std_d") > 0.0)
+    d.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("dist"),
+        round((col("dist") - col("mean_d")) / col("std_d"), 4).as("z"))
+      .filter(col("z") >= OutlierZ)
+      .orderBy(col("z").desc, col("vec_id"))
+  }
+
   /** Histogram of all pairwise cosine similarities in 0.1-wide buckets —
     * the corpus-redundancy diagnostic. Bucket ids floor bit-exact doubles,
     * so cross-engine counts match exactly. */
@@ -291,9 +331,35 @@ object SimilarityQueries {
     "sq_knn_topk" -> ((s, d) => sqKnnTopK(s, d)),
     "sparse_knn_topk" -> ((s, d) => sparseKnnTopK(s, d)),
     "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
+    "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
+    // round-then-derive: 6dp-rounded float centroids → bit-exact distances
+    // → 6dp-rounded per-label stats → exact z arithmetic
+    "embedding_outliers" ->
+      s"""WITH ex AS (
+         |  SELECT label, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, i, CAST(round(avg(CAST(x AS DOUBLE)), 6) AS FLOAT) AS cv
+         |  FROM ex GROUP BY label, i),
+         |centarr AS (SELECT label, list(cv ORDER BY i) AS centroid FROM cent GROUP BY label),
+         |d AS (
+         |  SELECT e.vec_id, e.label,
+         |    round(${O.cosDist("e.embedding", "c.centroid")}, 6) AS dist
+         |  FROM embeddings e JOIN centarr c ON e.label = c.label),
+         |stats AS (
+         |  SELECT label, round(avg(dist), 6) AS mean_d,
+         |    round(stddev_samp(dist), 6) AS std_d
+         |  FROM d GROUP BY label
+         |  HAVING round(stddev_samp(dist), 6) > 0)
+         |SELECT d.vec_id, d.label, d.dist,
+         |  round((d.dist - s.mean_d) / s.std_d, 4) AS z
+         |FROM d JOIN stats s USING (label)
+         |WHERE round((d.dist - s.mean_d) / s.std_d, 4) >= $OutlierZ
+         |ORDER BY z DESC, d.vec_id""".stripMargin,
     "halfvec_knn" ->
       s"""WITH h AS (SELECT vec_id, ${O.halfList("embedding")} AS hv FROM embeddings),
          |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)

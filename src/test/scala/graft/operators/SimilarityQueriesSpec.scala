@@ -54,6 +54,29 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(maxErr < 0.02, s"SQ8 cosine error too large: $maxErr")
   }
 
+  test("embedding_outliers surfaces a planted garbage vector at rank 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_outlier").toString
+    // 10 clusters of 30 near-identical vectors + one flipped-sign intruder
+    // mislabeled into cluster 0
+    val dim = 16
+    val rows = (for {
+      label <- 0 until 10
+      i <- 0 until 30
+    } yield {
+      val v = Array.tabulate(dim)(d =>
+        (if (d == label) 10.0f else 0.0f) + ((i * 7 + d) % 5) * 0.01f)
+      ((label * 30 + i).toLong, v, label)
+    }) :+ (999L, Array.tabulate(dim)(d => if (d == 7) -10.0f else 0.1f), 0)
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.embeddingOutliers(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(0) === 999L, "the intruder must be the worst outlier")
+    assert(out.head.getAs[Double]("z") > 5.0)
+    // inliers of untouched clusters don't appear
+    assert(out.forall(_.getAs[Double]("z") >= SimilarityQueries.OutlierZ))
+  }
+
   test("avg_pairwise_sim_fast equals the O(n²) crossJoin form; plan is join-free") {
     val slow = ReferenceQueries.avgPairwiseSim(spark, Sf0001).head().getDouble(0)
     val fastDf = SimilarityQueries.avgPairwiseSimFast(spark, Sf0001)

@@ -323,4 +323,48 @@ object IvfPqIndex {
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** Filtered IVF-PQ search — completing the filtered-ANN family
+    * ([[IvfIndex.filteredKnn]] exact, [[NswIndex.searchFiltered]] graph):
+    * a predicate starves a fixed probe below k two ways here, so BOTH
+    * knobs expand — `nprobe` ×2 (capped at the list count) widens which
+    * partitions the ADC scan reads, `overfetch` ×2 deepens the candidate
+    * pool within them — until k rows survive. Terminal state: every list
+    * probed AND the probe returned fewer candidates than requested (the
+    * pool IS the whole probed population) ⇒ post-filter is complete, the
+    * result is exact, loop ends even with < k survivors. Candidates join
+    * the base table by broadcast id-list (never an isin literal chain —
+    * at full expansion that would be corpus-sized). Approximate before the
+    * terminal state, like every PQ probe → recall-gated in spec. */
+  def probeRerankFiltered(spark: SparkSession, indexPath: String, base: DataFrame,
+                          q: Array[Float], k: Int,
+                          predicate: org.apache.spark.sql.Column,
+                          nprobe: Int = 4, overfetch: Int = 4,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{cosine_distance, vector_lit}
+    import spark.implicits._
+    val lists = spark.read.parquet(s"$indexPath/coarse").count().toInt
+    var np = math.min(math.max(1, nprobe), lists)
+    var of = math.max(1, overfetch)
+    var out: DataFrame = null
+    var done = false
+    while (!done) {
+      val cands = probe(spark, indexPath, q, k * of, np)
+        .select("vec_id").collect().map(_.getLong(0)).toIndexedSeq
+      out = base.filter(predicate)
+        .join(broadcast(cands.toDF("_cand_id")),
+          col(idCol).cast("long") === col("_cand_id"), "left_semi")
+        .select(col(idCol).cast("long").as("vec_id"),
+          cosine_distance(col(vecCol), vector_lit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(k)
+      val poolExhausted = cands.length < k * of // probed lists fully drained
+      if (out.count() >= k || (np >= lists && poolExhausted)) done = true
+      else {
+        if (np < lists) np = math.min(lists, np * 2)
+        if (!poolExhausted) of *= 2
+      }
+    }
+    out
+  }
 }

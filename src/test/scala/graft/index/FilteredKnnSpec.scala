@@ -150,6 +150,28 @@ class FilteredKnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"filtered NSW recall@10 was $recall")
   }
 
+  test("IVF-PQ filtered probe: selective filter returns k rows; recall holds") {
+    val pqPath = IndexQueries.ivfPqIndexFor(spark, Sf0001)
+    val base = spark.read.parquet(tablePath)
+    val pred = col("vec_id") % 50 === 0 // 10 of 500 survive
+    val got = IvfPqIndex.probeRerankFiltered(
+      spark, pqPath, base, queryVec, 10, pred, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.length === 10, "expansion must reach k surviving rows")
+    val exact = exactFiltered(pred, 10).map(_._1)
+    val recall = got.toSet.intersect(exact.toSet).size / 10.0
+    assert(recall >= 0.8, s"filtered IVF-PQ recall@10 was $recall")
+  }
+
+  test("IVF-PQ filtered probe: fewer than k survivors returns them all (terminal exact)") {
+    val pqPath = IndexQueries.ivfPqIndexFor(spark, Sf0001)
+    val base = spark.read.parquet(tablePath)
+    val got = IvfPqIndex.probeRerankFiltered(
+      spark, pqPath, base, queryVec, 10, col("vec_id") < 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(0L, 1L, 2L))
+  }
+
   test("NSW filtered search: fewer than k survivors returns them all") {
     val nswPath = IndexQueries.nswIndexFor(spark, Sf0001)
     val attrs = spark.read.parquet(tablePath)

@@ -111,6 +111,45 @@ object StreamingIngest {
       .start()
   }
 
+  /** Continuous ANN index maintenance: new vector rows appended to the
+    * ivfflat lists per micro-batch. [[graft.index.IvfIndex.append]] assigns
+    * to the EXISTING centroids — exactly pgvector's index-on-INSERT
+    * behavior (never re-clusters; periodic full rebuilds re-balance, as in
+    * Postgres) — and keeps the covering-radius sidecar sound, so the
+    * filtered probe's termination bound survives streaming appends.
+    * Delivery caveat is [[startIngest]]'s: a replayed batch duplicates its
+    * rows (ANN results stay correct — duplicates score identically — but a
+    * rebuild is the cleanup). */
+  def startIvfMaintenance(spark: SparkSession, srcDir: String, schema: StructType,
+                          indexPath: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"${indexPath}_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.index.IvfIndex.append(batch, indexPath)
+        ()
+      }
+      .start()
+
+  /** Continuous lexical index maintenance: new documents appended to the
+    * BM25 posting-list sidecar per micro-batch
+    * ([[graft.index.Bm25Index.append]] — post-append scores equal a full
+    * rebuild). Same at-least-once caveat as [[startIvfMaintenance]]. */
+  def startBm25Maintenance(spark: SparkSession, srcDir: String, schema: StructType,
+                           indexPath: String,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"${indexPath}_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.index.Bm25Index.append(batch, indexPath)
+        ()
+      }
+      .start()
+
   /** The open (not-yet-emitted) session a user's state holds. */
   final case class OpenSession(start: Long, last: Long, n: Long)
 

@@ -124,7 +124,22 @@ object AnnIndexRegistry {
     * is the exact-answer API variant. */
   def iterativeProbedLists(spark: SparkSession, entry: Entry, q: Array[Float],
                            k: Int, conds: Seq[Expression]): Seq[Int] = {
+    // pgvector session knobs, honored verbatim:
+    //   SET ivfflat.iterative_scan = off          -- disable expansion
+    //   SET ivfflat.max_probes = n                -- cap it
+    // Divergence, documented: our default is ON (relaxed_order) where
+    // pgvector defaults off — a filtered kNN silently returning < k rows
+    // is the bug this engine-side analog exists to fix. strict_order and
+    // relaxed_order behave identically here: results re-sort after the
+    // scan, so strict ordering always holds.
+    val mode = spark.conf.getOption("ivfflat.iterative_scan")
+      .map(_.trim.toLowerCase).getOrElse("relaxed_order")
+    if (mode == "off") return probedLists(spark, entry, q)
+    val maxProbes = spark.conf.getOption("ivfflat.max_probes")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
+      .getOrElse(Int.MaxValue)
     val ranked = probedLists(spark, entry.copy(nprobe = Int.MaxValue), q)
+    val cap = math.min(ranked.length, math.max(maxProbes, math.max(1, entry.nprobe)))
     val idx = spark.read.parquet(s"${entry.indexPath}/lists")
     val byName = idx.queryExecution.analyzed.output.map(a => a.name -> a).toMap
     // rebind the plan's filter (which references the BASE relation's
@@ -138,14 +153,14 @@ object AnnIndexRegistry {
       case None => ranked.take(entry.nprobe) // unmappable predicate: fixed probes
       case Some(cond) =>
         val condCol = ColumnBridge.column(cond)
-        var p = math.min(math.max(1, entry.nprobe), ranked.length)
+        var p = math.min(math.max(1, entry.nprobe), cap)
         var done = ranked.isEmpty
         while (!done) {
           val survivors = idx
             .filter(col("list_id").isin(ranked.take(p): _*))
             .filter(condCol).limit(k).count()
-          if (survivors >= k || p >= ranked.length) done = true
-          else p = math.min(ranked.length, p * 2)
+          if (survivors >= k || p >= cap) done = true
+          else p = math.min(cap, p * 2)
         }
         ranked.take(p)
     }

@@ -100,6 +100,30 @@ class AnnRewriteSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("label") === 7))
   }
 
+  test("ivfflat.iterative_scan=off and ivfflat.max_probes cap the expansion (pgvector knobs)") {
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = 1)
+    def filtered = spark.read.parquet(tablePath)
+      .filter(col("label") === 7)
+      .orderBy(cosine_distance(col("embedding"), vector_lit(queryVec)), col("vec_id"))
+      .limit(10)
+    try {
+      spark.conf.set("ivfflat.iterative_scan", "off")
+      val offRows = filtered.collect()
+      assert(offRows.length < 10,
+        "iterative_scan=off must reproduce the starved fixed-nprobe result")
+      spark.conf.unset("ivfflat.iterative_scan")
+      spark.conf.set("ivfflat.max_probes", "2")
+      val capped = filtered.collect()
+      assert(capped.length < 10, "max_probes=2 must stop expansion early")
+      assert(capped.length >= offRows.length)
+      spark.conf.unset("ivfflat.max_probes")
+      assert(filtered.collect().length === 10, "unconstrained expansion reaches k")
+    } finally {
+      spark.conf.unset("ivfflat.iterative_scan")
+      spark.conf.unset("ivfflat.max_probes")
+    }
+  }
+
   test("aliased/derived vector column: rewrite must NOT fire (different quantity)") {
     AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4)
     val df = spark.read.parquet(tablePath)

@@ -58,6 +58,18 @@ object PlanGallery {
     "range_search" -> ("Radius query: one scan, one codegen'd distance+filter " +
       "per row — embarrassingly parallel; the only shuffle is the output " +
       "determinism sort."),
+    "bm25_topk" -> ("Lexical retrieval over the posting-list sidecar: the " +
+      "postings scan shows a `bucket` partition filter (≤ |query terms| of " +
+      "32 directories read) plus a pushed token filter; df broadcasts; the " +
+      "corpus itself is never scanned at query time."),
+    "embedding_outliers" -> ("Centroid z-score sweep: one vector_avg " +
+      "aggregate (|labels| array buffers), centroids and per-label stats " +
+      "both re-broadcast — two BroadcastHashJoins, no windows, no " +
+      "self-joins."),
+    "lm_score" -> ("Unigram-LM scoring: the vocab agg doubles as the model " +
+      "(broadcast to the tf join); per-term decimal rounding makes the " +
+      "per-doc sum order-independent, so the plan is two hash aggs + one " +
+      "broadcast join — no sort anywhere but the output determinism one."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -84,6 +84,8 @@ object IvfIndex {
             lists: Int = DefaultLists, metric: String = "cosine"): (Long, Int) =
     timeIt("ivf_build") {
     require(Metrics.contains(metric), s"unsupported ivf metric: $metric")
+    // fail here with the user's words, not deep inside KMeans with k=0
+    require(lists >= 1, s"ivfflat lists must be >= 1, got $lists")
     val spark = embeddings.sparkSession
     val srcCols = embeddings.columns.toSeq
     val assigned = if (metric == "cosine") {

@@ -258,6 +258,40 @@ object SimilarityQueries {
       .limit(SparseK)
   }
 
+  private val sparseIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[graft.index.SparseIndex]] over the fixture sparsevecs, built once
+    * per (session, sfDir) like the IVF caches. */
+  def sparseIndexFor(spark: SparkSession, sfDir: String): String =
+    sparseIdxCache.computeIfAbsent(sfDir, { _ =>
+      import graft.functions.sparse_vectorize
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sparse").resolve("index").toString
+      graft.index.SparseIndex.build(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), sparse_vectorize(col("embedding"), SparseEps).as("sv")),
+        path)
+      path
+    })
+
+  /** [[sparseKnnTopK]] answered through the inverted index — EXACT (the
+    * per-candidate fold reproduces the merge-walk bit-for-bit and
+    * non-candidates flow through the same distance formula with dot = 0),
+    * so it shares sparse_knn_topk's hash oracle verbatim. The scan this
+    * avoids: brute force touches every row; this touches Σ df(q dims)
+    * posting rows + the narrow norms sidecar. */
+  def sparseKnnIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.sparse_vectorize
+    val idx = sparseIndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(sparse_vectorize(col("embedding"), SparseEps).as("sv"))
+      .select("sv.indices", "sv.values").head()
+    graft.index.SparseIndex.knn(spark, idx,
+      q.getAs[collection.Seq[Int]](0).toArray,
+      q.getAs[collection.Seq[Float]](1).toArray, SparseK)
+  }
+
   val HalfK = 10
 
   /** halfvec top-k — pgvector `halfvec <=> halfvec LIMIT k`: vectors
@@ -330,9 +364,25 @@ object SimilarityQueries {
     "avg_pairwise_sim_fast" -> ((s, d) => avgPairwiseSimFast(s, d)),
     "sq_knn_topk" -> ((s, d) => sqKnnTopK(s, d)),
     "sparse_knn_topk" -> ((s, d) => sparseKnnTopK(s, d)),
+    "sparse_knn_indexed" -> ((s, d) => sparseKnnIndexed(s, d)),
     "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
   )
+
+  private lazy val sparseKnnOracleSql =
+    s"""WITH sp AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CASE WHEN abs(CAST(x AS DOUBLE)) > CAST($SparseEps AS DOUBLE)
+       |           THEN x ELSE CAST(0.0 AS FLOAT) END) AS sv,
+       |    CAST(len(list_filter(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)) > CAST($SparseEps AS DOUBLE))) AS BIGINT) AS nnz
+       |  FROM embeddings),
+       |q AS (SELECT sv AS qv FROM sp WHERE vec_id = 0)
+       |SELECT sp.vec_id, ${O.cosDist("sp.sv", "q.qv")} AS dist, sp.nnz
+       |FROM sp, q
+       |ORDER BY dist, vec_id
+       |LIMIT $SparseK""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // round-then-derive: 6dp-rounded float centroids → bit-exact distances
@@ -453,20 +503,9 @@ object SimilarityQueries {
          |WHERE e1.vec_id < e2.vec_id
          |GROUP BY 1
          |ORDER BY bucket""".stripMargin,
-    "sparse_knn_topk" ->
-      s"""WITH sp AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CASE WHEN abs(CAST(x AS DOUBLE)) > CAST($SparseEps AS DOUBLE)
-         |           THEN x ELSE CAST(0.0 AS FLOAT) END) AS sv,
-         |    CAST(len(list_filter(embedding,
-         |      x -> abs(CAST(x AS DOUBLE)) > CAST($SparseEps AS DOUBLE))) AS BIGINT) AS nnz
-         |  FROM embeddings),
-         |q AS (SELECT sv AS qv FROM sp WHERE vec_id = 0)
-         |SELECT sp.vec_id, ${O.cosDist("sp.sv", "q.qv")} AS dist, sp.nnz
-         |FROM sp, q
-         |ORDER BY dist, vec_id
-         |LIMIT $SparseK""".stripMargin,
+    "sparse_knn_topk" -> sparseKnnOracleSql,
+    // the indexed path is EXACT (see sparseKnnIndexed) → same oracle
+    "sparse_knn_indexed" -> sparseKnnOracleSql,
     "sq_knn_topk" ->
       s"""WITH sc AS (
          |  SELECT vec_id, embedding,

@@ -315,19 +315,29 @@ object TextAnalysis {
     * share. Degenerate generated text ("the the the…", templated spam)
     * scores high here while passing unigram checks.
     *
-    * Scale shape: ngram expansion is a per-row transform (no shuffle);
-    * counting is the same two bounded hash aggs as [[qualitySignals]] —
-    * (doc_id, gram) partials then doc_id — no windows, no sorts except the
-    * oracle ORDER BY. Ratios are single double divisions of exact integer
-    * counts, rounded 6dp. Docs shorter than n+1 tokens have no n-grams and
-    * are dropped (inner join), identically in the oracle. */
+    * Scale shape: ngram expansion is a per-row zip of SHIFTED SLICES of the
+    * token array (an `element_at(tokens(text), i)` lambda would re-split
+    * the text per element — O(n²) per doc; slices keep the split outside
+    * the lambda where codegen CSE evaluates it once); counting is the same
+    * two bounded hash aggs as [[qualitySignals]] — (doc_id, gram) partials
+    * then doc_id — no windows, no sorts except the oracle ORDER BY. Ratios
+    * are single double divisions of exact integer counts, rounded 6dp.
+    * Docs shorter than n+1 tokens have no n-grams and are dropped (inner
+    * join), identically in the oracle. */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     def gramStats(n: Int, label: String): DataFrame = {
       val t = tokens(col("text"))
-      val grams = transform(
-        sequence(lit(1), size(t) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
+      val m = size(t)
+      val grams = n match {
+        case 2 => zip_with(slice(t, lit(1), m - 1), slice(t, lit(2), m - 1),
+          (a, b) => concat_ws(" ", a, b))
+        case 3 => zip_with(
+          zip_with(slice(t, lit(1), m - 2), slice(t, lit(2), m - 2),
+            (a, b) => concat_ws(" ", a, b)),
+          slice(t, lit(3), m - 2),
+          (ab, c) => concat_ws(" ", ab, c))
+      }
       docs.filter(size(tokens(col("text"))) >= n)
         .select(col("doc_id"), explode(grams).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))

@@ -67,7 +67,7 @@ object GraftDdl {
       """USING\s+(\w+)\s*\(\s*(\w+)\s+(vector_\w+_ops)\s*\)""" +
       """(?:\s*WITH\s*\(\s*lists\s*=\s*(\d+)\s*\))?\s*;?\s*""")
 
-  private val Drop = Pattern.compile("""(?is)\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""")
+  private val Drop = Pattern.compile("""(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""")
 
   private val opclassMetric = Map(
     "vector_cosine_ops" -> "cosine",
@@ -99,8 +99,12 @@ object GraftDdl {
         ifNotExists = c.group(1) != null))
     } else {
       val d = Drop.matcher(sqlText)
-      if (d.matches() && VectorIndexCatalog.contains(d.group(1))) {
-        Some(DropVectorIndexCommand(d.group(1)))
+      if (d.matches() && VectorIndexCatalog.contains(d.group(2))) {
+        Some(DropVectorIndexCommand(d.group(2)))
+      } else if (d.matches() && d.group(1) != null) {
+        // DROP INDEX IF EXISTS <unknown> is a no-op in Postgres; without
+        // this the delegate parser rejects the statement outright
+        Some(NoopCommand)
       } else None // unknown index name: let Spark's DROP INDEX path handle it
     }
   }
@@ -150,6 +154,10 @@ case class CreateVectorIndexCommand(
     VectorIndexCatalog.put(indexName, path, indexPath)
     Seq.empty
   }
+}
+
+case object NoopCommand extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = Seq.empty
 }
 
 case class DropVectorIndexCommand(indexName: String) extends LeafRunnableCommand {

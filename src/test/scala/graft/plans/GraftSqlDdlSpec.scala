@@ -137,6 +137,10 @@ class GraftSqlDdlSpec extends SparkSpec {
       // the delegating path stays intact
       assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
       assert(s2.sql("SELECT count(*) FROM items2").head().getLong(0) === 500L)
+      // DROP INDEX IF EXISTS <unknown> no-ops like Postgres
+      s2.sql("DROP INDEX IF EXISTS never_created_idx")
+      // without IF EXISTS an unknown name still errors (delegate parser)
+      intercept[Exception] { s2.sql("DROP INDEX never_created_idx") }
     }
   }
 }

@@ -485,6 +485,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_clean"))
   }
 
+  /** Keep-BEST cluster cleaning — [[dedupCleanClusters]] keeps each
+    * cluster's minimum-id member; real pipelines keep the highest-quality
+    * one (here: longest text, the classic keep-longest-duplicate rule,
+    * with min-doc_id tie-break). One row per MinHash cluster: its
+    * component representative, the kept member, its length, cluster size.
+    * Deterministic argmax via `max_by` over a (n_chars, −doc_id) struct —
+    * a bare max_by is nondeterministic on ties. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, sfDir).select("a", "b")
+    val labels = connectedComponentsStar(pairs)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    labels.join(docs, labels("node") === docs("doc_id"))
+      .groupBy(col("lab").as("cluster_rep"))
+      .agg(
+        max_by(col("node"), struct(col("n_chars"), -col("node"))).as("kept_doc"),
+        max(col("n_chars")).as("kept_chars"),
+        count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_rep")
+  }
+
   /** Semantic near-dup clusters (SemDeDup-style): connected components of
     * the [[dedupEmbedding]] pair graph, one row per clustered doc with its
     * cluster representative (component-min id) and cluster size. The
@@ -503,6 +523,7 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
     "dedup_clean_clusters" -> ((s, d) => dedupCleanClusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => dedupKeepBest(s, d)),
     "contamination" -> ((s, d) => contamination(s, d)),
     "dedup_clean" -> ((s, d) => dedupClean(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
@@ -626,6 +647,33 @@ object Dedup {
          |  WHERE rn = 1)
          |SELECT COUNT(*) AS n_clean FROM keep1
          |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mp AS (
+         |  SELECT a, b FROM commons
+         |  JOIN sizes sa ON a = sa.doc_id
+         |  JOIN sizes sb ON b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $MinhashVerifyThreshold),
+         |und AS (SELECT a AS x, b AS y FROM mp UNION SELECT b, a FROM mp),
+         |r(x, y) AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x),
+         |rep AS (SELECT x AS doc_id, least(min(y), x) AS cluster_rep FROM r GROUP BY x),
+         |members AS (
+         |  SELECT rep.cluster_rep, rep.doc_id, d.n_chars
+         |  FROM rep JOIN documents d USING (doc_id)),
+         |best AS (
+         |  SELECT cluster_rep, doc_id AS kept_doc, n_chars AS kept_chars,
+         |    row_number() OVER (PARTITION BY cluster_rep
+         |                       ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM members),
+         |cl_sizes AS (
+         |  SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM members GROUP BY cluster_rep)
+         |SELECT b.cluster_rep, b.kept_doc, b.kept_chars, s.cluster_size
+         |FROM best b JOIN cl_sizes s USING (cluster_rep)
+         |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token

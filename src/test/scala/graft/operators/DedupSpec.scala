@@ -4,6 +4,29 @@ import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
 
+  test("dedup_keep_best keeps the longest member, min doc_id on length ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_keepbest").toString
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val rows = Seq(
+      // cluster {0,1,2}: identical text (jaccard 1), lengths favor doc 1
+      (0L, dupText, "en", "a", 100L),
+      (1L, dupText, "en", "a", 500L),
+      (2L, dupText, "en", "a", 200L),
+      // cluster {3,4}: identical (DISJOINT) text, equal length → min doc_id
+      (3L, "one two three four five six seven eight nine ten " * 3, "en", "a", 300L),
+      (4L, "one two three four five six seven eight nine ten " * 3, "en", "a", 300L),
+      // singleton: never appears (unclustered docs aren't dropped)
+      (5L, "totally different words entirely unrelated content here now", "en", "a", 999L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupKeepBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(0L, 3L), "one row per cluster, keyed by component-min rep")
+    assert(out(0L) === ((1L, 500L, 3L)), "longest member kept")
+    assert(out(3L) === ((3L, 300L, 2L)), "tie broken by min doc_id")
+  }
+
   test("dedup_exact audit shape and invariants") {
     val r = Dedup.dedupExact(spark, Sf0001).head()
     val (rows, distinct, dupGroups) = (r.getLong(0), r.getLong(1), r.getLong(2))

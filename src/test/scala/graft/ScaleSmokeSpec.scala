@@ -122,6 +122,74 @@ class ScaleSmokeSpec extends SparkSpec {
     sub.unpersist()
   }
 
+  test("sparse inverted index holds at 200k vectors / 3.2M postings; exact vs brute force") {
+    import graft.functions.{sparse_cosine_distance, sparse_vectorize}
+    // lexical-shaped corpus: 200k vectors over 1000 dims, 16 nnz each
+    val n = 200000L
+    val dim = 1000
+    val sub = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        when(pmod(xxhash64(concat(col("id"), lit("_"), d)), lit(dim / 16)) === 0,
+          (pmod(xxhash64(concat(lit("v"), col("id"), d)), lit(9)) + 1).cast("float") * 0.1f)
+          .otherwise(lit(0.0f))).as("embedding"))
+      .select(col("vec_id"), sparse_vectorize(col("embedding"), 0.0).as("sv"))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparse_scale").resolve("idx").toString
+    val t0 = System.nanoTime()
+    graft.index.SparseIndex.build(sub, dir)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    info(f"sparse index build 200k: $buildSecs%.1f s")
+    val q = sub.filter(col("vec_id") === 12345L).select("sv.indices", "sv.values").head()
+    val (qi, qv) = (q.getAs[collection.Seq[Int]](0).toArray,
+      q.getAs[collection.Seq[Float]](1).toArray)
+    val t1 = System.nanoTime()
+    val got = graft.index.SparseIndex.knn(spark, dir, qi, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val knnSecs = (System.nanoTime() - t1) / 1e9
+    val seed = sub.filter(col("vec_id") === 12345L).select(col("sv").as("qv"))
+    val exact = sub.crossJoin(broadcast(seed))
+      .select(col("vec_id"), sparse_cosine_distance(col("sv"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    info(f"sparse knn over 200k: $knnSecs%.2f s")
+    assert(got === exact, "indexed sparse kNN must equal brute force exactly")
+    assert(got.head._1 === 12345L)
+    assert(buildSecs < 300.0 && knnSecs < 60.0)
+    sub.unpersist()
+  }
+
+  test("filtered IVF kNN holds at 100k vectors: exact under a 1% predicate") {
+    val n = 100000L
+    val sub = spark.range(n).select(
+      col("id").as("vec_id"),
+      hashNoise(col("id"), 64).as("embedding"))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_fknn_scale").resolve("idx").toString
+    val t0 = System.nanoTime()
+    graft.index.IvfIndex.build(sub, dir, lists = 32)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    info(f"IVF build 100k×32: $buildSecs%.1f s")
+    val q = sub.filter(col("vec_id") === 12345L)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val pred = col("vec_id") % 100 === 0 // 1% survive
+    val t1 = System.nanoTime()
+    val (df, probed) = graft.index.IvfIndex.filteredKnnStats(
+      spark, dir, q, 10, pred, initProbes = 4)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val secs = (System.nanoTime() - t1) / 1e9
+    val exact = sub.filter(pred)
+      .select(col("vec_id"), cosine_distance(col("embedding"),
+        graft.functions.vector_lit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    info(f"filtered kNN over 100k (1%% filter): $secs%.2f s, probed $probed/32 lists")
+    assert(got === exact, "filtered probe must stay exact at scale")
+    assert(got.length === 10)
+    assert(buildSecs < 420.0 && secs < 90.0)
+    sub.unpersist()
+  }
+
   test("as-of join holds at 1M events: one shuffle, no join node") {
     // 1M events over 10k users: each user's timeline ~100 rows; the as-of
     // union+window shuffles ONCE on user_id regardless of row count

@@ -37,6 +37,18 @@ object Bm25Index {
   private def bucketOf(tokenCol: org.apache.spark.sql.Column) =
     pmod(xxhash64(tokenCol), lit(Buckets)).cast("int")
 
+  // explicit read schemas: an EMPTY partitioned sidecar (index built before
+  // any data arrived, e.g. under streaming maintenance) has no files to
+  // infer from — schema-less reads would throw
+  import org.apache.spark.sql.types._
+  private val PostingsSchema = StructType(Seq(
+    StructField("token", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("bucket", IntegerType)))
+  private val DfSchema = StructType(Seq(
+    StructField("token", StringType), StructField("df", DoubleType),
+    StructField("bucket", IntegerType)))
+
   /** One corpus scan → all four sidecars. */
   def build(docs: DataFrame, indexPath: String, idCol: String = "doc_id",
             textCol: String = "text"): Unit = timeIt("bm25_build") {
@@ -46,17 +58,32 @@ object Bm25Index {
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$indexPath/doclen")
     val dlStored = spark.read.parquet(s"$indexPath/doclen")
-    tok.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val postings = tok.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
       .join(dlStored, "doc_id") // denormalize dl once, at build time
       .withColumn("bucket", bucketOf(col("token")))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/postings")
-    spark.read.parquet(s"$indexPath/postings")
-      .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
-      .withColumn("bucket", bucketOf(col("token")))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/df")
+      .persist() // one tokenize pass serves the postings write AND df
+    try {
+      postings.write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/postings")
+      postings.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+        .withColumn("bucket", bucketOf(col("token")))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/df")
+    } finally postings.unpersist()
+    // n counts ALL docs (BM25's idf numerator), including null/empty-text
+    // rows that produce no doclen entry — same as the oracle's COUNT(*).
+    // Null-safe sum: an empty corpus (index created before data arrives,
+    // as under streaming maintenance) must build, not NPE like a sum over
+    // zero rows would.
     val nDocs = docs.count().toDouble
-    val nTok = dlStored.agg(sum(col("dl"))).head().getLong(0).toDouble
-    Seq((nDocs, nTok, nTok / nDocs)).toDF("n", "ntok", "avgdl")
+    val nTok = Option(dlStored.agg(sum(col("dl"))).head().get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+    writeStats(spark, indexPath, nDocs, nTok)
+  }
+
+  private def writeStats(spark: SparkSession, indexPath: String,
+                         nDocs: Double, nTok: Double): Unit = {
+    import spark.implicits._
+    Seq((nDocs, nTok, if (nDocs == 0.0) 0.0 else nTok / nDocs))
+      .toDF("n", "ntok", "avgdl")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
@@ -76,24 +103,31 @@ object Bm25Index {
       explode(tokens(col(textCol))).as("token"))
     val dlNew = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .persist() // one execution across the two appends
-    try {
-      dlNew.write.mode("append").parquet(s"$indexPath/doclen")
-      tok.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-        .join(dlNew, "doc_id")
-        .withColumn("bucket", bucketOf(col("token")))
-        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/postings")
-    } finally dlNew.unpersist()
-    // derived sidecars: recomputed from the index datasets (reads postings/
-    // doclen, writes df/stats — distinct paths, safe to overwrite)
-    spark.read.parquet(s"$indexPath/postings")
+    val addTok =
+      try {
+        dlNew.write.mode("append").parquet(s"$indexPath/doclen")
+        tok.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+          .join(dlNew, "doc_id")
+          .withColumn("bucket", bucketOf(col("token")))
+          .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/postings")
+        Option(dlNew.agg(sum(col("dl"))).head().get(0))
+          .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+      } finally dlNew.unpersist()
+    // df recomputed from the postings dataset (index-sized, not corpus-
+    // sized; reads postings, writes df — distinct paths, safe overwrite)
+    spark.read.schema(PostingsSchema).parquet(s"$indexPath/postings")
       .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
       .withColumn("bucket", bucketOf(col("token")))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/df")
-    val dl = spark.read.parquet(s"$indexPath/doclen")
-      .agg(count(lit(1)).cast("double"), sum(col("dl")).cast("double")).head()
-    val (nDocs, nTok) = (dl.getDouble(0), dl.getDouble(1))
-    Seq((nDocs, nTok, nTok / nDocs)).toDF("n", "ntok", "avgdl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+    // stats INCREMENT from the stored values: n must keep counting ALL
+    // docs (build counts null-text rows that have no doclen entry, and so
+    // must append — recounting doclen would silently shrink n and drift
+    // idf/avgdl away from a full rebuild's); integer-valued doubles add
+    // exactly, so post-append stats stay bit-equal to a rebuild
+    val old = spark.read.parquet(s"$indexPath/stats").head()
+    writeStats(spark, indexPath,
+      old.getAs[Double]("n") + newDocs.count().toDouble,
+      old.getAs[Double]("ntok") + addTok)
   }
 
   /** BM25 top-k over the sidecar: reads ONLY the query terms' posting
@@ -110,10 +144,10 @@ object Bm25Index {
     val stats = spark.read.parquet(s"$indexPath/stats").head()
     val n = stats.getAs[Double]("n")
     val avgdl = stats.getAs[Double]("avgdl")
-    val dfTab = spark.read.parquet(s"$indexPath/df")
+    val dfTab = spark.read.schema(DfSchema).parquet(s"$indexPath/df")
       .filter(col("bucket").isin(buckets: _*) && col("token").isin(query: _*))
       .select("token", "df")
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    val postings = spark.read.schema(PostingsSchema).parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(buckets: _*) && col("token").isin(query: _*))
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfD = col("tf").cast("double")

@@ -57,6 +57,18 @@ object IvfIndex {
     else "cosine"
   }
 
+  /** The vector column the index was built on (None for legacy metas). */
+  def columnOf(spark: SparkSession, indexPath: String): Option[String] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) None
+    else {
+      val df = spark.read.parquet(s"$indexPath/meta")
+      if (df.columns.contains("vec_col")) Some(df.head().getAs[String]("vec_col"))
+      else None
+    }
+  }
+
   /** The index's ASCENDING-sortable distance column for its opclass
     * metric (`ip` is pgvector's `<#>`: NEGATIVE inner product, so
     * ascending order is max-IP search). */
@@ -128,7 +140,12 @@ object IvfIndex {
     }
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
     import spark.implicits._
-    Seq(metric).toDF("metric")
+    // metric stays field 0 (metricOf reads by position for legacy metas);
+    // vec_col lets the rewrite match a sort to the column the index was
+    // BUILT on — with several indexes on one table, a None-column registry
+    // entry would otherwise match any vector column and prune with the
+    // wrong geometry
+    Seq((metric, vecCol)).toDF("metric", "vec_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
     // per-list covering radii into the centroids sidecar — one extra scan at
     // build time (KMeans already did several) buys the filtered/iterative
@@ -198,8 +215,21 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding"): Long =
     timeIt("ivf_append") {
       val spark = newRows.sparkSession
-      val dist = metricDistance(metricOf(spark, indexPath)) _
-      val cents = spark.read.parquet(s"$indexPath/centroids")
+      // resolve the metric ONCE and read the centroid sidecar ONCE,
+      // driver-side (|lists| rows) — under streaming maintenance this runs
+      // per micro-batch, where redundant meta/sidecar jobs add up
+      val metric = metricOf(spark, indexPath)
+      val dist = metricDistance(metric) _
+      val centRows = spark.read.parquet(s"$indexPath/centroids").collect().map { r =>
+        val lid = r.getInt(r.fieldIndex("list_id"))
+        val c = r.getAs[collection.Seq[Float]]("centroid").toArray
+        val r0 = if (r.schema.fieldNames.contains("radius"))
+          r.getDouble(r.fieldIndex("radius")) else 0.0
+        (lid, c, r0)
+      }
+      val cents = spark.createDataFrame(
+        centRows.map { case (l, c, _) => (l, c) }.toIndexedSeq)
+        .toDF("list_id", "centroid")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(idCol).orderBy(col("cdist"), col("list_id"))
       val srcCols = newRows.columns.toSeq
@@ -216,19 +246,14 @@ object IvfIndex {
         // a new member can only GROW its list's covering radius: merge the
         // appended rows' max radius per list into the sidecar so the
         // filtered probe's termination bound stays sound after appends
-        val metric = metricOf(spark, indexPath)
-        val newRad = assigned.join(broadcast(cents.select("list_id", "centroid")), "list_id")
+        val newRad = assigned.join(broadcast(cents), "list_id")
           .groupBy("list_id")
           .agg(max(radiusExpr(metric)(col(vecCol), col("centroid"))).as("radius"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        val old = spark.read.parquet(s"$indexPath/centroids").collect().map { r =>
-          val lid = r.getInt(r.fieldIndex("list_id"))
-          val c = r.getAs[collection.Seq[Float]]("centroid").toArray
-          val r0 = if (r.schema.fieldNames.contains("radius"))
-            r.getDouble(r.fieldIndex("radius")) else 0.0
+        val merged = centRows.map { case (lid, c, r0) =>
           (lid, c, math.max(r0, newRad.getOrElse(lid, 0.0)))
         }
-        spark.createDataFrame(old.toIndexedSeq).toDF("list_id", "centroid", "radius")
+        spark.createDataFrame(merged.toIndexedSeq).toDF("list_id", "centroid", "radius")
           .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
         assigned.count()
       } finally assigned.unpersist()
@@ -347,6 +372,10 @@ object IvfIndex {
                   k: Int, predicate: Column,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   initProbes: Int = 4): (DataFrame, Int) = {
+    import spark.implicits._
+    // LIMIT 0 analog — without this the k-th-element stop test indexes
+    // best(-1) on the first round
+    if (k <= 0) return (Seq.empty[(Long, Double)].toDF("vec_id", "dist"), 0)
     val metric = metricOf(spark, indexPath)
     val dist = metricDistance(metric) _
     val centsDf = spark.read.parquet(s"$indexPath/centroids")
@@ -412,7 +441,6 @@ object IvfIndex {
         else p = math.min(ranked.length, p * 2)
       }
     }
-    import spark.implicits._
     (best.toSeq.toDF("vec_id", "dist"), probed)
   }
 }

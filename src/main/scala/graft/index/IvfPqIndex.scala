@@ -346,8 +346,12 @@ object IvfPqIndex {
     val lists = spark.read.parquet(s"$indexPath/coarse").count().toInt
     var np = math.min(math.max(1, nprobe), lists)
     var of = math.max(1, overfetch)
-    var out: DataFrame = null
-    var done = false
+    // the k result rows are COLLECTED each round (they drive the stop
+    // test anyway) and the final round's rows are returned as a local
+    // frame — returning the lazy plan would re-run the whole probe+rerank
+    // on the caller's action
+    var out: Seq[(Long, Double)] = Seq.empty
+    var done = k <= 0
     while (!done) {
       val cands = probe(spark, indexPath, q, k * of, np)
         .select("vec_id").collect().map(_.getLong(0)).toIndexedSeq
@@ -358,13 +362,14 @@ object IvfPqIndex {
           cosine_distance(col(vecCol), vector_lit(q)).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val poolExhausted = cands.length < k * of // probed lists fully drained
-      if (out.count() >= k || (np >= lists && poolExhausted)) done = true
+      if (out.length >= k || (np >= lists && poolExhausted)) done = true
       else {
         if (np < lists) np = math.min(lists, np * 2)
         if (!poolExhausted) of *= 2
       }
     }
-    out
+    out.toDF("vec_id", "dist")
   }
 }

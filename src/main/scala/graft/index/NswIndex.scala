@@ -293,8 +293,9 @@ object NswIndex {
     * size, where beam search degrades to a full (exact) shard scan, so
     * the loop always terminates with every survivor found. Approximate
     * like all graph probes (recall-gated in NswIndexSpec, no oracle);
-    * each round's candidate set is |shards|·ef rows — small — broadcast
-    * against the filtered attrs scan. */
+    * each round's candidate set is |shards|·ef rows — small until the
+    * exhaustive cap, where it approaches the corpus, so the join strategy
+    * is left to AQE rather than a broadcast hint. */
   def searchFiltered(spark: SparkSession, indexPath: String, q: Array[Float],
                      k: Int, attrs: DataFrame, predicate: Column,
                      idCol: String = "vec_id", ef: Int = EfSearch): DataFrame = {
@@ -302,21 +303,28 @@ object NswIndex {
       .select(col(idCol).cast("long").as("vec_id"))
     // full-exploration cap: one metadata-cheap count, after which a beam
     // of that width visits an entire shard (shard size ≤ total rows)
+    import spark.implicits._
     lazy val total = spark.read.parquet(s"$indexPath/graph").count()
     var curEf = math.max(ef, k)
-    var out: DataFrame = null
-    var done = false
+    var out: Seq[(Long, Double)] = Seq.empty
+    var done = k <= 0
     while (!done) {
-      out = broadcast(candidates(spark, indexPath, q, curEf, perShard = curEf))
+      // NO broadcast hint: at full expansion (curEf = graph size) the
+      // candidate frame is corpus-sized — let AQE pick the join strategy.
+      // The k result rows are collected per round (the stop test needs
+      // them) and the final round returns as a local frame, so the widest
+      // beam search never re-runs on the caller's action.
+      out = candidates(spark, indexPath, q, curEf, perShard = curEf)
         .join(keep, "vec_id")
         .orderBy(col("dist"), col("vec_id"))
         .limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       // a round that already explored whole shards (curEf ≥ total) found
       // every survivor there is — return it even when short of k
-      if (out.count() >= k || curEf >= total) done = true
+      if (out.length >= k || curEf >= total) done = true
       else curEf = math.min(total, curEf.toLong * 2).toInt
     }
-    out
+    out.toDF("vec_id", "dist")
   }
 
   /** Batch search: many queries in one distributed pass — every shard

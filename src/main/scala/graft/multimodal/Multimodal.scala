@@ -164,9 +164,8 @@ object Multimodal {
               val off = i * frameBytes + c * bytesPerSample
               val s =
                 if (bits == 16) {
-                  val lo = bytes(off) & 0xff; val hi = bytes(off + 1) & 0xff
                   val raw = if (f.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
-                            else (bytes(off + 1) << 8) | lo
+                            else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
                   raw.toShort / 32768.0
                 } else { // 8-bit
                   if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)

@@ -101,8 +101,12 @@ object SimilarityQueries {
       round(avg(col("dist")), 6).as("mean_d"),
       round(stddev_samp(col("dist")), 6).as("std_d"))
       // a zero-spread label has no outliers BY DEFINITION — and its z
-      // division would raise under ANSI mode (DuckDB would emit ±inf)
-      .filter(col("std_d") > 0.0)
+      // division would raise under ANSI mode (DuckDB would emit ±inf).
+      // The isnan guard is NOT redundant: a single-member label has
+      // stddev_samp = NaN, and Spark's non-IEEE ordering makes
+      // NaN > 0.0 TRUE — without it the label survives and emits a
+      // spurious z=NaN "worst outlier" (DuckDB's NULL stddev drops it)
+      .filter(col("std_d") > 0.0 && !isnan(col("std_d")))
     d.join(broadcast(stats), "label")
       .select(col("vec_id"), col("label"), col("dist"),
         round((col("dist") - col("mean_d")) / col("std_d"), 4).as("z"))

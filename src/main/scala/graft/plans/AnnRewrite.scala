@@ -112,6 +112,21 @@ object AnnIndexRegistry {
     }
   }
 
+  private val columnMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[String]]()
+
+  /** The column the index was BUILT on: the registration's record if the
+    * caller gave one, else the index meta sidecar's (3-arg `register`
+    * callers never say — without the sidecar fallback a table with two
+    * vector columns could have a sort probe the wrong index's geometry).
+    * None only for legacy indexes without a recorded column. */
+  def columnOf(spark: SparkSession, entry: Entry): Option[String] =
+    entry.column.orElse {
+      val key = (entry.indexPath, fingerprint(spark, entry.indexPath))
+      columnMemo.computeIfAbsent(key,
+        _ => graft.index.IvfIndex.columnOf(spark, entry.indexPath))
+    }
+
   /** pgvector 0.8's `ivfflat.iterative_scan` analog for filtered kNN
     * through the transparent rewrite: when the query carries a predicate,
     * a fixed `nprobe` can starve the result below k (the filter eats most
@@ -264,7 +279,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // same operator-to-opclass matching across multiple indexes)
         entry0 <- AnnIndexRegistry.lookupAll(
             fsRel.location.rootPaths.map(_.toString).toSeq)
-          .find(e => e.column.forall(_ == vecAttr.name) &&
+          .find(e => AnnIndexRegistry.columnOf(spark, e).forall(_ == vecAttr.name) &&
             AnnIndexRegistry.metricOf(spark, e) == metric)
         // pgvector's `SET ivfflat.probes = n` — the session conf overrides
         // the registered default at plan time. A malformed value must not

@@ -84,6 +84,51 @@ class Bm25IndexSpec extends SparkSpec {
     assert(postings(incremental) === postings(full))
   }
 
+  test("null-text docs: append still equals full rebuild (n counts ALL docs)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "vector hash join"), (1L, null.asInstanceOf[String]),
+      (2L, "hash table scan"), (3L, null.asInstanceOf[String]),
+      (4L, "join vector vector"))
+      .toDF("doc_id", "text")
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_bm25_null_inc").resolve("idx").toString
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_bm25_null_full").resolve("idx").toString
+    Bm25Index.build(docs.filter(col("doc_id") < 2), inc)
+    Bm25Index.append(docs.filter(col("doc_id") >= 2), inc)
+    Bm25Index.build(docs, full)
+    def stats(p: String) = spark.read.parquet(s"$p/stats").head() match {
+      case r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    assert(stats(inc) === stats(full),
+      "n must count null-text docs identically on both paths")
+    assert(stats(full)._1 === 5.0)
+    def top(p: String) = Bm25Index.topK(spark, p, Seq("vector", "hash", "join"),
+      10, 1.2, 0.75).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(inc) === top(full))
+  }
+
+  test("empty-corpus build works; streamed appends populate it") {
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_empty").resolve("idx").toString
+    Bm25Index.build(empty, idx) // must not NPE (index created before data)
+    val s0 = spark.read.parquet(s"$idx/stats").head()
+    assert(s0.getDouble(0) === 0.0 && s0.getDouble(2) === 0.0)
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    Bm25Index.append(docs, idx)
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_bm25_empty_full").resolve("idx").toString
+    Bm25Index.build(docs, full)
+    def top(p: String) = Bm25Index.topK(spark, p, TextAnalysis.Bm25Query,
+        10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(top(idx) === top(full))
+  }
+
   test("mtime staleness: corpus rewrite triggers sidecar rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_stale").toString
     Seq((0L, "vector hash join"), (1L, "hash hash hash"))

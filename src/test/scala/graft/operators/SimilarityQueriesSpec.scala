@@ -66,7 +66,10 @@ class SimilarityQueriesSpec extends SparkSpec {
       val v = Array.tabulate(dim)(d =>
         (if (d == label) 10.0f else 0.0f) + ((i * 7 + d) % 5) * 0.01f)
       ((label * 30 + i).toLong, v, label)
-    }) :+ (999L, Array.tabulate(dim)(d => if (d == 7) -10.0f else 0.1f), 0)
+    }) :+ (999L, Array.tabulate(dim)(d => if (d == 7) -10.0f else 0.1f), 0) :+
+      // a single-member label: stddev_samp is NaN — must be dropped, not
+      // surface as a spurious z=NaN "worst outlier" (Spark NaN > 0.0 is true)
+      (1000L, Array.tabulate(dim)(d => (d + 1).toFloat / dim), 99)
     rows.toDF("vec_id", "embedding", "label").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = SimilarityQueries.embeddingOutliers(spark, dir).collect()
@@ -75,6 +78,9 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(out.head.getAs[Double]("z") > 5.0)
     // inliers of untouched clusters don't appear
     assert(out.forall(_.getAs[Double]("z") >= SimilarityQueries.OutlierZ))
+    // single-member label 99: NaN stddev must drop it, never rank it
+    assert(!out.exists(_.getLong(0) === 1000L))
+    assert(out.forall(r => !r.getAs[Double]("z").isNaN))
   }
 
   test("avg_pairwise_sim_fast equals the O(n²) crossJoin form; plan is join-free") {

@@ -205,6 +205,35 @@ class AnnRewriteSpec extends SparkSpec {
       "descending-IP spelling must return the same max-IP answer")
   }
 
+  test("two vector columns: each sort probes the index built on ITS column") {
+    // 3-arg register records no column — the rewrite must fall back to the
+    // index meta's vec_col, or a sort could prune with the wrong geometry
+    val base = java.nio.file.Files.createTempDirectory("graft_twocol").toString
+    spark.read.parquet(tablePath)
+      .withColumn("embedding2", reverse(col("embedding")))
+      .write.parquet(s"$base/t.parquet")
+    val t = s"$base/t.parquet"
+    val idxA = s"$base/idxA"
+    val idxB = s"$base/idxB"
+    graft.index.IvfIndex.build(spark.read.parquet(t), idxA,
+      vecCol = "embedding", lists = 4)
+    graft.index.IvfIndex.build(spark.read.parquet(t), idxB,
+      vecCol = "embedding2", lists = 4)
+    AnnIndexRegistry.register(t, idxA, nprobe = 2)
+    AnnIndexRegistry.register(t, idxB, nprobe = 2)
+    try {
+      def planFor(c: String) = spark.read.parquet(t)
+        .orderBy(cosine_distance(col(c), vector_lit(queryVec)), col("vec_id"))
+        .limit(5).queryExecution.executedPlan.toString
+      val pA = planFor("embedding")
+      assert(pA.contains("idxA") && !pA.contains("idxB"),
+        s"embedding sort must use idxA:\n$pA")
+      val pB = planFor("embedding2")
+      assert(pB.contains("idxB") && !pB.contains("idxA"),
+        s"embedding2 sort must use idxB:\n$pB")
+    } finally AnnIndexRegistry.unregister(t)
+  }
+
   test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rebuild_idx").resolve("idx").toString

@@ -395,6 +395,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // RAG-style chunking parameters: fixed windows with overlap
+  val ChunkSize = 200
+  val ChunkOverlap = 50
+
+  /** Document chunking — the window/segmentation operator every RAG and
+    * long-context training pipeline runs before embedding: fixed
+    * [[ChunkSize]]-char windows advancing by size−overlap, each chunk
+    * carrying its doc, ordinal and start offset so spans map back to the
+    * source. Pure per-row explode (chunks/doc = ⌈len/stride⌉) — no
+    * shuffle, embarrassingly parallel, the chunk rows feed straight into
+    * [[graft.embed.Embedder.embedFrame]]. */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val stride = ChunkSize - ChunkOverlap
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((length(col("text")) - 1) / stride).cast("int")),
+          i => substring(col("text"), i * stride + 1, lit(ChunkSize)))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        (col("pos").cast("long") * stride).as("start_char"),
+        col("col").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Per-source mixing weights for [[corpusMix]] — deterministic from the
+    * source name (suffix digits mod 4 → keep 25/50/75/100%), standing in
+    * for the configured per-source sampling rates of a data-mixing recipe
+    * (Pile/Dolma-style source weighting). Integer percent thresholds: the
+    * keep test is pure integer compare, bit-free cross-engine. */
+  val MixSalt = "mix-v1"
+
+  /** Weighted corpus mixing — the down/up-weighting pass that composes a
+    * training mix from heterogeneous sources: each source keeps a
+    * deterministic salted-hash fraction of its docs per its weight.
+    * Reports per-source corpus size, mix threshold and kept count.
+    * Same hash-bucket machinery as [[corpusSample]]/[[corpusSplits]], so
+    * mixes are reproducible, composable with splits, and stable across
+    * engines/partitionings. Shuffle-free scan + one small agg. */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.md5_long
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val threshold = (pmod(srcNum, lit(4)) + 1) * 25
+    val bucket = pmod(md5_long(
+      concat(col("doc_id").cast("string"), lit(s":$MixSalt"))), lit(100L))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), threshold.as("keep_pct"),
+        when(bucket < threshold.cast("long"), 1L).otherwise(0L).as("kept"))
+      .groupBy("source", "keep_pct")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
   // deterministic-sample parameters: keep buckets [0, SampleBuckets) of 100
   val SampleBuckets = 10L
   val SampleSalt = "sample-v1"
@@ -497,6 +551,8 @@ object TextAnalysis {
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
     "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
     "lm_score" -> ((s, d) => lmScore(s, d)),
+    "doc_chunks" -> ((s, d) => docChunks(s, d)),
+    "corpus_mix" -> ((s, d) => corpusMix(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
     "source_stats" -> ((s, d) => sourceStats(s, d)),
     "table_profile" -> ((s, d) => tableProfile(s, d)),
@@ -597,6 +653,31 @@ object TextAnalysis {
            |  n_trigrams, dup_trigram_frac, top_trigram_share
            |FROM b2 JOIN t32 ON b2.doc_id = t32.doc_id
            |ORDER BY b2.doc_id""".stripMargin,
+      // DuckDB range(0, n) is [0, n): same ⌈len/stride⌉ windows; substring
+      // is 1-based with clamping in both engines
+      "doc_chunks" -> {
+        val stride = ChunkSize - ChunkOverlap
+        s"""SELECT doc_id,
+           |  unnest(range(0, (length(text) - 1) // $stride + 1)) AS chunk_id
+           |FROM documents WHERE length(text) > 0""".stripMargin match { case inner =>
+          s"""WITH ids AS ($inner)
+             |SELECT ids.doc_id, chunk_id, chunk_id * $stride AS start_char,
+             |  substring(d.text, CAST(chunk_id * $stride + 1 AS INT), $ChunkSize) AS chunk
+             |FROM ids JOIN documents d ON ids.doc_id = d.doc_id
+             |ORDER BY ids.doc_id, chunk_id""".stripMargin
+        }
+      },
+      "corpus_mix" ->
+        s"""WITH b AS (
+           |  SELECT source,
+           |    (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 + 1) * 25 AS keep_pct,
+           |    CASE WHEN ${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$MixSalt')")} % 100
+           |      < (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 + 1) * 25
+           |    THEN 1 ELSE 0 END AS kept
+           |  FROM documents)
+           |SELECT source, keep_pct, count(*) AS n_docs,
+           |  CAST(sum(kept) AS BIGINT) AS n_kept
+           |FROM b GROUP BY source, keep_pct ORDER BY source""".stripMargin,
       // per-term 6dp round → DECIMAL(18,6) sum: exact integer-scaled
       // addition, immune to accumulation order (OracleSql.sumExact recipe)
       "lm_score" ->

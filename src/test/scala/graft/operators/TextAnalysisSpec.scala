@@ -43,6 +43,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids === Set(2L), "needs ≥3 tokens for the trigram join")
   }
 
+  test("doc_chunks: windows reconstruct the document; overlap and offsets hold") {
+    val text = ("abcdefghij" * 45) + "tail" // 454 chars → chunks at 0/150/300/450
+    val dir = corpusDir(0L -> text, 1L -> "short", 2L -> "")
+    val rows = TextAnalysis.docChunks(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(!byDoc.contains(2L), "empty docs produce no chunks")
+    assert(byDoc(1L).length === 1 && byDoc(1L).head.getString(3) === "short")
+    val chunks = byDoc(0L).sortBy(_.getLong(1))
+    assert(chunks.length === 4)
+    chunks.foreach { c =>
+      val start = c.getLong(2).toInt
+      assert(start === c.getLong(1).toInt * (TextAnalysis.ChunkSize - TextAnalysis.ChunkOverlap))
+      assert(c.getString(3) === text.substring(start,
+        math.min(start + TextAnalysis.ChunkSize, text.length)))
+    }
+    // consecutive chunks overlap by exactly ChunkOverlap chars
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      if (a.getString(3).length == TextAnalysis.ChunkSize)
+        assert(a.getString(3).takeRight(TextAnalysis.ChunkOverlap) ===
+          b.getString(3).take(TextAnalysis.ChunkOverlap))
+    }
+    // full coverage: every char of the source appears in some chunk
+    assert(chunks.map(c => c.getLong(2) + c.getString(3).length).max === text.length)
+  }
+
+  test("corpus_mix: kept fraction tracks each source's weight; deterministic") {
+    val rows = TextAnalysis.corpusMix(spark, Sf0001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (pct, n, kept) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(Set(25, 50, 75, 100).contains(pct))
+      assert(kept <= n)
+      if (pct == 100) assert(kept === n, "weight 1.0 keeps everything")
+      // salted-hash sampling: expect pct% ± wide tolerance at n=25
+      assert(math.abs(kept.toDouble / n - pct / 100.0) <= 0.35,
+        s"${r.getString(0)}: kept $kept/$n vs $pct%")
+    }
+    val again = TextAnalysis.corpusMix(spark, Sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq, "mix must be deterministic")
+  }
+
   test("lm_score: rare-token documents score higher than common-token ones") {
     val common = "the data table row value"
     val dir = corpusDir(

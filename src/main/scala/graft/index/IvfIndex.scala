@@ -259,6 +259,45 @@ object IvfIndex {
       } finally assigned.unpersist()
     }
 
+  /** Small-file maintenance for the lists dataset — the index-side
+    * companion of `DocumentStore.compact`: every streamed micro-batch
+    * append ([[graft.streaming.StreamingIngest.startIvfMaintenance]]) adds
+    * a file per touched list partition, and at high append rates a probe
+    * ends up opening hundreds of tiny files per list. Rewrites the lists
+    * coalesced per partition into a staging dir and atomically swaps
+    * (stash → publish → delete, rolling back on failure). Sidecars
+    * (centroids/radii/meta) are untouched — compaction moves rows, never
+    * changes assignment or geometry. Returns (files before, files after). */
+  def compact(spark: SparkSession, indexPath: String): (Int, Int) =
+    timeIt("ivf_compact") {
+      val lists = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
+      val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
+      def countFiles(): Int = {
+        val it = fs.listFiles(lists, true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val nBefore = countFiles()
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$indexPath/lists_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      // one output file per list directory: list partitions are sized by
+      // the build's KMeans fanout, well under one executor's file target
+      spark.read.parquet(s"$indexPath/lists")
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").parquet(staging.toString)
+      val old = new org.apache.hadoop.fs.Path(
+        s"$indexPath/lists_old_${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!fs.rename(lists, old))
+        throw new java.io.IOException(s"compact: could not stash $lists")
+      if (!fs.rename(staging, lists)) {
+        fs.rename(old, lists) // roll back
+        throw new java.io.IOException(s"compact: could not publish $staging")
+      }
+      fs.delete(old, true)
+      (nBefore, countFiles())
+    }
+
   /** Top-k probe of `nprobe` lists for one query vector, in the index's
     * opclass metric. */
   def probe(spark: SparkSession, indexPath: String, query: Array[Float],

@@ -33,6 +33,31 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(top === Set(1L, 100001L))
   }
 
+  test("compact merges append fragments; rows, probes and sidecars unchanged") {
+    val path = Files.createTempDirectory("ivf_compact").resolve("index").toString
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    IvfIndex.build(e.filter(col("vec_id") < 200), path, lists = 4)
+    // five appends → file fragments in every touched list partition
+    for (lo <- 200L until 500L by 60L)
+      IvfIndex.append(
+        e.filter(col("vec_id") >= lo && col("vec_id") < lo + 60L), path)
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val before = IvfIndex.probe(spark, path, q, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect().map(_.toSeq)
+    val (nBefore, nAfter) = IvfIndex.compact(spark, path)
+    assert(nAfter < nBefore, s"compaction must shrink file count ($nBefore → $nAfter)")
+    assert(spark.read.parquet(s"$path/lists").count() === 500L)
+    assert(IvfIndex.probe(spark, path, q, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === before,
+      "probe results must be identical after compaction")
+    assert(spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect().map(_.toSeq) === cents,
+      "compaction must not touch the centroid/radius sidecar")
+  }
+
   test("streaming knn serving resolves query batches against the index") {
     import graft.streaming.StreamingIngest
     val indexPath = IndexQueries.indexFor(spark, Sf0001)

@@ -130,6 +130,49 @@ object Bm25Index {
       old.getAs[Double]("ntok") + addTok)
   }
 
+  /** Small-file maintenance — [[IvfIndex.compact]]'s lexical counterpart:
+    * streamed appends fragment the posting buckets and doclen; rewrite
+    * both coalesced (one file per bucket / capped doclen files) with the
+    * same atomic stash → publish → delete swap. df/stats are tiny
+    * already-coalesced rewrites. Returns (files before, files after) over
+    * postings + doclen. */
+  def compact(spark: SparkSession, indexPath: String): (Int, Int) =
+    timeIt("bm25_compact") {
+      val conf = spark.sessionState.newHadoopConf()
+      def swap(sub: String)(rewrite: (String, String) => Unit): Unit = {
+        val live = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+        val fs = live.getFileSystem(conf)
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val staging = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}_compact_$tag")
+        rewrite(live.toString, staging.toString)
+        val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}_old_$tag")
+        if (!fs.rename(live, old))
+          throw new java.io.IOException(s"compact: could not stash $live")
+        if (!fs.rename(staging, live)) {
+          fs.rename(old, live)
+          throw new java.io.IOException(s"compact: could not publish $staging")
+        }
+        fs.delete(old, true)
+      }
+      def countFiles(sub: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+        val it = p.getFileSystem(conf).listFiles(p, true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val nBefore = countFiles("postings") + countFiles("doclen")
+      swap("postings") { (live, staging) =>
+        spark.read.schema(PostingsSchema).parquet(live)
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(staging)
+      }
+      swap("doclen") { (live, staging) =>
+        spark.read.parquet(live).coalesce(4).write.parquet(staging)
+      }
+      (nBefore, countFiles("postings") + countFiles("doclen"))
+    }
+
   /** BM25 top-k over the sidecar: reads ONLY the query terms' posting
     * buckets + the one-row stats — never the corpus. Bit-exact with the
     * inline scan form (same counts, same expression tree). */

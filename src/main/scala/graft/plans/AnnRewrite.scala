@@ -95,6 +95,12 @@ object AnnIndexRegistry {
     paths.map(norm).flatMap(p =>
       Option(byPath.get(p)).toSeq.flatMap(_.values)).distinct
 
+  /** Every registration, (normalized table path, entry) — catalog export. */
+  def all: Seq[(String, Entry)] = {
+    import scala.jdk.CollectionConverters._
+    byPath.asScala.toSeq.flatMap { case (p, m) => m.values.map(p -> _) }
+  }
+
   // metric memo keyed on the same rebuild fingerprint as probedLists —
   // reading the meta sidecar is a Spark job, far too heavy per optimization
   private val metricMemo =
@@ -350,7 +356,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 }
 
 /** Runtime enablement for an existing session. */
-object Graft {
+object Graft extends org.apache.spark.internal.Logging {
   def enable(spark: SparkSession): Unit = {
     graft.functions.registerAll(spark)
     val already = spark.experimental.extraOptimizations
@@ -358,6 +364,42 @@ object Graft {
     if (!already) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AnnRewriteRule(spark)
+    }
+  }
+
+  /** Persist every vector-index registration (+ DDL names) to `path` —
+    * pgvector indexes survive restarts because Postgres catalogs them;
+    * this is the engine's explicit analog. The index DATA already lives on
+    * disk; only the registrations are session state worth saving. */
+  def saveCatalog(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val named = VectorIndexCatalog.all
+      .map { case (n, t, i) => (t, i) -> n }.toMap
+    AnnIndexRegistry.all.map { case (tablePath, e) =>
+      (named.get((tablePath, e.indexPath)).orNull,
+        tablePath, e.indexPath, e.nprobe, e.column.orNull)
+    }.toDF("index_name", "table_path", "index_path", "nprobe", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Re-register everything a previous session [[saveCatalog]]'d. ADDS to
+    * the live registry (same merge semantics as register); missing index
+    * directories are skipped with a warning — a stale catalog must not
+    * poison the rewrite with dangling paths. */
+  def loadCatalog(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    spark.read.parquet(path).collect().foreach { r =>
+      val indexPath = r.getAs[String]("index_path")
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      if (p.getFileSystem(conf).exists(p)) {
+        AnnIndexRegistry.register(
+          r.getAs[String]("table_path"), indexPath,
+          r.getAs[Int]("nprobe"), Option(r.getAs[String]("vec_col")))
+        Option(r.getAs[String]("index_name")).foreach(
+          VectorIndexCatalog.put(_, r.getAs[String]("table_path"), indexPath))
+      } else {
+        logWarning(s"skipping cataloged index with missing data dir: $indexPath")
+      }
     }
   }
 }

@@ -117,6 +117,11 @@ object VectorIndexCatalog {
     byName.put(name, (tablePath, indexPath))
   def contains(name: String): Boolean = byName.containsKey(name)
   def remove(name: String): Option[(String, String)] = Option(byName.remove(name))
+  /** (name, tablePath, indexPath) rows — catalog export. */
+  def all: Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    byName.asScala.toSeq.map { case (n, (t, i)) => (n, t, i) }
+  }
 }
 
 case class CreateVectorIndexCommand(

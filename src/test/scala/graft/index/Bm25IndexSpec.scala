@@ -129,6 +129,23 @@ class Bm25IndexSpec extends SparkSpec {
     assert(top(idx) === top(full))
   }
 
+  test("compact merges append fragments; scores unchanged") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_compact").resolve("idx").toString
+    Bm25Index.build(docs.filter(col("doc_id") < 200), idx)
+    for (lo <- 200L until 500L by 100L)
+      Bm25Index.append(docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 100L), idx)
+    def top() = Bm25Index.topK(spark, idx, TextAnalysis.Bm25Query,
+        10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val before = top()
+    val (nBefore, nAfter) = Bm25Index.compact(spark, idx)
+    assert(nAfter < nBefore, s"compaction must shrink file count ($nBefore → $nAfter)")
+    assert(top() === before, "scores must be identical after compaction")
+  }
+
   test("mtime staleness: corpus rewrite triggers sidecar rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_stale").toString
     Seq((0L, "vector hash join"), (1L, "hash hash hash"))

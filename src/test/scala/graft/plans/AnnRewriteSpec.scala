@@ -234,6 +234,36 @@ class AnnRewriteSpec extends SparkSpec {
     } finally AnnIndexRegistry.unregister(t)
   }
 
+  test("catalog save/load round-trips registrations across 'sessions'") {
+    val catalog = java.nio.file.Files
+      .createTempDirectory("graft_catalog").resolve("cat.parquet").toString
+    AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4,
+      column = Some("embedding"))
+    VectorIndexCatalog.put("items_saved_idx", tablePath, indexPath)
+    Graft.saveCatalog(spark, catalog)
+    // simulate the session ending: registrations are in-memory state
+    AnnIndexRegistry.unregister(tablePath)
+    VectorIndexCatalog.remove("items_saved_idx")
+    assert(topK(5).queryExecution.executedPlan.toString.contains("embeddings.parquet"),
+      "after unregister the rewrite must be gone")
+    Graft.loadCatalog(spark, catalog)
+    val plan = topK(5).queryExecution.executedPlan.toString
+    assert(plan.contains("list_id"),
+      s"loaded catalog must restore the rewrite:\n$plan")
+    assert(VectorIndexCatalog.contains("items_saved_idx"),
+      "DDL name must survive the round-trip")
+    // a cataloged index whose data dir vanished is skipped, not registered
+    val gone = java.nio.file.Files.createTempDirectory("graft_gone").toString
+    AnnIndexRegistry.unregister(tablePath)
+    VectorIndexCatalog.remove("items_saved_idx")
+    AnnIndexRegistry.register(tablePath, s"$gone/idx", nprobe = 4)
+    Graft.saveCatalog(spark, catalog)
+    AnnIndexRegistry.unregister(tablePath)
+    Graft.loadCatalog(spark, catalog)
+    assert(AnnIndexRegistry.lookupAll(Seq(tablePath)).isEmpty,
+      "dangling index paths must not re-register")
+  }
+
   test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rebuild_idx").resolve("idx").toString

@@ -138,39 +138,22 @@ object Bm25Index {
     * postings + doclen. */
   def compact(spark: SparkSession, indexPath: String): (Int, Int) =
     timeIt("bm25_compact") {
+      import graft.util.FsOps
       val conf = spark.sessionState.newHadoopConf()
-      def swap(sub: String)(rewrite: (String, String) => Unit): Unit = {
-        val live = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
-        val fs = live.getFileSystem(conf)
-        val tag = java.util.UUID.randomUUID().toString.take(8)
-        val staging = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}_compact_$tag")
-        rewrite(live.toString, staging.toString)
-        val old = new org.apache.hadoop.fs.Path(s"$indexPath/${sub}_old_$tag")
-        if (!fs.rename(live, old))
-          throw new java.io.IOException(s"compact: could not stash $live")
-        if (!fs.rename(staging, live)) {
-          fs.rename(old, live)
-          throw new java.io.IOException(s"compact: could not publish $staging")
-        }
-        fs.delete(old, true)
-      }
-      def countFiles(sub: String): Int = {
-        val p = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
-        val it = p.getFileSystem(conf).listFiles(p, true)
-        var n = 0
-        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-        n
-      }
-      val nBefore = countFiles("postings") + countFiles("doclen")
-      swap("postings") { (live, staging) =>
+      val postings = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+      val doclen = new org.apache.hadoop.fs.Path(s"$indexPath/doclen")
+      def files() = FsOps.countParquetFiles(conf, postings) +
+        FsOps.countParquetFiles(conf, doclen)
+      val nBefore = files()
+      FsOps.swapDir(conf, postings) { (live, staging) =>
         spark.read.schema(PostingsSchema).parquet(live)
           .repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(staging)
       }
-      swap("doclen") { (live, staging) =>
+      FsOps.swapDir(conf, doclen) { (live, staging) =>
         spark.read.parquet(live).coalesce(4).write.parquet(staging)
       }
-      (nBefore, countFiles("postings") + countFiles("doclen"))
+      (nBefore, files())
     }
 
   /** BM25 top-k over the sidecar: reads ONLY the query terms' posting

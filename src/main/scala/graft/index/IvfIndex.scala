@@ -223,8 +223,13 @@ object IvfIndex {
       val centRows = spark.read.parquet(s"$indexPath/centroids").collect().map { r =>
         val lid = r.getInt(r.fieldIndex("list_id"))
         val c = r.getAs[collection.Seq[Float]]("centroid").toArray
+        // a legacy sidecar has NO radii for the EXISTING members — that is
+        // UNKNOWN (NaN, which filteredKnn degrades to a −∞ bound), never
+        // 0.0: writing 0.0 here would let the termination bound "prove"
+        // pre-existing far-from-centroid members can't win and silently
+        // drop true neighbors from an API documented as exact
         val r0 = if (r.schema.fieldNames.contains("radius"))
-          r.getDouble(r.fieldIndex("radius")) else 0.0
+          r.getDouble(r.fieldIndex("radius")) else Double.NaN
         (lid, c, r0)
       }
       val cents = spark.createDataFrame(
@@ -270,32 +275,18 @@ object IvfIndex {
     * changes assignment or geometry. Returns (files before, files after). */
   def compact(spark: SparkSession, indexPath: String): (Int, Int) =
     timeIt("ivf_compact") {
+      import graft.util.FsOps
+      val conf = spark.sessionState.newHadoopConf()
       val lists = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
-      val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
-      def countFiles(): Int = {
-        val it = fs.listFiles(lists, true)
-        var n = 0
-        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-        n
-      }
-      val nBefore = countFiles()
-      val staging = new org.apache.hadoop.fs.Path(
-        s"$indexPath/lists_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      val nBefore = FsOps.countParquetFiles(conf, lists)
       // one output file per list directory: list partitions are sized by
       // the build's KMeans fanout, well under one executor's file target
-      spark.read.parquet(s"$indexPath/lists")
-        .repartition(col("list_id"))
-        .write.partitionBy("list_id").parquet(staging.toString)
-      val old = new org.apache.hadoop.fs.Path(
-        s"$indexPath/lists_old_${java.util.UUID.randomUUID().toString.take(8)}")
-      if (!fs.rename(lists, old))
-        throw new java.io.IOException(s"compact: could not stash $lists")
-      if (!fs.rename(staging, lists)) {
-        fs.rename(old, lists) // roll back
-        throw new java.io.IOException(s"compact: could not publish $staging")
+      FsOps.swapDir(conf, lists) { (live, staging) =>
+        spark.read.parquet(live)
+          .repartition(col("list_id"))
+          .write.partitionBy("list_id").parquet(staging)
       }
-      fs.delete(old, true)
-      (nBefore, countFiles())
+      (nBefore, FsOps.countParquetFiles(conf, lists))
     }
 
   /** Top-k probe of `nprobe` lists for one query vector, in the index's

@@ -166,7 +166,11 @@ object Multimodal {
                 if (bits == 16) {
                   val raw = if (f.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
                             else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
-                  raw.toShort / 32768.0
+                  // unsigned 16-bit centers at 0x8000 (mid-scale silence) —
+                  // decoding it as signed would turn silence into full-scale
+                  if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                    raw.toShort / 32768.0
+                  else ((raw & 0xffff) - 32768) / 32768.0
                 } else { // 8-bit
                   if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
                     bytes(off) / 128.0

@@ -189,6 +189,14 @@ object TextAnalysis {
     bm25Cache.compute(sfDir, (_, old) =>
       if (old != null && old._1 == fp) old
       else {
+        // delete the superseded sidecar: a corpus-sized posting copy per
+        // staleness rebuild would otherwise accumulate under /tmp for the
+        // life of the driver
+        if (old != null) {
+          val stale = new org.apache.hadoop.fs.Path(old._2)
+          scala.util.Try(stale.getFileSystem(
+            spark.sessionState.newHadoopConf()).delete(stale, true))
+        }
         val path = java.nio.file.Files
           .createTempDirectory("graft_bm25").resolve("index").toString
         graft.index.Bm25Index.build(Tables.documents(spark, sfDir), path)
@@ -437,8 +445,12 @@ object TextAnalysis {
     * engines/partitionings. Shuffle-free scan + one small agg. */
   def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.md5_long
-    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
-    val threshold = (pmod(srcNum, lit(4)) + 1) * 25
+    val digits = regexp_extract(col("source"), "(\\d+)", 1)
+    // digit-less source names default to keep-everything rather than a
+    // silent kept=0 row; the emptiness test runs BEFORE the cast — ANSI
+    // Spark and DuckDB both hard-error casting '' to int
+    val threshold = when(digits === "", lit(100))
+      .otherwise((pmod(digits.cast("int"), lit(4)) + 1) * 25)
     val bucket = pmod(md5_long(
       concat(col("doc_id").cast("string"), lit(s":$MixSalt"))), lit(100L))
     Tables.documents(spark, sfDir)
@@ -668,13 +680,17 @@ object TextAnalysis {
         }
       },
       "corpus_mix" ->
-        s"""WITH b AS (
-           |  SELECT source,
-           |    (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 + 1) * 25 AS keep_pct,
+        s"""WITH w AS (
+           |  SELECT source, doc_id,
+           |    CASE WHEN regexp_extract(source, '(\\d+)', 1) = '' THEN 100
+           |      ELSE (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 + 1) * 25
+           |    END AS keep_pct
+           |  FROM documents),
+           |b AS (
+           |  SELECT source, keep_pct,
            |    CASE WHEN ${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$MixSalt')")} % 100
-           |      < (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 + 1) * 25
-           |    THEN 1 ELSE 0 END AS kept
-           |  FROM documents)
+           |      < keep_pct THEN 1 ELSE 0 END AS kept
+           |  FROM w)
            |SELECT source, keep_pct, count(*) AS n_docs,
            |  CAST(sum(kept) AS BIGINT) AS n_kept
            |FROM b GROUP BY source, keep_pct ORDER BY source""".stripMargin,

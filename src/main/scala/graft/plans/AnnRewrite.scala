@@ -302,12 +302,18 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(n => entry0.copy(nprobe = n)).getOrElse(entry0)
         // a predicate between sort and scan switches to the iterative
         // expand-until-k probe (pgvector iterative_scan); bare kNN keeps
-        // the fixed-nprobe probe
+        // the fixed-nprobe probe. The expansion's survivor counts rebind
+        // the predicate onto the index dataset BY NAME, which is only
+        // valid when every referenced attribute is the relation's own —
+        // a Project-derived alias sharing a base column's name would
+        // count survivors of the WRONG predicate (the rewrite itself
+        // stays correct either way: the Filter node is re-applied as-is)
         filterConds = stack.collect { case f: Filter => f.condition }
-        lists = if (filterConds.isEmpty)
-            AnnIndexRegistry.probedLists(spark, entry, q)
-          else AnnIndexRegistry.iterativeProbedLists(
-            spark, entry, q, kLimit, filterConds)
+        lists = if (filterConds.nonEmpty &&
+            filterConds.forall(_.references.subsetOf(rel.outputSet)))
+            AnnIndexRegistry.iterativeProbedLists(
+              spark, entry, q, kLimit, filterConds)
+          else AnnIndexRegistry.probedLists(spark, entry, q)
         idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
           .filter(col("list_id").isin(lists: _*))
           .queryExecution.analyzed
@@ -373,10 +379,12 @@ object Graft extends org.apache.spark.internal.Logging {
     * disk; only the registrations are session state worth saving. */
   def saveCatalog(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    val named = VectorIndexCatalog.all
-      .map { case (n, t, i) => (t, i) -> n }.toMap
+    // keyed by indexPath ALONE: the registry normalizes table paths
+    // ("file:" stripped) while the DDL catalog stores them raw — a
+    // (table, index) join key would silently drop every DDL-created name
+    val named = VectorIndexCatalog.all.map { case (n, _, i) => i -> n }.toMap
     AnnIndexRegistry.all.map { case (tablePath, e) =>
-      (named.get((tablePath, e.indexPath)).orNull,
+      (named.get(e.indexPath).orNull,
         tablePath, e.indexPath, e.nprobe, e.column.orNull)
     }.toDF("index_name", "table_path", "index_path", "nprobe", "vec_col")
       .coalesce(1).write.mode("overwrite").parquet(path)

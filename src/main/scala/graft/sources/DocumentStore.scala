@@ -119,27 +119,21 @@ object DocumentStore {
     * files after). */
   def compact(tablePath: String, targetFileBytes: Long = 128L * 1024 * 1024)
              (implicit spark: SparkSession): (Int, Int) = timeIt("compact") {
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(new Path(tablePath))
+    import graft.util.FsOps
+    val conf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val dataFiles = fs.listStatus(table)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val nBefore = dataFiles.length
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val staging = s"${tablePath}_compact_${UUID.randomUUID().toString.take(8)}"
-    spark.read.parquet(tablePath)
-      .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val old = s"${tablePath}_old_${UUID.randomUUID().toString.take(8)}"
-    if (!fs.rename(new Path(tablePath), new Path(old)))
-      throw new java.io.IOException(s"compact: could not stash $tablePath")
-    if (!fs.rename(new Path(staging), new Path(tablePath))) {
-      fs.rename(new Path(old), new Path(tablePath)) // roll back
-      throw new java.io.IOException(s"compact: could not publish $staging")
+    FsOps.swapDir(conf, table) { (live, staging) =>
+      spark.read.parquet(live)
+        .repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
     }
-    fs.delete(new Path(old), true)
-    val nAfter = fs.listStatus(new Path(tablePath))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (nBefore, nAfter)
+    (nBefore, FsOps.countParquetFiles(conf, table))
   }
 
   /** `save_to_parquet` local analog (generate_embeddings.py:142-146). */

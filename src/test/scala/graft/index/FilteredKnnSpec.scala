@@ -108,6 +108,33 @@ class FilteredKnnSpec extends SparkSpec {
       "without radii the bound must never fire early")
   }
 
+  test("append onto a LEGACY sidecar: unknown radii stay unknown (no early stop, exact)") {
+    // the killer case: a radius-less index that receives appends must not
+    // fabricate radius 0.0 for its existing members — the bound would then
+    // "prove" far-from-centroid members can't win and drop true neighbors
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_legacy_app").resolve("idx").toString
+    spark.read.parquet(s"$indexPath/centroids").drop("radius")
+      .coalesce(1).write.parquet(s"$legacy/centroids")
+    spark.read.parquet(s"$indexPath/lists")
+      .write.partitionBy("list_id").parquet(s"$legacy/lists")
+    spark.read.parquet(s"$indexPath/meta").coalesce(1).write.parquet(s"$legacy/meta")
+    val extra = spark.read.parquet(tablePath).filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    IvfIndex.append(extra, legacy)
+    val pred = col("label") === 7
+    val (df, probed) = IvfIndex.filteredKnnStats(spark, legacy, queryVec, 10, pred)
+    val exact = spark.read.parquet(s"$legacy/lists")
+      .filter(pred)
+      .select(col("vec_id"),
+        cosine_distance(col("embedding"), vector_lit(queryVec)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === exact)
+    assert(probed === IndexQueries.Lists,
+      "post-append legacy radii are UNKNOWN — the bound must never fire")
+  }
+
   test("clustered data: early termination engages (probes < lists)") {
     // 400 vectors in 8 tight clusters; query sits inside cluster 0 — after
     // probing cluster-0's lists the radius bound proves the rest can't win

@@ -84,6 +84,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq, "mix must be deterministic")
   }
 
+  test("corpus_mix: digit-less source names default to keep-everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix_nodigit").toString
+    (0L until 10L).map(i => (i, s"doc $i", if (i < 5) "wiki" else "src3"))
+      .toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.corpusMix(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("wiki") === ((100, 5L, 5L)),
+      "no digits → weight 100%, everything kept (not a silent kept=0)")
+    assert(rows("src3")._1 === 100) // 3 % 4 + 1 = 4 → 100
+  }
+
   test("lm_score: rare-token documents score higher than common-token ones") {
     val common = "the data table row value"
     val dir = corpusDir(

@@ -326,7 +326,13 @@ object Dedup {
     * are dense clumps, not paths); the large-star/small-star variant
     * bounds it at log n for adversarial chains. Throws if `maxIter`
     * supersteps do not converge rather than returning wrong labels. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
+                          smallGraphThreshold: Long = SmallGraphEdges): DataFrame =
+    smallGraphLabels(pairs, smallGraphThreshold)
+      .getOrElse(connectedComponentsDistributed(pairs, maxIter))
+
+  private def connectedComponentsDistributed(
+      pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
@@ -375,7 +381,57 @@ object Dedup {
     * truncates lineage per superstep. Equality with min-label propagation
     * is pinned in DedupSpec, including a path graph where label
     * propagation's superstep count would explode. */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Adaptive small-graph shortcut shared by both CC variants: dedup pair
+    * graphs are usually TINY relative to the corpus (pairs ≪ rows), and a
+    * distributed superstep costs a fixed ~0.2 s of scheduling regardless
+    * of volume. Below the threshold, collect the edges and run union-find
+    * driver-side — the SAME component-minimum labels, none of the
+    * superstep latency. The count itself reuses the already-checkpointed
+    * edges. Returns None above the threshold (callers fall through to the
+    * distributed supersteps, which the 100k-node scale smoke exercises). */
+  private def smallGraphLabels(pairs: DataFrame, threshold: Long)
+      : Option[DataFrame] = {
+    val longTyped = pairs.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (threshold <= 0 || !longTyped ||
+        pairs.limit((threshold + 1).toInt).count() > threshold)
+      None
+    else {
+      val es = pairs.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        // endpoints register even for self-pairs, matching the distributed
+        // variants' node sets (isolated nodes label themselves)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the final label is the component minimum
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      Some(rows.toDF("node", "lab"))
+    }
+  }
+
+  /** Edge count below which CC graphs solve driver-side. */
+  val SmallGraphEdges = 100000L
+
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
+                              smallGraphThreshold: Long = SmallGraphEdges): DataFrame =
+    smallGraphLabels(pairs, smallGraphThreshold)
+      .getOrElse(connectedComponentsStarDistributed(pairs, maxIter))
+
+  private def connectedComponentsStarDistributed(
+      pairs: DataFrame, maxIter: Int): DataFrame = {
     // canonical (a > b) edges, self-loops dropped
     var edges = pairs
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))

@@ -158,7 +158,7 @@ class DedupSpec extends SparkSpec {
     // components: {1,2,3,4} (path), {10,11} (edge), {20,21,22} (triangle)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(pairs)
+    val labels = Dedup.connectedComponents(pairs, smallGraphThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(labels === Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
@@ -170,7 +170,8 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // 0-1-2-...-12: diameter 12, worst case for min propagation
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(pairs, maxIter = 30)
+    val labels = Dedup
+      .connectedComponents(pairs, maxIter = 30, smallGraphThreshold = 0)
       .as[(Long, Long)].collect()
     assert(labels.forall(_._2 === 0L) && labels.length === 13)
   }
@@ -187,9 +188,14 @@ class DedupSpec extends SparkSpec {
       }.filter(p => p._1 != p._2).distinct)
     graphs.foreach { g =>
       val pairs = g.toDF("a", "b")
-      val plain = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-      val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+      val plain = Dedup.connectedComponents(pairs, smallGraphThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(pairs, smallGraphThreshold = 0)
+        .as[(Long, Long)].collect().toMap
       assert(star === plain)
+      // the adaptive driver-side union-find shortcut must agree with both
+      val driver = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+      assert(driver === plain)
     }
   }
 
@@ -198,7 +204,8 @@ class DedupSpec extends SparkSpec {
     // diameter 200 — min-label propagation would need ~200 supersteps; the
     // star algorithm's path-halving must land far under its default 25
     val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect()
+    val labels = Dedup.connectedComponentsStar(pairs, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect()
     assert(labels.length === 201 && labels.forall(_._2 === 0L))
   }
 

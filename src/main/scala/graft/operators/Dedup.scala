@@ -391,8 +391,9 @@ object Dedup {
     * distributed supersteps, which the 100k-node scale smoke exercises). */
   private def smallGraphLabels(pairs: DataFrame, threshold: Long)
       : Option[DataFrame] = {
-    val longTyped = pairs.schema.fields.take(2).forall(
-      _.dataType == org.apache.spark.sql.types.LongType)
+    val longTyped = Seq("a", "b").forall(c =>
+      pairs.schema.fieldNames.contains(c) &&
+        pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
     if (threshold <= 0 || !longTyped ||
         pairs.limit((threshold + 1).toInt).count() > threshold)
       None

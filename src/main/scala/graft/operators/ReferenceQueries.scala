@@ -169,10 +169,16 @@ object ReferenceQueries {
   /** pgvector 0.8 `subvector` / `||` function family over the embeddings
     * table: a 4-wide mid slice, a concat of head+tail slices, the concat'd
     * dimension, and an out-of-range slice (clamps — documented deviation
-    * from pgvector's raise; DuckDB clamps identically). */
+    * from pgvector's raise; DuckDB clamps identically).
+    *
+    * Output is posexploded to scalar rows `(vec_id, part, dim, x)` — the
+    * driver's checker sorts columns with pandas and cannot hash raw
+    * `array<float>` cells, so contract queries must emit scalar-typed
+    * columns only. Values stay raw float32 (no arithmetic), so the oracle
+    * compare is bit-exact. */
   def vectorSlice(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{subvector, vector_concat, vector_dims}
-    Tables.embeddings(spark, sfDir)
+    val sliced = Tables.embeddings(spark, sfDir)
       .select(
         col("vec_id"),
         subvector(col("embedding"), 3, 4).as("sub"),
@@ -182,7 +188,17 @@ object ReferenceQueries {
         vector_dims(vector_concat(col("embedding"), col("embedding")))
           .cast("long").as("cat_dims"),
         subvector(col("embedding"), 63, 10).as("clamped"))
-      .orderBy("vec_id")
+    val parts = Seq("sub", "head_tail", "clamped").map { p =>
+      sliced
+        .select(col("vec_id"), lit(p).as("part"),
+          posexplode(col(p)).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("part"),
+          col("dim").cast("long").as("dim"), col("x"))
+    }
+    val catRow = sliced.select(
+      col("vec_id"), lit("cat_dims").as("part"), lit(0L).as("dim"),
+      col("cat_dims").cast("float").as("x"))
+    (parts :+ catRow).reduce(_ unionAll _).orderBy("vec_id", "part", "dim")
   }
 
   /** Oracle SQL (DuckDB dialect) for every query above; fragments built by
@@ -248,14 +264,36 @@ object ReferenceQueries {
            |LIMIT 10""".stripMargin,
       "vector_parse_roundtrip" ->
         "SELECT CAST(0 AS BIGINT) AS n_mismatch, COUNT(*) AS n_rows FROM embeddings",
-      // DuckDB list slicing is 1-based inclusive: v[3:6] = slice(v, 3, 4)
+      // DuckDB list slicing is 1-based inclusive: v[3:6] = slice(v, 3, 4).
+      // Posexploded to scalar rows (multiple unnests in one SELECT zip);
+      // range(a,b) is half-open so dim is 0-based like Spark's posexplode.
       "vector_slice" ->
-        """SELECT vec_id,
-          |  embedding[3:6] AS sub,
-          |  embedding[1:2] || embedding[63:64] AS head_tail,
-          |  CAST(len(embedding || embedding) AS BIGINT) AS cat_dims,
-          |  embedding[63:72] AS clamped
-          |FROM embeddings ORDER BY vec_id""".stripMargin,
+        """WITH s AS (
+          |  SELECT vec_id,
+          |    embedding[3:6] AS sub,
+          |    embedding[1:2] || embedding[63:64] AS head_tail,
+          |    CAST(len(embedding || embedding) AS BIGINT) AS cat_dims,
+          |    embedding[63:72] AS clamped
+          |  FROM embeddings
+          |)
+          |SELECT vec_id, 'sub' AS part,
+          |  CAST(unnest(range(len(sub))) AS BIGINT) AS dim, unnest(sub) AS x
+          |FROM s
+          |UNION ALL
+          |SELECT vec_id, 'head_tail' AS part,
+          |  CAST(unnest(range(len(head_tail))) AS BIGINT) AS dim,
+          |  unnest(head_tail) AS x
+          |FROM s
+          |UNION ALL
+          |SELECT vec_id, 'clamped' AS part,
+          |  CAST(unnest(range(len(clamped))) AS BIGINT) AS dim,
+          |  unnest(clamped) AS x
+          |FROM s
+          |UNION ALL
+          |SELECT vec_id, 'cat_dims' AS part, CAST(0 AS BIGINT) AS dim,
+          |  CAST(cat_dims AS FLOAT) AS x
+          |FROM s
+          |ORDER BY vec_id, part, dim""".stripMargin,
     )
   }
 

@@ -82,9 +82,15 @@ object Bm25Index {
   private def writeStats(spark: SparkSession, indexPath: String,
                          nDocs: Double, nTok: Double): Unit = {
     import spark.implicits._
-    Seq((nDocs, nTok, if (nDocs == 0.0) 0.0 else nTok / nDocs))
-      .toDF("n", "ntok", "avgdl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+    // stash→publish swap, not overwrite-in-place: append() rewrites stats
+    // per micro-batch under streaming maintenance, and a racing topK must
+    // never observe a missing/partial stats row
+    graft.util.FsOps.swapDir(spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(s"$indexPath/stats")) { (_, staging) =>
+      Seq((nDocs, nTok, if (nDocs == 0.0) 0.0 else nTok / nDocs))
+        .toDF("n", "ntok", "avgdl")
+        .coalesce(1).write.parquet(staging)
+    }
   }
 
   /** Incremental maintenance — the batch analog of new documents arriving
@@ -114,11 +120,15 @@ object Bm25Index {
           .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
       } finally dlNew.unpersist()
     // df recomputed from the postings dataset (index-sized, not corpus-
-    // sized; reads postings, writes df — distinct paths, safe overwrite)
-    spark.read.schema(PostingsSchema).parquet(s"$indexPath/postings")
-      .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
-      .withColumn("bucket", bucketOf(col("token")))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/df")
+    // sized), published via the atomic swap so a concurrent topK never
+    // reads a half-written df sidecar mid-append
+    graft.util.FsOps.swapDir(spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(s"$indexPath/df")) { (_, staging) =>
+      spark.read.schema(PostingsSchema).parquet(s"$indexPath/postings")
+        .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+        .withColumn("bucket", bucketOf(col("token")))
+        .write.partitionBy("bucket").parquet(staging)
+    }
     // stats INCREMENT from the stored values: n must keep counting ALL
     // docs (build counts null-text rows that have no doclen entry, and so
     // must append — recounting doclen would silently shrink n and drift

@@ -258,8 +258,18 @@ object IvfIndex {
         val merged = centRows.map { case (lid, c, r0) =>
           (lid, c, math.max(r0, newRad.getOrElse(lid, 0.0)))
         }
-        spark.createDataFrame(merged.toIndexedSeq).toDF("list_id", "centroid", "radius")
-          .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+        // stash→publish→delete swap, never overwrite-in-place: under
+        // startIvfMaintenance this runs per micro-batch, and a concurrent
+        // probe/filteredKnn reading a half-written sidecar would see an
+        // empty centroid set and return an empty "exact" result
+        graft.util.FsOps.swapDir(
+          spark.sessionState.newHadoopConf(),
+          new org.apache.hadoop.fs.Path(s"$indexPath/centroids")) {
+          (_, staging) =>
+            spark.createDataFrame(merged.toIndexedSeq)
+              .toDF("list_id", "centroid", "radius")
+              .coalesce(1).write.parquet(staging)
+        }
         assigned.count()
       } finally assigned.unpersist()
     }
@@ -464,7 +474,12 @@ object IvfIndex {
       probed = p
       if (probed >= ranked.length) done = true
       else {
-        val bound = ranked.drop(probed).map(_._3).min
+        // the driver-side bound (acos/cos over collected doubles) and the
+        // Catalyst per-row dist take different float paths; pad the bound
+        // by a few ulps so ulp-level divergence can never terminate before
+        // a true neighbor sitting within rounding error of the bound
+        val b0 = ranked.drop(probed).map(_._3).min
+        val bound = b0 - 4.0 * Math.ulp(b0)
         // strict <: at equality an unprobed point could TIE on dist and
         // win the vec_id tie-break, so equality must keep probing
         if (best.length >= k && best(k - 1)._2 < bound) done = true

@@ -328,8 +328,11 @@ object Dedup {
     * supersteps do not converge rather than returning wrong labels. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
                           smallGraphThreshold: Long = SmallGraphEdges): DataFrame =
-    smallGraphLabels(pairs, smallGraphThreshold)
-      .getOrElse(connectedComponentsDistributed(pairs, maxIter))
+    smallGraphPrep(pairs, smallGraphThreshold) match {
+      case Some(edges) => smallGraphLabels(edges, smallGraphThreshold)
+        .getOrElse(connectedComponentsDistributed(edges, maxIter))
+      case None => connectedComponentsDistributed(pairs, maxIter)
+    }
 
   private def connectedComponentsDistributed(
       pairs: DataFrame, maxIter: Int): DataFrame = {
@@ -386,16 +389,29 @@ object Dedup {
     * distributed superstep costs a fixed ~0.2 s of scheduling regardless
     * of volume. Below the threshold, collect the edges and run union-find
     * driver-side — the SAME component-minimum labels, none of the
-    * superstep latency. The count itself reuses the already-checkpointed
-    * edges. Returns None above the threshold (callers fall through to the
-    * distributed supersteps, which the 100k-node scale smoke exercises). */
-  private def smallGraphLabels(pairs: DataFrame, threshold: Long)
+    * superstep latency. Returns None above the threshold (callers fall
+    * through to the distributed supersteps, which the 100k-node scale
+    * smoke exercises). */
+
+  /** Shared entry guard for the small-graph shortcut: checks the schema
+    * precondition, then eagerly `localCheckpoint`s the pair edges ONCE so
+    * the threshold count, the driver-side collect, and (above threshold)
+    * the distributed fallback all read materialized blocks instead of each
+    * re-executing the upstream pair-generation pipeline (the MinHash
+    * join). Returns None when the shortcut machinery doesn't apply at all
+    * (caller runs distributed on the raw pairs). */
+  private def smallGraphPrep(pairs: DataFrame, threshold: Long)
       : Option[DataFrame] = {
     val longTyped = Seq("a", "b").forall(c =>
       pairs.schema.fieldNames.contains(c) &&
         pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (threshold <= 0 || !longTyped ||
-        pairs.limit((threshold + 1).toInt).count() > threshold)
+    if (threshold <= 0 || !longTyped) None
+    else Some(pairs.select(col("a"), col("b")).localCheckpoint())
+  }
+
+  private def smallGraphLabels(pairs: DataFrame, threshold: Long)
+      : Option[DataFrame] = {
+    if (pairs.limit((threshold + 1).toInt).count() > threshold)
       None
     else {
       val es = pairs.select(col("a"), col("b")).collect()
@@ -428,8 +444,11 @@ object Dedup {
 
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
                               smallGraphThreshold: Long = SmallGraphEdges): DataFrame =
-    smallGraphLabels(pairs, smallGraphThreshold)
-      .getOrElse(connectedComponentsStarDistributed(pairs, maxIter))
+    smallGraphPrep(pairs, smallGraphThreshold) match {
+      case Some(edges) => smallGraphLabels(edges, smallGraphThreshold)
+        .getOrElse(connectedComponentsStarDistributed(edges, maxIter))
+      case None => connectedComponentsStarDistributed(pairs, maxIter)
+    }
 
   private def connectedComponentsStarDistributed(
       pairs: DataFrame, maxIter: Int): DataFrame = {

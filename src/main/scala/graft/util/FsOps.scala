@@ -20,6 +20,11 @@ object FsOps {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"${live}_compact_$tag")
     rewrite(live.toString, staging.toString)
+    if (!fs.exists(live)) { // first publish: nothing to stash
+      if (!fs.rename(staging, live))
+        throw new java.io.IOException(s"swapDir: could not publish $staging")
+      return
+    }
     val old = new Path(s"${live}_old_$tag")
     if (!fs.rename(live, old))
       throw new java.io.IOException(s"swapDir: could not stash $live")

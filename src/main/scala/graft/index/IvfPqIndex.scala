@@ -336,6 +336,30 @@ object IvfPqIndex {
     * the base table by broadcast id-list (never an isin literal chain —
     * at full expansion that would be corpus-sized). Approximate before the
     * terminal state, like every PQ probe → recall-gated in spec. */
+  /** EXACT twin of [[probeRerank]]: probe EVERY list with a pool covering
+    * the whole code set, so the exact re-rank over the full candidate pool
+    * IS the exact top-k — oracle-checkable (brute-force cosine in SQL),
+    * hard evidence the coarse-probe + ADC plumbing surfaces the right ids.
+    * Candidates join the base table by broadcast id-frame (an `isin`
+    * literal chain would be corpus-sized at full expansion). A
+    * verification query: production probes stay nprobe/overfetch-bounded
+    * ([[probeRerank]]). */
+  def probeRerankAll(spark: SparkSession, indexPath: String, base: DataFrame,
+                     q: Array[Float], k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{cosine_distance, vector_lit}
+    val lists = spark.read.parquet(s"$indexPath/coarse").count().toInt
+    val nCodes = spark.read.parquet(s"$indexPath/codes").count()
+    val pool = math.min(nCodes, Int.MaxValue.toLong).toInt
+    val cands = probe(spark, indexPath, q, pool, lists)
+      .select(col("vec_id").as("_cand_id"))
+    base.join(broadcast(cands), col(idCol).cast("long") === col("_cand_id"), "left_semi")
+      .select(col(idCol).cast("long").as("vec_id"),
+        cosine_distance(col(vecCol), vector_lit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   def probeRerankFiltered(spark: SparkSession, indexPath: String, base: DataFrame,
                           q: Array[Float], k: Int,
                           predicate: org.apache.spark.sql.Column,
@@ -346,6 +370,11 @@ object IvfPqIndex {
     val lists = spark.read.parquet(s"$indexPath/coarse").count().toInt
     var np = math.min(math.max(1, nprobe), lists)
     var of = math.max(1, overfetch)
+    // overfetch doubles unboundedly under a never-satisfiable predicate;
+    // clamp so k*of can never overflow Int to a negative limit, and treat
+    // a full-width probe whose pool stopped growing as terminal (drained)
+    val maxOf = math.max(1, Int.MaxValue / math.max(1, k))
+    var prevPool = -1
     // the k result rows are COLLECTED each round (they drive the stop
     // test anyway) and the final round's rows are returned as a local
     // frame — returning the lazy plan would re-run the whole probe+rerank
@@ -364,11 +393,14 @@ object IvfPqIndex {
         .limit(k)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val poolExhausted = cands.length < k * of // probed lists fully drained
-      if (out.length >= k || (np >= lists && poolExhausted)) done = true
+      val drained = np >= lists &&
+        (poolExhausted || of >= maxOf || cands.length == prevPool)
+      if (out.length >= k || drained) done = true
       else {
         if (np < lists) np = math.min(lists, np * 2)
-        if (!poolExhausted) of *= 2
+        if (!poolExhausted) of = math.min(maxOf, of * 2)
       }
+      prevPool = cands.length
     }
     out.toDF("vec_id", "dist")
   }

@@ -248,4 +248,29 @@ object PqIndex {
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** EXACT twin of [[searchRerank]]: the candidate pool is the ENTIRE code
+    * set, so the exact re-rank over it IS the exact top-k — which makes
+    * this form oracle-checkable (brute-force cosine in SQL), giving the
+    * driver hash-level evidence that the ADC machinery ranks the right
+    * ids. Still exercises the full PQ read path: every candidate id flows
+    * out of the codes dataset through the ADC ranking before the re-rank.
+    * Candidates join the base table by broadcast id-frame — an `isin`
+    * literal chain would be corpus-sized here. A verification query:
+    * production probes stay overfetch-bounded ([[searchRerank]]). */
+  def searchRerankAll(spark: SparkSession, indexPath: String, base: DataFrame,
+                      q: Array[Float], k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{cosine_distance, vector_lit}
+    import org.apache.spark.sql.functions.broadcast
+    val nCodes = spark.read.parquet(s"$indexPath/codes").count()
+    val pool = math.min(nCodes, Int.MaxValue.toLong).toInt
+    val cands = search(spark, indexPath, q, pool)
+      .select(col("vec_id").as("_cand_id"))
+    base.join(broadcast(cands), col(idCol).cast("long") === col("_cand_id"), "left_semi")
+      .select(col(idCol).cast("long").as("vec_id"),
+        cosine_distance(col(vecCol), vector_lit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
 }

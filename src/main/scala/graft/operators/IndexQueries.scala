@@ -102,6 +102,20 @@ object IndexQueries {
     IvfIndex.probe(spark, path, q, K, NProbe)
   }
 
+  /** EXACT probe-all twin of [[ivfKnn]] (`nprobe = lists` scans every
+    * list, and the cardinality oracle pins that every vector is in exactly
+    * one list) — convertible to a full hash oracle, so the driver gets
+    * hard evidence the IVF probe machinery returns RIGHT answers, not just
+    * plausible ones. The approximate default stays recall-gated in
+    * IvfIndexSpec (where probe-all ≡ exact is also pinned). */
+  def ivfKnnProbeAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = indexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfIndex.probe(spark, path, q, K, nprobe = Lists)
+  }
+
   /** Filtered kNN through the index with iterative probe expansion —
     * pgvector 0.8's `ivfflat.iterative_scan` headline, strengthened to an
     * exact answer by the covering-radius bound ([[IvfIndex.filteredKnn]]),
@@ -134,6 +148,15 @@ object IndexQueries {
     IvfIndex.probe(spark, path, q, K, NProbe)
   }
 
+  /** EXACT probe-all twin of [[ivfL2Knn]] — see [[ivfKnnProbeAll]]. */
+  def ivfL2KnnProbeAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = l2IndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfIndex.probe(spark, path, q, K, nprobe = Lists)
+  }
+
   /** Build (cached) + cardinality contract for the IP-opclass IVF index. */
   def ivfIpBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ipIndexFor(spark, sfDir)
@@ -151,6 +174,16 @@ object IndexQueries {
       .filter(col("vec_id") === 0).select("embedding")
       .head().getAs[collection.Seq[Float]]("embedding").toArray
     IvfIndex.probe(spark, path, q, K, NProbe)
+  }
+
+  /** EXACT probe-all twin of [[ivfIpKnn]] — see [[ivfKnnProbeAll]]. `dist`
+    * stays the pgvector `<#>` value (negative inner product). */
+  def ivfIpKnnProbeAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ipIndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfIndex.probe(spark, path, q, K, nprobe = Lists)
   }
 
   /** Build (cached) + the same exactly-once cardinality contract for the
@@ -173,6 +206,21 @@ object IndexQueries {
     NswIndex.search(spark, path, q, K)
   }
 
+  /** EXACT full-beam twin of [[hnswKnn]]: with `ef` = graph size the beam
+    * never prunes and visits every (connected-by-construction) shard node
+    * — beam search degrades to an exact shard scan, pinned ≡ exact in
+    * NswIndexSpec. Oracle-checkable; the approximate default stays
+    * recall-gated in spec. */
+  def hnswKnnExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = nswIndexFor(spark, sfDir)
+    val total = spark.read.parquet(s"$path/graph").count()
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    NswIndex.search(spark, path, q, K,
+      ef = math.min(total, Int.MaxValue.toLong).toInt)
+  }
+
   /** Build (cached) + exactly-once encoding contract for the PQ codes. */
   def pqBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val path = pqIndexFor(spark, sfDir)
@@ -189,6 +237,16 @@ object IndexQueries {
       .filter(col("vec_id") === 0).select("embedding")
       .head().getAs[collection.Seq[Float]]("embedding").toArray
     PqIndex.search(spark, path, q, K)
+  }
+
+  /** EXACT full-pool re-rank twin of [[pqKnn]] —
+    * [[graft.index.PqIndex.searchRerankAll]]. */
+  def pqKnnRerankedFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = pqIndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    PqIndex.searchRerankAll(spark, path, Tables.embeddings(spark, sfDir), q, K)
   }
 
   /** Build (cached) + exactly-once encoding contract for IVF-PQ. */
@@ -211,20 +269,37 @@ object IndexQueries {
       q, K, nprobe = NProbe)
   }
 
+  /** EXACT probe-all twin of [[ivfPqKnn]] —
+    * [[graft.index.IvfPqIndex.probeRerankAll]]. */
+  def ivfPqKnnProbeAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ivfPqIndexFor(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    IvfPqIndex.probeRerankAll(spark, path, Tables.embeddings(spark, sfDir), q, K)
+  }
+
+  // Contract surface: one representative APPROXIMATE probe stays
+  // (`ivf_knn`, recall-gated in spec, no oracle by design); every other
+  // index family is represented by its EXACT probe-all / full-beam /
+  // full-pool twin, each with a full hash oracle. The approximate l2/ip/
+  // nsw/pq/ivfpq defaults remain public API (`ivfL2Knn` …), recall-gated
+  // in their specs — only the driver contract routes through the twins.
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_build" -> ((s, d) => ivfBuild(s, d)),
     "ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+    "ivf_knn_probeall" -> ((s, d) => ivfKnnProbeAll(s, d)),
     "filtered_knn" -> ((s, d) => filteredKnn(s, d)),
     "ivf_l2_build" -> ((s, d) => ivfL2Build(s, d)),
-    "ivf_l2_knn" -> ((s, d) => ivfL2Knn(s, d)),
+    "ivf_l2_knn_probeall" -> ((s, d) => ivfL2KnnProbeAll(s, d)),
     "ivf_ip_build" -> ((s, d) => ivfIpBuild(s, d)),
-    "ivf_ip_knn" -> ((s, d) => ivfIpKnn(s, d)),
+    "ivf_ip_knn_probeall" -> ((s, d) => ivfIpKnnProbeAll(s, d)),
     "hnsw_build" -> ((s, d) => nswBuild(s, d)),
-    "hnsw_knn" -> ((s, d) => hnswKnn(s, d)),
+    "hnsw_knn_exact" -> ((s, d) => hnswKnnExact(s, d)),
     "pq_build" -> ((s, d) => pqBuild(s, d)),
-    "pq_knn" -> ((s, d) => pqKnn(s, d)),
+    "pq_knn_reranked_full" -> ((s, d) => pqKnnRerankedFull(s, d)),
     "ivfpq_build" -> ((s, d) => ivfPqBuild(s, d)),
-    "ivfpq_knn" -> ((s, d) => ivfPqKnn(s, d)),
+    "ivfpq_knn_probeall" -> ((s, d) => ivfPqKnnProbeAll(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -250,12 +325,49 @@ object IndexQueries {
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
     "ivfpq_build" ->
       "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
-    // ivf_knn / hnsw_knn / pq_knn / ivfpq_knn: the deliberate no-oracle exceptions —
-    // their answers depend on engine-side structures DuckDB cannot
-    // reproduce (Spark-ML KMeans assignments/codebooks; the NSW graph's
-    // insertion-order topology). Gated instead by IvfIndexSpec /
-    // NswIndexSpec / PqIndexSpec: probe-all / high-ef ≡ exact top-k,
-    // recall@10 floors, and determinism across runs. Every other query in
-    // the engine is hash-checked vs DuckDB.
+    // exact twins: probe-all / full-beam / full-pool forms are exact by
+    // construction, so the brute-force SQL top-k IS their oracle — the
+    // same hash recipe as knn_topk/l2_topk/ip_topk
+    "ivf_knn_probeall" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${graft.OracleSql.cosDist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ivf_l2_knn_probeall" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${graft.OracleSql.l2Dist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ivf_ip_knn_probeall" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, -(${graft.OracleSql.innerProduct("e.embedding", "q.qv")}) AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "hnsw_knn_exact" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${graft.OracleSql.cosDist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "pq_knn_reranked_full" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${graft.OracleSql.cosDist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ivfpq_knn_probeall" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${graft.OracleSql.cosDist("e.embedding", "q.qv")} AS dist
+         |FROM embeddings e, q
+         |ORDER BY dist, e.vec_id
+         |LIMIT 10""".stripMargin,
+    // ivf_knn: the ONE deliberate no-oracle exception kept in the
+    // contract — its answer depends on engine-side structures DuckDB
+    // cannot reproduce (Spark-ML KMeans assignments). Gated instead by
+    // IvfIndexSpec: probe-all ≡ exact top-k, recall@10 floors, and
+    // determinism across runs; its exact twin above is hash-checked.
   )
 }

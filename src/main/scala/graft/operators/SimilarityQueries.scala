@@ -262,22 +262,51 @@ object SimilarityQueries {
       .limit(SparseK)
   }
 
+  // sfDir → (embeddings fingerprint, sidecar path): mtime staleness like
+  // the BM25 cache — a changed corpus rebuilds instead of serving stale
+  // postings (and a catalog-restored registration is checked the same way)
   private val sparseIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  private def embeddingsMtime(spark: SparkSession, sfDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p).getModificationTime
+  }
 
   /** [[graft.index.SparseIndex]] over the fixture sparsevecs, built once
-    * per (session, sfDir) like the IVF caches. */
-  def sparseIndexFor(spark: SparkSession, sfDir: String): String =
-    sparseIdxCache.computeIfAbsent(sfDir, { _ =>
-      import graft.functions.sparse_vectorize
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_sparse").resolve("index").toString
-      graft.index.SparseIndex.build(
-        Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"), sparse_vectorize(col("embedding"), SparseEps).as("sv")),
-        path)
-      path
-    })
+    * per (session, sfDir) like the IVF caches, rebuilt on corpus mtime
+    * change. */
+  def sparseIndexFor(spark: SparkSession, sfDir: String): String = {
+    val fp = embeddingsMtime(spark, sfDir)
+    sparseIdxCache.compute(sfDir, (_, old) =>
+      if (old != null && old._1 == fp) old
+      else {
+        import graft.functions.sparse_vectorize
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_sparse").resolve("index").toString
+        graft.index.SparseIndex.build(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), sparse_vectorize(col("embedding"), SparseEps).as("sv")),
+          path)
+        (fp, path)
+      })._2
+  }
+
+  /** (sfDir, corpus fingerprint, sidecar path) rows — catalog export for
+    * [[graft.plans.Graft.saveCatalog]]. */
+  def sparseRegistrations: Seq[(String, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    sparseIdxCache.asScala.toSeq.map { case (d, (fp, p)) => (d, fp, p) }
+  }
+
+  /** Re-wire a cataloged sparse index ([[graft.plans.Graft.loadCatalog]]);
+    * live registrations win, staleness honored via the fingerprint. */
+  def restoreSparseRegistration(sfDir: String, fingerprint: Long, path: String): Unit =
+    sparseIdxCache.putIfAbsent(sfDir, (fingerprint, path))
+
+  /** Test hook: simulate a fresh session (registrations are in-memory). */
+  private[graft] def clearSparseRegistrations(): Unit = sparseIdxCache.clear()
 
   /** [[sparseKnnTopK]] answered through the inverted index — EXACT (the
     * per-candidate fold reproduces the merge-walk bit-for-bit and

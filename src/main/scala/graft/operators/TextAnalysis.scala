@@ -212,6 +212,25 @@ object TextAnalysis {
       })._2
   }
 
+  /** (sfDir, corpus fingerprint, sidecar path) rows — catalog export for
+    * [[graft.plans.Graft.saveCatalog]], so a fresh session can serve
+    * [[bm25TopK]] without rebuilding the sidecar. */
+  def bm25Registrations: Seq[(String, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    bm25Cache.asScala.toSeq.map { case (d, (fp, p)) => (d, fp, p) }
+  }
+
+  /** Re-wire a cataloged sidecar ([[graft.plans.Graft.loadCatalog]]).
+    * `putIfAbsent`: a registration built live this session wins over the
+    * catalog's. Staleness stays honored — [[bm25IndexFor]] compares the
+    * restored fingerprint against the table's current mtime and rebuilds
+    * on mismatch. */
+  def restoreBm25Registration(sfDir: String, fingerprint: Long, path: String): Unit =
+    bm25Cache.putIfAbsent(sfDir, (fingerprint, path))
+
+  /** Test hook: simulate a fresh session (registrations are in-memory). */
+  private[graft] def clearBm25Registrations(): Unit = bm25Cache.clear()
+
   private def bm25TopKImpl(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     graft.index.Bm25Index.topK(spark, bm25IndexFor(spark, sfDir),
       Bm25Query, k, Bm25K1, Bm25B)

@@ -32,8 +32,14 @@ import graft.functions.{cosine_distance, CosineDistance}
   */
 object AnnIndexRegistry {
   /** `column = None` means "built before column tracking / unknown" — the
-    * rewrite then matches on metric alone (single-index legacy behavior). */
-  final case class Entry(indexPath: String, nprobe: Int, column: Option[String] = None)
+    * rewrite then matches on metric alone (single-index legacy behavior).
+    * `kind` distinguishes the index layout: "ivfflat" entries feed the
+    * transparent plan rewrite; "hnsw" entries are NSW graphs served ONLY
+    * through the explicit [[graft.index.NswIndex]] search API (a graph
+    * probes via traversal, not a scan substitution — documented
+    * divergence), discoverable via [[hnswIndexFor]]. */
+  final case class Entry(indexPath: String, nprobe: Int,
+                         column: Option[String] = None, kind: String = "ivfflat")
   // path → (indexPath → Entry): pgvector allows several indexes per table
   // (different column/opclass); a flat path→entry map would let a second
   // CREATE INDEX silently evict the first and DROP of either kill both.
@@ -77,8 +83,22 @@ object AnnIndexRegistry {
     * a different indexPath ADDS a second index on the table. */
   def register(tablePath: String, indexPath: String, nprobe: Int,
                column: Option[String]): Unit =
-    byPath.merge(norm(tablePath), Map(indexPath -> Entry(indexPath, nprobe, column)),
+    register(tablePath, indexPath, nprobe, column, kind = "ivfflat")
+
+  def register(tablePath: String, indexPath: String, nprobe: Int,
+               column: Option[String], kind: String): Unit =
+    byPath.merge(norm(tablePath),
+      Map(indexPath -> Entry(indexPath, nprobe, column, kind)),
       (old, one) => old ++ one)
+
+  /** The NSW graph index registered for (table, column), if any — the
+    * discovery hook for the explicit [[graft.index.NswIndex]] search API
+    * (`CREATE INDEX … USING hnsw` registers here; there is no transparent
+    * hnsw rewrite). `column = None` matches any hnsw entry on the table. */
+  def hnswIndexFor(tablePath: String, column: Option[String] = None): Option[String] =
+    Option(byPath.get(norm(tablePath))).flatMap(_.values.find(e =>
+      e.kind == "hnsw" && column.forall(c => e.column.forall(_ == c))))
+      .map(_.indexPath)
 
   /** Remove ALL indexes registered for the table. */
   def unregister(tablePath: String): Unit = byPath.remove(norm(tablePath))
@@ -283,8 +303,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // among the table's registered indexes, the one matching this
         // sort's opclass metric AND column (pgvector's planner does the
         // same operator-to-opclass matching across multiple indexes)
+        // kind filter FIRST: hnsw entries have no lists/centroids layout,
+        // and metricOf/columnOf on one would fail inside the optimizer
         entry0 <- AnnIndexRegistry.lookupAll(
             fsRel.location.rootPaths.map(_.toString).toSeq)
+          .filter(_.kind == "ivfflat")
           .find(e => AnnIndexRegistry.columnOf(spark, e).forall(_ == vecAttr.name) &&
             AnnIndexRegistry.metricOf(spark, e) == metric)
         // pgvector's `SET ivfflat.probes = n` — the session conf overrides
@@ -373,38 +396,66 @@ object Graft extends org.apache.spark.internal.Logging {
     }
   }
 
-  /** Persist every vector-index registration (+ DDL names) to `path` —
-    * pgvector indexes survive restarts because Postgres catalogs them;
-    * this is the engine's explicit analog. The index DATA already lives on
-    * disk; only the registrations are session state worth saving. */
+  /** Persist every index registration (+ DDL names) to `path` — pgvector
+    * indexes survive restarts because Postgres catalogs them; this is the
+    * engine's explicit analog, covering ALL index kinds: ANN registrations
+    * (ivfflat + hnsw, with their kind), the BM25 lexical sidecars, and the
+    * sparse inverted indexes (both of which were previously per-session
+    * memos that a fresh session silently rebuilt). The index DATA already
+    * lives on disk; only the registrations are session state worth saving.
+    * `fingerprint` carries the corpus-mtime staleness token for the
+    * bm25/sparse rows so a reloaded registration still rebuilds when its
+    * backing table changed. */
   def saveCatalog(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     // keyed by indexPath ALONE: the registry normalizes table paths
     // ("file:" stripped) while the DDL catalog stores them raw — a
     // (table, index) join key would silently drop every DDL-created name
     val named = VectorIndexCatalog.all.map { case (n, _, i) => i -> n }.toMap
-    AnnIndexRegistry.all.map { case (tablePath, e) =>
+    val annRows = AnnIndexRegistry.all.map { case (tablePath, e) =>
       (named.get(e.indexPath).orNull,
-        tablePath, e.indexPath, e.nprobe, e.column.orNull)
-    }.toDF("index_name", "table_path", "index_path", "nprobe", "vec_col")
+        tablePath, e.indexPath, e.nprobe, e.column.orNull, e.kind, 0L)
+    }
+    val bm25Rows = graft.operators.TextAnalysis.bm25Registrations.map {
+      case (sfDir, fp, idx) => (null: String, sfDir, idx, 0, null: String, "bm25", fp)
+    }
+    val sparseRows = graft.operators.SimilarityQueries.sparseRegistrations.map {
+      case (sfDir, fp, idx) => (null: String, sfDir, idx, 0, null: String, "sparse", fp)
+    }
+    (annRows ++ bm25Rows ++ sparseRows)
+      .toDF("index_name", "table_path", "index_path", "nprobe", "vec_col",
+        "kind", "fingerprint")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Re-register everything a previous session [[saveCatalog]]'d. ADDS to
     * the live registry (same merge semantics as register); missing index
     * directories are skipped with a warning — a stale catalog must not
-    * poison the rewrite with dangling paths. */
+    * poison the rewrite with dangling paths. bm25/sparse rows re-wire the
+    * operator-level caches so a fresh session serves `bm25_topk` /
+    * `sparse_knn_indexed` without a rebuild (mtime staleness still
+    * honored: a changed corpus fingerprint rebuilds on first use). */
   def loadCatalog(spark: SparkSession, path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     spark.read.parquet(path).collect().foreach { r =>
       val indexPath = r.getAs[String]("index_path")
       val p = new org.apache.hadoop.fs.Path(indexPath)
       if (p.getFileSystem(conf).exists(p)) {
-        AnnIndexRegistry.register(
-          r.getAs[String]("table_path"), indexPath,
-          r.getAs[Int]("nprobe"), Option(r.getAs[String]("vec_col")))
-        Option(r.getAs[String]("index_name")).foreach(
-          VectorIndexCatalog.put(_, r.getAs[String]("table_path"), indexPath))
+        val kind = r.getAs[String]("kind")
+        val tablePath = r.getAs[String]("table_path")
+        kind match {
+          case "bm25" =>
+            graft.operators.TextAnalysis.restoreBm25Registration(
+              tablePath, r.getAs[Long]("fingerprint"), indexPath)
+          case "sparse" =>
+            graft.operators.SimilarityQueries.restoreSparseRegistration(
+              tablePath, r.getAs[Long]("fingerprint"), indexPath)
+          case _ =>
+            AnnIndexRegistry.register(tablePath, indexPath,
+              r.getAs[Int]("nprobe"), Option(r.getAs[String]("vec_col")), kind)
+            Option(r.getAs[String]("index_name")).foreach(
+              VectorIndexCatalog.put(_, tablePath, indexPath))
+        }
       } else {
         logWarning(s"skipping cataloged index with missing data dir: $indexPath")
       }

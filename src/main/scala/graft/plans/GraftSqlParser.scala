@@ -31,10 +31,19 @@ import graft.index.IvfIndex
   * index scan — the full pgvector index lifecycle without leaving SQL.
   * Everything else delegates to Spark's parser unchanged.
   *
-  * `USING hnsw` is rejected with a pointer to [[graft.index.NswIndex]]:
-  * the transparent rewrite swaps scans for PARTITION-PRUNED datasets,
-  * which is the ivfflat layout; a graph index probes via traversal, not a
-  * plan substitution (decision recorded in SURVEY.md round-3 notes).
+  * `USING hnsw (col vector_cosine_ops) [WITH (shards = n)]` builds the
+  * sharded NSW graph ([[graft.index.NswIndex]] — the reference advertises
+  * HNSW as a pgvector capability, /root/reference/README.md:40) and
+  * registers it with kind = "hnsw"; DROP INDEX routes the same way.
+  * DIVERGENCE, documented: hnsw searches go through the explicit
+  * `NswIndex.search`/`searchFiltered` API (discover the graph with
+  * [[AnnIndexRegistry.hnswIndexFor]]) — there is no transparent hnsw plan
+  * rewrite, because the rewrite substitutes PARTITION-PRUNED scan
+  * datasets (the ivfflat layout) while a graph probes via traversal
+  * (decision recorded in SURVEY.md round-3 notes). pgvector's `m` /
+  * `ef_construction` storage options are accepted and ignored with a
+  * warning (graph constants are fixed engine-side); `shards` — the knob
+  * that actually governs this layout — is honored.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   extends ParserInterface {
@@ -65,7 +74,7 @@ object GraftDdl {
   private val Create = Pattern.compile(
     """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+\s+)?ON\s+(\w+)\s+""" +
       """USING\s+(\w+)\s*\(\s*(\w+)\s+(vector_\w+_ops)\s*\)""" +
-      """(?:\s*WITH\s*\(\s*lists\s*=\s*(\d+)\s*\))?\s*;?\s*""")
+      """(?:\s*WITH\s*\(\s*([^)]*)\))?\s*;?\s*""")
 
   private val Drop = Pattern.compile("""(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""")
 
@@ -74,28 +83,43 @@ object GraftDdl {
     "vector_l2_ops" -> "l2",
     "vector_ip_ops" -> "ip")
 
+  /** `lists = 100, m = 16` → Map("lists" -> 100, "m" -> 16); a malformed
+    * WITH body is a user error worth failing loudly, like Postgres. */
+  private def parseOptions(body: String): Map[String, Int] =
+    body.trim match {
+      case "" => Map.empty
+      case b => b.split(",").map { kv =>
+        kv.split("=") match {
+          case Array(k, v) if v.trim.matches("\\d+") =>
+            k.trim.toLowerCase -> v.trim.toInt
+          case _ => throw new IllegalArgumentException(
+            s"malformed index storage option '${kv.trim}' (expect key = int)")
+        }
+      }.toMap
+    }
+
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
     val c = Create.matcher(sqlText)
     if (c.matches()) {
       val method = c.group(4).toLowerCase
-      if (method == "hnsw") {
-        throw new IllegalArgumentException(
-          "USING hnsw is not supported by the transparent rewrite (it swaps " +
-            "scans for partition-pruned list datasets, an ivfflat layout); " +
-            "use graft.index.NswIndex for graph-ANN probes")
-      }
-      if (method != "ivfflat") return None // not ours — let Spark reject it
+      if (method != "ivfflat" && method != "hnsw")
+        return None // not ours — let Spark reject it
       val opclass = c.group(6).toLowerCase
       val metric = opclassMetric.getOrElse(opclass,
         throw new IllegalArgumentException(
           s"unknown operator class $opclass (${opclassMetric.keys.mkString("|")})"))
+      if (method == "hnsw" && metric != "cosine")
+        throw new IllegalArgumentException(
+          s"USING hnsw supports vector_cosine_ops only in this engine " +
+            s"(the NSW graph builds under cosine distance); got $opclass")
       val table = c.group(3)
       Some(CreateVectorIndexCommand(
         indexName = Option(c.group(2)).map(_.trim).getOrElse(s"${table}_${c.group(5)}_idx"),
         tableName = table,
         colName = c.group(5),
+        method = method,
         metric = metric,
-        lists = Option(c.group(7)).map(_.toInt).getOrElse(IvfIndex.DefaultLists),
+        options = parseOptions(Option(c.group(7)).getOrElse("")),
         ifNotExists = c.group(1) != null))
     } else {
       val d = Drop.matcher(sqlText)
@@ -125,8 +149,9 @@ object VectorIndexCatalog {
 }
 
 case class CreateVectorIndexCommand(
-    indexName: String, tableName: String, colName: String,
-    metric: String, lists: Int, ifNotExists: Boolean) extends LeafRunnableCommand {
+    indexName: String, tableName: String, colName: String, method: String,
+    metric: String, options: Map[String, Int], ifNotExists: Boolean)
+  extends LeafRunnableCommand with org.apache.spark.internal.Logging {
 
   override def run(session: SparkSession): Seq[Row] = {
     if (VectorIndexCatalog.contains(indexName)) {
@@ -144,18 +169,36 @@ case class CreateVectorIndexCommand(
       s"CREATE INDEX: $tableName has no column $colName")
     val baseDir = session.conf.getOption("graft.index.location")
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_indexes")
-    val indexPath = s"$baseDir/${tableName}_${colName}_$metric"
+    val indexPath = s"$baseDir/${tableName}_${colName}_${method}_$metric"
     // the catalog is the source of truth within this driver; a leftover
     // directory from a previous run is stale — clear it before rebuilding
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(session.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
     // first-writer wins, like IF NOT EXISTS; rebuild = DROP then CREATE
-    IvfIndex.build(df, indexPath, idCol = df.columns.head, vecCol = colName,
-      lists = lists, metric = metric)
-    // pgvector defaults probes to 1; `SET ivfflat.probes = n` overrides at
-    // plan time (AnnRewriteRule reads the session conf)
-    AnnIndexRegistry.register(path, indexPath, nprobe = 1, column = Some(colName))
+    method match {
+      case "ivfflat" =>
+        IvfIndex.build(df, indexPath, idCol = df.columns.head, vecCol = colName,
+          lists = options.getOrElse("lists", IvfIndex.DefaultLists),
+          metric = metric)
+        // pgvector defaults probes to 1; `SET ivfflat.probes = n` overrides
+        // at plan time (AnnRewriteRule reads the session conf)
+        AnnIndexRegistry.register(path, indexPath, nprobe = 1,
+          column = Some(colName))
+      case "hnsw" =>
+        options.keys.filter(k => k == "m" || k == "ef_construction").foreach(k =>
+          logWarning(s"hnsw storage option '$k' accepted but ignored: graph " +
+            "build constants are fixed engine-side (NswIndex.M/EfConstruction)"))
+        val shards = options.getOrElse("shards",
+          math.max(1, math.ceil(df.count().toDouble /
+            graft.index.NswIndex.RowsPerShardTarget).toInt))
+        graft.index.NswIndex.build(df, indexPath, shards = shards,
+          idCol = df.columns.head, vecCol = colName)
+        // kind = "hnsw": never picked up by the transparent rewrite;
+        // served through NswIndex.search via AnnIndexRegistry.hnswIndexFor
+        AnnIndexRegistry.register(path, indexPath, nprobe = 0,
+          column = Some(colName), kind = "hnsw")
+    }
     VectorIndexCatalog.put(indexName, path, indexPath)
     Seq.empty
   }

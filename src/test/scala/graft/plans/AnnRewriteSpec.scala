@@ -264,6 +264,48 @@ class AnnRewriteSpec extends SparkSpec {
       "dangling index paths must not re-register")
   }
 
+  test("catalog persists bm25 + sparse registrations; fresh session serves without rebuild") {
+    import graft.operators.{SimilarityQueries, TextAnalysis}
+    val catalog = java.nio.file.Files
+      .createTempDirectory("graft_catalog_bs").resolve("cat.parquet").toString
+    // build both sidecars live, then persist
+    val bm25Path = TextAnalysis.bm25IndexFor(spark, Sf0001)
+    val sparsePath = SimilarityQueries.sparseIndexFor(spark, Sf0001)
+    Graft.saveCatalog(spark, catalog)
+    // simulate a fresh session: the operator caches are in-memory state
+    TextAnalysis.clearBm25Registrations()
+    SimilarityQueries.clearSparseRegistrations()
+    Graft.loadCatalog(spark, catalog)
+    // same sidecar path back = served from the catalog, NOT rebuilt (a
+    // rebuild would mint a new temp directory)
+    assert(TextAnalysis.bm25IndexFor(spark, Sf0001) === bm25Path,
+      "loadCatalog must re-wire the bm25 sidecar without a rebuild")
+    assert(SimilarityQueries.sparseIndexFor(spark, Sf0001) === sparsePath,
+      "loadCatalog must re-wire the sparse sidecar without a rebuild")
+    // and the restored registration actually serves queries
+    assert(TextAnalysis.bm25TopK(spark, Sf0001).count() > 0)
+    assert(SimilarityQueries.sparseKnnIndexed(spark, Sf0001).count() === 10)
+
+    // staleness survives the round-trip: a corpus whose mtime moved past
+    // the cataloged fingerprint rebuilds on first use instead of serving
+    // the stale sidecar
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_corpus")
+    val docsCopy = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = docsCopy.getFileSystem(spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$Sf0001/documents.parquet"),
+      fs, docsCopy, false, spark.sessionState.newHadoopConf())
+    val stalePath = TextAnalysis.bm25IndexFor(spark, dir.toString)
+    Graft.saveCatalog(spark, catalog)
+    TextAnalysis.clearBm25Registrations()
+    fs.setTimes(docsCopy, System.currentTimeMillis() + 60000, -1)
+    Graft.loadCatalog(spark, catalog)
+    assert(TextAnalysis.bm25IndexFor(spark, dir.toString) !== stalePath,
+      "a changed corpus fingerprint must rebuild, not serve the cataloged sidecar")
+    TextAnalysis.clearBm25Registrations()
+    SimilarityQueries.clearSparseRegistrations()
+  }
+
   test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rebuild_idx").resolve("idx").toString

@@ -123,20 +123,57 @@ class GraftSqlDdlSpec extends SparkSpec {
     }
   }
 
-  test("USING hnsw is rejected with guidance; unrelated SQL parses through") {
+  test("USING hnsw builds + registers an NSW graph; explicit search serves it; DROP removes") {
     withExtensionSession { s2 =>
       s2.read.parquet(tablePath).createOrReplaceTempView("items2")
+      val q = s2.table("items2").filter(col("vec_id") === 0)
+        .head().getAs[collection.Seq[Float]]("embedding").toArray
+      val exact = s2.table("items2")
+        .orderBy(cosine_distance(col("embedding"), vector_lit(q)), col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSeq
+
+      // m/ef_construction are pgvector's hnsw options — accepted (ignored
+      // with a warning); shards is the engine's real knob
+      s2.sql("CREATE INDEX items2_hnsw ON items2 " +
+        "USING hnsw (embedding vector_cosine_ops) WITH (m = 16, shards = 2)")
+      val idx = AnnIndexRegistry.hnswIndexFor(tablePath, Some("embedding"))
+      assert(idx.isDefined, "CREATE INDEX USING hnsw must register the graph")
+
+      // DIVERGENCE (documented): no transparent hnsw rewrite — the plan
+      // stays an exact scan; searches go through the explicit API
+      val plan = s2.table("items2")
+        .orderBy(cosine_distance(col("embedding"), vector_lit(q)), col("vec_id"))
+        .limit(10).queryExecution.executedPlan.toString
+      assert(plan.contains("embeddings.parquet"),
+        s"hnsw must not swap the scan:\n$plan")
+
+      // full-beam search ≡ exact over the DDL-built graph (ef = corpus)
+      val viaGraph = graft.index.NswIndex
+        .search(s2, idx.get, q, 10, ef = 500)
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaGraph === exact,
+        "full-beam NSW search over the DDL-built graph must equal exact")
+
+      s2.sql("DROP INDEX items2_hnsw")
+      assert(AnnIndexRegistry.hnswIndexFor(tablePath, Some("embedding")).isEmpty,
+        "DROP INDEX must unregister the hnsw entry")
+
+      // a non-cosine hnsw opclass is rejected with engine guidance (assert
+      // on text only the custom path emits, not 'hnsw' which the native
+      // parser's error would echo from the SQL)
       val err = intercept[Exception] {
-        s2.sql("CREATE INDEX ON items2 USING hnsw (embedding vector_cosine_ops)")
+        s2.sql("CREATE INDEX ON items2 USING hnsw (embedding vector_l2_ops)")
       }
-      // assert on the guidance text, not "hnsw": the native parser's error
-      // echoes the SQL (which contains "hnsw"), so that match is vacuous —
-      // only GraftSqlParser's rejection message names NswIndex.
-      assert(err.getMessage.contains("NswIndex"),
-        s"expected GraftSqlParser guidance, got: ${err.getMessage}")
-      // the delegating path stays intact
+      assert(err.getMessage.contains("vector_cosine_ops only"),
+        s"expected cosine-only guidance, got: ${err.getMessage}")
+    }
+  }
+
+  test("unrelated SQL parses through; DROP INDEX IF EXISTS no-ops") {
+    withExtensionSession { s2 =>
+      s2.read.parquet(tablePath).createOrReplaceTempView("items4")
       assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
-      assert(s2.sql("SELECT count(*) FROM items2").head().getLong(0) === 500L)
+      assert(s2.sql("SELECT count(*) FROM items4").head().getLong(0) === 500L)
       // DROP INDEX IF EXISTS <unknown> no-ops like Postgres
       s2.sql("DROP INDEX IF EXISTS never_created_idx")
       // without IF EXISTS an unknown name still errors (delegate parser)

@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   * Audio: [[WavPcmDecoder]] is a REAL decoder on the JDK's
   * `javax.sound.sampled` (WAV/AIFF/AU PCM ship in java.desktop — no
   * external codecs): sample rate / channels / frame count + an RMS energy
-  * envelope feature vector. Video codecs are NOT in the JDK and stay a
-  * stub behind the same batched contract ([[sampleFrames]]).
+  * envelope feature vector.
+  *
+  * Video: [[GifVideoDecoder]] is a REAL multi-frame decoder on ImageIO's
+  * GIF plugin (animated GIF is the one video-like container the JDK
+  * decodes with zero external deps): frames are composited onto the
+  * logical screen at their declared offsets and reduced to a mean-luma
+  * motion envelope; [[extractVideoFrames]] is the decoded analog of the
+  * byte-slicing [[sampleFrames]] shape. [[Gif.encodeAnimatedGif]] closes
+  * the encode→decode loop so fixtures round-trip deterministically.
   */
 object Multimodal {
 
@@ -207,9 +214,110 @@ object Multimodal {
     media.mapPartitions(_.grouped(decoder.batchSize).flatMap(decoder.decodeBatch))
   }
 
+  /** Decoded video features: container metadata + mean-luma motion
+    * envelope over `nWindows` equal slices of the composited frame
+    * sequence. */
+  final case class VideoFeatures(
+      media_id: Long, byte_len: Long,
+      width: Int, height: Int, n_frames: Int,
+      features: Array[Float])
+
+  /** Batched video decode contract (same shape as [[MediaDecoder]]). */
+  trait VideoDecoder extends Serializable {
+    def batchSize: Int
+    def decodeBatch(batch: Seq[MediaIn]): Seq[VideoFeatures]
+  }
+
+  /** REAL video decoder on ImageIO's GIF plugin — animated GIF (and any
+    * other multi-frame container ImageIO claims) decoded frame by frame,
+    * each frame composited onto the logical screen at its declared offset
+    * ("do not dispose" approximation: deterministic, and exact for
+    * full-frame sequences). Features: mean integer-Rec.601 luma of the
+    * composited canvas per window of `nWindows` equal frame-sequence
+    * slices — the first-pass brightness/motion envelope a video quality
+    * sweep needs. Undecodable payloads yield the sentinel row
+    * (width = height = n_frames = −1, zero features), same
+    * filter-don't-crash contract as the image/audio decoders. */
+  final case class GifVideoDecoder(batchSize: Int = 16, nWindows: Int = 16)
+      extends VideoDecoder {
+    def decodeBatch(batch: Seq[MediaIn]): Seq[VideoFeatures] = batch.map { m =>
+      val sentinel = VideoFeatures(m.media_id, m.bytes.length.toLong,
+        -1, -1, -1, new Array[Float](nWindows))
+      try {
+        val lumas = scala.collection.mutable.ArrayBuffer.empty[Double]
+        Gif.foreachCompositedFrame(m.bytes) { (_, canvas) =>
+          lumas += Gif.meanLuma(canvas)
+        } match {
+          case None => sentinel
+          case Some((w, h, n)) =>
+            val feats = new Array[Float](nWindows)
+            var win = 0
+            while (win < nWindows) {
+              val lo = win * n / nWindows; val hi = (win + 1) * n / nWindows
+              var s = 0.0; var j = lo
+              while (j < hi) { s += lumas(j); j += 1 }
+              feats(win) = if (hi > lo) (s / (hi - lo)).toFloat else 0f
+              win += 1
+            }
+            VideoFeatures(m.media_id, m.bytes.length.toLong, w, h, n, feats)
+        }
+      } catch { case scala.util.control.NonFatal(_) => sentinel }
+    }
+  }
+
+  /** Executor-parallel batched video decode (same plumbing as [[decode]]). */
+  def decodeVideo(media: Dataset[MediaIn], decoder: VideoDecoder): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(decoder.batchSize).flatMap(decoder.decodeBatch))
+  }
+
+  /** REAL frame extraction: every `stride`-th composited frame of an
+    * ImageIO-decodable payload becomes a row with its dimensions and mean
+    * luma — the decoded analog of the byte-slicing [[sampleFrames]]
+    * contract. Undecodable payloads yield one sentinel row
+    * (frame_idx = −1) so a corpus sweep filters instead of crashing. */
+  def extractVideoFrames(media: Dataset[MediaIn], stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Double)]
+      val meta =
+        try Gif.foreachCompositedFrame(m.bytes) { (i, canvas) =>
+          if (i % stride == 0)
+            rows += ((m.media_id, i, canvas.getWidth, canvas.getHeight,
+              Gif.meanLuma(canvas)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      if (meta.isEmpty) Seq((m.media_id, -1, -1, -1, 0.0)) else rows.toSeq
+    }.toDF("media_id", "frame_idx", "width", "height", "mean_luma")
+  }
+
+  /** Deterministic animated-GIF fixtures from documents: a doc_id-keyed
+    * solid-gray frame sequence whose container metadata (width, height,
+    * frame count) is a pure function of doc_id — so the DuckDB oracle can
+    * gate the REAL encode→decode round-trip ([[Gif.encodeAnimatedGif]] →
+    * [[GifVideoDecoder]]) without itself decoding GIF. */
+  def videoFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaIn] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id / 16) % 16).toInt
+      val n = (2 + id % 3).toInt
+      val frames = (0 until n).map { f =>
+        val v = ((id * 37 + f * 97) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+        img
+      }
+      MediaIn(id, Gif.encodeAnimatedGif(frames))
+    }
+  }
+
   /** "Frame sampling" for video-like payloads: every `stride`-th slice of
-    * `frameLen` bytes becomes a frame row (stub for real frame extraction;
-    * the explode-to-frames relational shape is the real contract). */
+    * `frameLen` bytes becomes a frame row (the relational explode-to-
+    * frames shape over raw bytes; [[extractVideoFrames]] is the decoded
+    * counterpart). */
   def sampleFrames(media: Dataset[MediaIn], frameLen: Int, stride: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
@@ -226,5 +334,115 @@ object Multimodal {
     graft.Tables.documents(spark, sfDir)
       .select(col("doc_id").as("media_id"), encode(col("text"), "utf-8").as("bytes"))
       .as[MediaIn]
+  }
+}
+
+/** Pure-JDK GIF codec helpers: multi-frame decode with logical-screen
+  * compositing, and an animated-GIF sequence encoder — both on ImageIO's
+  * built-in GIF plugin (no external codecs). */
+object Gif {
+  import java.awt.image.BufferedImage
+  import javax.imageio.{IIOImage, ImageIO, ImageReader}
+  import javax.imageio.metadata.IIOMetadataNode
+  import scala.util.control.NonFatal
+
+  /** Decode an ImageIO-readable payload frame by frame, compositing each
+    * frame onto the logical canvas at its declared offset ("do not
+    * dispose" approximation), visiting the canvas after each composite.
+    * Returns (width, height, frameCount); None when no installed reader
+    * claims the payload. Decode errors propagate — callers own the
+    * sentinel policy. */
+  def foreachCompositedFrame(bytes: Array[Byte])(
+      visit: (Int, BufferedImage) => Unit): Option[(Int, Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis) // seekForwardOnly=false: getNumImages may search
+      try {
+        val isGif = reader.getFormatName.equalsIgnoreCase("gif")
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        // GIF frames can be sub-rectangles of the logical screen; other
+        // (single-frame) formats fall back to frame-0 dimensions
+        val (w, h) =
+          if (isGif) logicalScreen(reader).getOrElse((reader.getWidth(0), reader.getHeight(0)))
+          else (reader.getWidth(0), reader.getHeight(0))
+        val canvas = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          var i = 0
+          while (i < n) {
+            val frame = reader.read(i)
+            val (x, y) = if (isGif) frameOffset(reader, i) else (0, 0)
+            g.drawImage(frame, x, y, null)
+            visit(i, canvas)
+            i += 1
+          }
+        } finally g.dispose()
+        Some((w, h, n))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  private def logicalScreen(reader: ImageReader): Option[(Int, Int)] =
+    try {
+      val tree = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[IIOMetadataNode]
+      child(tree, "LogicalScreenDescriptor").map(d =>
+        (d.getAttribute("logicalScreenWidth").toInt,
+          d.getAttribute("logicalScreenHeight").toInt))
+    } catch { case NonFatal(_) => None }
+
+  private def frameOffset(reader: ImageReader, i: Int): (Int, Int) =
+    try {
+      val tree = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[IIOMetadataNode]
+      child(tree, "ImageDescriptor").map(d =>
+        (d.getAttribute("imageLeftPosition").toInt,
+          d.getAttribute("imageTopPosition").toInt)).getOrElse((0, 0))
+    } catch { case NonFatal(_) => (0, 0) }
+
+  private def child(n: IIOMetadataNode, name: String): Option[IIOMetadataNode] = {
+    val kids = n.getChildNodes
+    (0 until kids.getLength).map(kids.item).collectFirst {
+      case e: IIOMetadataNode if e.getNodeName == name => e
+    }
+  }
+
+  /** Mean integer-Rec.601 luma over the image (same per-pixel arithmetic
+    * as [[Multimodal.ImageIoDecoder]], so solid gray v → exactly v). */
+  def meanLuma(img: BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    s.toDouble / (w.toLong * h)
+  }
+
+  /** Encode frames as an animated GIF (full frames at origin) with the
+    * JDK's GIF sequence writer. */
+  def encodeAnimatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "animated GIF needs at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 }

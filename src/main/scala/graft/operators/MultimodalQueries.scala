@@ -24,8 +24,29 @@ object MultimodalQueries {
         size(col("features")).cast("long").as("n_features"))
       .orderBy("media_id")
 
+  /** REAL video round-trip as an oracle-gated query: doc_id-keyed
+    * animated GIFs are encoded then decoded executor-side
+    * ([[Multimodal.Gif.encodeAnimatedGif]] → [[Multimodal.GifVideoDecoder]]);
+    * the container metadata the decoder must recover (width, height,
+    * frame count) is a pure function of doc_id, which DuckDB reproduces
+    * without decoding GIF. A wrong decode (bad logical-screen read, frame
+    * miscount) breaks the hash. */
+  def videoFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeVideo(
+        Multimodal.videoFromDocuments(spark, sfDir),
+        Multimodal.GifVideoDecoder())
+      .toDF()
+      .select(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        size(col("features")).cast("long").as("n_features"))
+      .orderBy("media_id")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
+    "video_features" -> ((s, d) => videoFeatures(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -35,6 +56,13 @@ object MultimodalQueries {
         |  CAST(64 + (octet_length(encode(text)) % 64) AS BIGINT) AS width,
         |  CAST(64 + ((octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height,
         |  CAST(32 AS BIGINT) AS n_features
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "video_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS height,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+        |  CAST(16 AS BIGINT) AS n_features
         |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

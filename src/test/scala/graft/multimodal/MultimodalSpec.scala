@@ -60,6 +60,61 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.features.toSeq).toSeq === out.map(_.features.toSeq).toSeq)
   }
 
+  private def solidFrame(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+    img
+  }
+
+  test("GifVideoDecoder decodes real animated GIFs distributed; sentinel on corrupt bytes") {
+    val gif3 = Gif.encodeAnimatedGif(
+      Seq(solidFrame(16, 8, 0), solidFrame(16, 8, 128), solidFrame(16, 8, 255)))
+    val media = Seq(
+      MediaIn(1L, gif3),
+      MediaIn(2L, "definitely not a video".getBytes),
+      MediaIn(3L, gif3.take(20))).toDS() // truncated header → decode error
+    val out = decodeVideo(media.repartition(2), GifVideoDecoder(batchSize = 1, nWindows = 3))
+      .collect().sortBy(_.media_id)
+    assert(out(0).width === 16 && out(0).height === 8 && out(0).n_frames === 3)
+    // solid gray v composites to mean luma exactly v; nWindows = n_frames
+    // makes the envelope the per-frame luma sequence
+    assert(out(0).features.toSeq === Seq(0f, 128f, 255f),
+      s"luma envelope: ${out(0).features.toSeq}")
+    assert(out(1).width === -1 && out(1).n_frames === -1 &&
+      out(1).features.forall(_ == 0f), "unclaimed payload → sentinel row")
+    assert(out(2).width === -1 && out(2).n_frames === -1,
+      "truncated payload → sentinel row, not a task failure")
+    // deterministic across runs
+    val again = decodeVideo(media.repartition(2), GifVideoDecoder(batchSize = 1, nWindows = 3))
+      .collect().sortBy(_.media_id)
+    assert(again.map(_.features.toSeq).toSeq === out.map(_.features.toSeq).toSeq)
+  }
+
+  test("extractVideoFrames: strided decoded frames with per-frame luma; sentinel row on corrupt") {
+    val gif4 = Gif.encodeAnimatedGif(
+      Seq(solidFrame(5, 7, 10), solidFrame(5, 7, 20), solidFrame(5, 7, 30), solidFrame(5, 7, 40)))
+    val frames = extractVideoFrames(
+      Seq(MediaIn(1L, gif4), MediaIn(2L, "junk".getBytes)).toDS(), stride = 2)
+      .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 0), (1L, 2), (2L, -1)))
+    assert(frames.take(2).forall(r =>
+      r.getAs[Int]("width") === 5 && r.getAs[Int]("height") === 7))
+    assert(frames.take(2).map(_.getAs[Double]("mean_luma")).toSeq === Seq(10.0, 30.0))
+  }
+
+  test("videoFromDocuments round-trip: decoded metadata matches the doc_id formulas") {
+    val out = decodeVideo(videoFromDocuments(spark, Sf0001), GifVideoDecoder())
+      .collect().sortBy(_.media_id)
+    assert(out.length === 500)
+    assert(out.forall(f => f.width === (8 + f.media_id % 16).toInt &&
+      f.height === (8 + (f.media_id / 16) % 16).toInt &&
+      f.n_frames === (2 + f.media_id % 3).toInt),
+      "every GIF container must decode back to its doc_id-derived shape")
+  }
+
   test("frame sampling explodes payloads into strided frame rows") {
     val media = Seq(MediaIn(1L, (0 until 100).map(_.toByte).toArray)).toDS()
     val frames = sampleFrames(media, frameLen = 10, stride = 2).collect()

@@ -57,6 +57,13 @@ object Dedup {
     shingleRel(spark, sfDir)
       .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
 
+  /** [[hashedShingleRel]] over an arbitrary (doc_id, text) frame — the
+    * docs-parameterized entry the scale smokes drive with synthetic
+    * corpora the fixture tables can't provide. */
+  private[graft] def hashedShingleRelOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
+
   /** Unpack `(a << 32) | b` pair keys from [[graft.functions.sorted_pair_keys]]. */
   private def unpackPairCounts(packed: DataFrame): DataFrame =
     packed.select(shiftright(col("pk"), 32).as("a"),
@@ -213,8 +220,13 @@ object Dedup {
     * The 64-lane signature folds in ONE aggregation pass
     * ([[graft.functions.MinhashSignature]]) — the naive form explodes every
     * shingle into 64 rows (64× shuffle amplification). */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = hashedShingleRel(spark, sfDir)
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(hashedShingleRel(spark, sfDir))
+
+  /** The MinHash-LSH pipeline over an arbitrary hashed-shingle relation
+    * ((doc_id, h) rows, [[hashedShingleRelOf]]) — shared by the fixture
+    * query and the 1M-doc scale smoke. */
+  private[graft] def minhashPairs(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"), pmod(col("h"), lit(MinhashPrime)).as("h"))
     val sig = hashed.groupBy("doc_id")
       .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))

@@ -297,6 +297,54 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 180.0)
   }
 
+  test("full dedup pipeline (minhash → star CC → clean) holds at 1M docs with skewed duplicates") {
+    import graft.operators.Dedup
+    // Skewed duplicate mass, the shape web corpora actually have:
+    //  - ids 0-499: ONE 500-member clique of IDENTICAL docs (the hot-bucket
+    //    skew case — LSH banding expands it to C(500,2) = 124,750 pairs)
+    //  - ids 1000-100,999: 20k clusters of 5 NEAR-dup members (8 shared
+    //    cluster tokens + 1 member token → shingle Jaccard 6/8 = 0.75,
+    //    above the 0.5 verify threshold but below exact-dup; LSH edge
+    //    retention at 0.75 is ~99.8%, so clusters stay whole)
+    //  - everything else: unique docs (id-salted tokens, zero overlap)
+    val c = ((col("id") - 1000) / 5).cast("long")
+    val docs = spark.range(N).select(col("id").as("doc_id"),
+      when(col("id") < 500, lit("mega dup block alpha beta gamma"))
+        .when(col("id") >= 1000 && col("id") < 101000, concat_ws(" ",
+          concat(lit("c"), c, lit("a")), concat(lit("c"), c, lit("b")),
+          concat(lit("c"), c, lit("cc")), concat(lit("c"), c, lit("d")),
+          concat(lit("c"), c, lit("e")), concat(lit("c"), c, lit("f")),
+          concat(lit("c"), c, lit("g")), concat(lit("c"), c, lit("h")),
+          concat(lit("m"), col("id"))))
+        .otherwise(concat_ws(" ",
+          concat(lit("u"), col("id"), lit("a")), concat(lit("u"), col("id"), lit("b")),
+          concat(lit("u"), col("id"), lit("cc")), concat(lit("u"), col("id"), lit("d")),
+          concat(lit("u"), col("id"), lit("e")), concat(lit("u"), col("id"), lit("f"))))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashPairs(Dedup.hashedShingleRelOf(docs))
+      .select("a", "b").localCheckpoint()
+    val nPairs = pairs.count()
+    // realistic pair counts force the DISTRIBUTED star-CC path: the
+    // driver-side union-find shortcut must decline above its edge bound
+    assert(nPairs > Dedup.SmallGraphEdges,
+      s"smoke must exercise the distributed CC path: $nPairs pairs")
+    val labels = Dedup.connectedComponentsStar(pairs)
+    val clusterDrops = labels.filter(col("node") =!= col("lab"))
+      .select(col("lab").as("a"), col("node").as("b"))
+    val nClean = Dedup.dropNearDuplicates(docs, clusterDrops).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // full connectivity leaves exactly 1M − 499 − 80,000 = 919,501; LSH
+    // banding at J = 0.75 fragments a small deterministic tail of the 20k
+    // cliques (members whose own-token lanes dominate several bands lose
+    // their edges together — measured ~170, i.e. 0.2% of the drop mass).
+    // Never below the exact floor; a wider drift means the pipeline broke.
+    assert(nClean >= 919501L && nClean <= 920000L,
+      s"cleaned cardinality out of range: $nClean")
+    info(f"1M-doc full dedup chain: $secs%.2f s, $nPairs pairs, $nClean survivors")
+    assert(secs < 240.0, s"unreasonably slow: $secs s")
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

@@ -70,6 +70,31 @@ object PlanGallery {
       "(broadcast to the tf join); per-term decimal rounding makes the " +
       "per-doc sum order-independent, so the plan is two hash aggs + one " +
       "broadcast join — no sort anywhere but the output determinism one."),
+    "repetition_signals" -> ("Gopher repetition ratios via shifted-slice " +
+      "n-grams: each order reuses ONE tokens array with slice+zip (no " +
+      "per-doc O(n²) explode), all ratios fold in a single projection — " +
+      "one scan, zero shuffles before the output sort."),
+    "doc_chunks" -> ("Fixed-window chunking: sequence() over token offsets " +
+      "posexplodes to chunk rows — row-local, shuffle-free; chunk count " +
+      "scales with corpus size, not with a reducer's memory."),
+    "filtered_knn" -> ("pgvector 0.8.1 iterative filtered scan, made EXACT: " +
+      "probes expand until the covering-radius bound proves no unseen list " +
+      "can beat the kth distance. Each round scans only the probed list " +
+      "partitions (PushedFilters on list_id) — never the full index."),
+    "hnsw_knn_exact" -> ("Shard-covering beam over the NSW graph sidecar: " +
+      "per-shard beams run in parallel partitions, merge with " +
+      "TakeOrderedAndProject; beam width = shard rows makes it exact " +
+      "(the oracle twin), narrower beams trade recall for latency."),
+    "dedup_clean_clusters" -> ("The full production dedup pass: banded " +
+      "MinHash candidates (never all-pairs), exact-Jaccard verification on " +
+      "hashed shingles, star connected components (O(log n) supersteps, " +
+      "driver-side union-find under the small-graph threshold), " +
+      "keep-representative anti-join. Every stage is a hash agg or " +
+      "equi-join — no window over the corpus."),
+    "video_features" -> ("Multimodal decode plumbing: GIF payloads decode " +
+      "in batched mapPartitions (external-codec work stays off the " +
+      "expression path); the plan is one scan → one serialize boundary → " +
+      "projection. No shuffle; decode parallelism = input partitions."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -80,7 +80,11 @@ object Multimodal {
       extends MediaDecoder {
     def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeatures] = batch.map { m =>
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+        // memory-cache stream: the InputStream overload wraps a FILE-cache
+        // stream internally (temp-file I/O per payload)
+        try javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(m.bytes)): javax.imageio.stream.ImageInputStream)
         // NonFatal, not just IOException: plugin readers throw unchecked
         // exceptions (IllegalArgument/ArrayIndexOutOfBounds/…) on
         // malformed-but-recognized payloads — those must become the
@@ -298,20 +302,28 @@ object Multimodal {
     * [[GifVideoDecoder]]) without itself decoding GIF. */
   def videoFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaIn] = {
     import spark.implicits._
-    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long].map { id =>
-      val w = (8 + id % 16).toInt
-      val h = (8 + (id / 16) % 16).toInt
-      val n = (2 + id % 3).toInt
-      val frames = (0 until n).map { f =>
-        val v = ((id * 37 + f * 97) % 256).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = img.createGraphics()
-        g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
-        img
+    graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      // ONE writer per partition: the ImageIO service-registry lookup and
+      // writer construction are per-use costs worth amortizing across a
+      // partition's thousands of tiny encodes (the writer is reusable —
+      // setOutput resets its state; not shared across threads)
+      .mapPartitions { ids =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        ids.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id / 16) % 16).toInt
+          val n = (2 + id % 3).toInt
+          val frames = (0 until n).map { f =>
+            val v = ((id * 37 + f * 97) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+            img
+          }
+          MediaIn(id, Gif.encodeAnimatedGif(frames, writer))
+        }
       }
-      MediaIn(id, Gif.encodeAnimatedGif(frames))
-    }
   }
 
   /** "Frame sampling" for video-like payloads: every `stride`-th slice of
@@ -354,7 +366,11 @@ object Gif {
     * sentinel policy. */
   def foreachCompositedFrame(bytes: Array[Byte])(
       visit: (Int, BufferedImage) => Unit): Option[(Int, Int, Int)] = {
-    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    // explicit memory-cache stream: ImageIO.createImageInputStream defaults
+    // to a FILE-cache stream (temp-file I/O per payload) — a corpus decode
+    // sweep must stay in memory
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
@@ -433,16 +449,26 @@ object Gif {
   /** Encode frames as an animated GIF (full frames at origin) with the
     * JDK's GIF sequence writer. */
   def encodeAnimatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try encodeAnimatedGif(frames, writer) finally writer.dispose()
+  }
+
+  /** [[encodeAnimatedGif]] with a caller-owned writer — amortizes the
+    * registry lookup + writer construction across a partition of encodes
+    * (setOutput resets writer state between uses; single-threaded use
+    * only). Memory-cache output stream: the default file-cache stream
+    * costs temp-file I/O per payload. */
+  def encodeAnimatedGif(frames: Seq[BufferedImage],
+                        writer: javax.imageio.ImageWriter): Array[Byte] = {
     require(frames.nonEmpty, "animated GIF needs at least one frame")
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally ios.close()
     bos.toByteArray
   }
 }

@@ -264,6 +264,26 @@ class AnnRewriteSpec extends SparkSpec {
       "dangling index paths must not re-register")
   }
 
+  test("hnsw-kind registrations survive the catalog round-trip and stay off the rewrite") {
+    val catalog = java.nio.file.Files
+      .createTempDirectory("graft_catalog_hnsw").resolve("cat.parquet").toString
+    // any existing directory works: loadCatalog only checks presence
+    val graphDir = java.nio.file.Files.createTempDirectory("graft_nsw_cat").toString
+    AnnIndexRegistry.register(tablePath, graphDir, nprobe = 0,
+      column = Some("embedding"), kind = "hnsw")
+    Graft.saveCatalog(spark, catalog)
+    AnnIndexRegistry.unregister(tablePath)
+    assert(AnnIndexRegistry.hnswIndexFor(tablePath, Some("embedding")).isEmpty)
+    Graft.loadCatalog(spark, catalog)
+    assert(AnnIndexRegistry.hnswIndexFor(tablePath, Some("embedding")) === Some(graphDir),
+      "hnsw registration (kind included) must survive the round-trip")
+    // a graph index must never feed the transparent ivfflat rewrite
+    val plan = topK(5).queryExecution.executedPlan.toString
+    assert(plan.contains("embeddings.parquet") && !plan.contains("list_id"),
+      s"restored hnsw entry must not swap the scan:\n$plan")
+    AnnIndexRegistry.unregister(tablePath)
+  }
+
   test("catalog persists bm25 + sparse registrations; fresh session serves without rebuild") {
     import graft.operators.{SimilarityQueries, TextAnalysis}
     val catalog = java.nio.file.Files

@@ -36,7 +36,7 @@ import graft.util.Timing.timeIt
   * entry point is the first inserted node — so build and search are
   * bit-reproducible across runs; pinned in NswIndexSpec.
   */
-object NswIndex {
+object NswIndex extends org.apache.spark.internal.Logging {
 
   /** Bidirectional edges added per insert. */
   val M = 8
@@ -242,11 +242,29 @@ object NswIndex {
       spark.read.parquet(s"$indexPath/graph").count()
     }
 
+  /** pgvector's `SET hnsw.ef_search = n` analog: the session conf
+    * overrides [[EfSearch]] when the caller doesn't pass ef explicitly
+    * (mirrors the `ivfflat.probes` conf the transparent rewrite honors).
+    * Non-positive/garbage values are ignored with a warning, like the
+    * rewrite's probes handling. */
+  private def efDefault(spark: SparkSession): Int =
+    spark.conf.getOption("hnsw.ef_search") match {
+      case Some(p) => p.trim.toIntOption.filter(_ > 0).getOrElse {
+        logWarning(s"ignoring non-positive-integer hnsw.ef_search value '$p'; " +
+          s"using default $EfSearch")
+        EfSearch
+      }
+      case None => EfSearch
+    }
+
   /** Approximate top-k for one query: beam-search every shard in parallel
     * (entry = the shard's first inserted node = min vec_id), merge the
-    * per-shard top-k globally — TakeOrderedAndProject over |shards|·k rows. */
+    * per-shard top-k globally — TakeOrderedAndProject over |shards|·k rows.
+    * `ef <= 0` (the default) resolves through `hnsw.ef_search` /
+    * [[EfSearch]]. */
   def search(spark: SparkSession, indexPath: String, q: Array[Float],
-             k: Int, ef: Int = EfSearch): DataFrame = {
+             k: Int, ef: Int = -1): DataFrame = {
+    val ef0 = if (ef > 0) ef else efDefault(spark)
     import spark.implicits._
     readGraph(spark, indexPath).groupByKey(_.shard_id)
       .flatMapGroups { (_, it) =>
@@ -254,7 +272,7 @@ object NswIndex {
         if (rows.isEmpty) Iterator.empty
         else {
           val (ids, vecs, adj) = loadShard(rows)
-          beamSearch(q, vecs, adj, entry = 0, ef = math.max(ef, k))
+          beamSearch(q, vecs, adj, entry = 0, ef = math.max(ef0, k))
             .iterator.take(k).map { case (d, idx) => (ids(idx), d) }
         }
       }
@@ -298,14 +316,15 @@ object NswIndex {
     * is left to AQE rather than a broadcast hint. */
   def searchFiltered(spark: SparkSession, indexPath: String, q: Array[Float],
                      k: Int, attrs: DataFrame, predicate: Column,
-                     idCol: String = "vec_id", ef: Int = EfSearch): DataFrame = {
+                     idCol: String = "vec_id", ef: Int = -1): DataFrame = {
     val keep = attrs.filter(predicate)
       .select(col(idCol).cast("long").as("vec_id"))
     // full-exploration cap: one metadata-cheap count, after which a beam
     // of that width visits an entire shard (shard size ≤ total rows)
     import spark.implicits._
     lazy val total = spark.read.parquet(s"$indexPath/graph").count()
-    var curEf = math.max(ef, k)
+    // ef <= 0 (the default) resolves through `SET hnsw.ef_search`/EfSearch
+    var curEf = math.max(if (ef > 0) ef else efDefault(spark), k)
     var out: Seq[(Long, Double)] = Seq.empty
     var done = k <= 0
     while (!done) {

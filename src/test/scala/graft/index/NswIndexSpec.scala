@@ -52,6 +52,27 @@ class NswIndexSpec extends SparkSpec {
     assert(recall >= 0.9, s"NSW recall@10 was $recall")
   }
 
+  test("SET hnsw.ef_search governs the default beam (pgvector session knob)") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    try {
+      // conf wide enough to cover the shard → default-ef search goes exact
+      spark.conf.set("hnsw.ef_search", "500")
+      val viaConf = NswIndex.search(spark, indexPath, queryVec, 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaConf === exact,
+        "hnsw.ef_search=shard-size must make the default search exact")
+      // explicit ef still wins over the conf
+      spark.conf.set("hnsw.ef_search", "1")
+      val explicit = NswIndex.search(spark, indexPath, queryVec, 10, ef = 500)
+        .collect().map(_.getLong(0)).toSeq
+      assert(explicit === exact, "explicit ef must override the session conf")
+      // garbage value falls back to the engine default instead of failing
+      spark.conf.set("hnsw.ef_search", "not-a-number")
+      assert(NswIndex.search(spark, indexPath, queryVec, 10).count() === 10L)
+    } finally spark.conf.unset("hnsw.ef_search")
+  }
+
   test("searchMany matches single-query search per qid") {
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))

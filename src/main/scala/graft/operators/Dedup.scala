@@ -41,25 +41,20 @@ object Dedup {
   val EmbeddingThreshold = 0.45
   val SimhashMaxHamming = 3
 
-  /** (doc_id, shingle) exploded distinct 3-gram shingle relation. */
-  private def shingleRel(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
-
-  /** [[shingleRel]] with each shingle replaced by its 60-bit md5-derived
-    * hash ([[graft.functions.md5_long]]) — the Jaccard pipelines group and
+  /** (doc_id, h) exploded 3-gram shingle relation with each shingle
+    * replaced by its 60-bit md5-derived hash
+    * ([[graft.functions.md5_long]]) — the Jaccard pipelines group and
     * join on 8-byte longs instead of ~25-byte shingle strings (less shuffle
     * volume, cheaper hash-agg keys; measured ~20% off the ngram family at
     * sf0.1). Collisions would merge two shingles corpus-WIDE (p ≈ n²/2⁶¹ —
     * negligible, and the oracle hashes identically so both engines see the
     * same space bit-for-bit). */
   private def hashedShingleRel(spark: SparkSession, sfDir: String): DataFrame =
-    shingleRel(spark, sfDir)
-      .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
+    hashedShingleRelOf(Tables.documents(spark, sfDir))
 
   /** [[hashedShingleRel]] over an arbitrary (doc_id, text) frame — the
-    * docs-parameterized entry the scale smokes drive with synthetic
-    * corpora the fixture tables can't provide. */
+    * ONE implementation of the shingle-hash contract the oracles depend
+    * on, also the entry the scale smokes drive with synthetic corpora. */
   private[graft] def hashedShingleRelOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
       .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))

@@ -276,12 +276,18 @@ object SimilarityQueries {
 
   /** [[graft.index.SparseIndex]] over the fixture sparsevecs, built once
     * per (session, sfDir) like the IVF caches, rebuilt on corpus mtime
-    * change. */
+    * change. Superseded index dirs are tombstoned per corpus and reclaimed
+    * after a grace window ([[graft.util.StaleSidecars]], same policy as
+    * the BM25 cache) — neither leaked for the JVM's life nor deleted
+    * under a racing query. */
   def sparseIndexFor(spark: SparkSession, sfDir: String): String = {
     val fp = embeddingsMtime(spark, sfDir)
     sparseIdxCache.compute(sfDir, (_, old) =>
       if (old != null && old._1 == fp) old
       else {
+        if (old != null)
+          graft.util.StaleSidecars.supersede(
+            spark.sessionState.newHadoopConf(), s"sparse:$sfDir", old._2)
         import graft.functions.sparse_vectorize
         val path = java.nio.file.Files
           .createTempDirectory("graft_sparse").resolve("index").toString

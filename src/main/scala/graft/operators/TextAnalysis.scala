@@ -179,32 +179,22 @@ object TextAnalysis {
   // sfDir → (documents fingerprint, sidecar path): stale corpora rebuild
   private val bm25Cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
-  // superseded sidecars are TOMBSTONED, not deleted inline: a concurrently
-  // planned/executing query may still hold DataFrames over the old path,
-  // and deleting it mid-scan fails that query. Tombstones drain on the
-  // NEXT staleness rebuild (by which point queries planned against the
-  // prior generation have long finished), so at most one stale posting
-  // copy per corpus lives under /tmp at a time.
-  private val bm25Tombstones =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** The BM25 sidecar for `sfDir`'s documents table, built on first use and
-    * rebuilt when the backing parquet's mtime changes. */
+    * rebuilt when the backing parquet's mtime changes. Superseded sidecars
+    * are tombstoned per corpus and reclaimed only after a grace window on a
+    * later rebuild of the SAME corpus ([[graft.util.StaleSidecars]]) — an
+    * inline delete, or a shared queue another corpus's rebuild drains,
+    * could remove a directory that racing queries still scan. */
   def bm25IndexFor(spark: SparkSession, sfDir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-    val fp = p.getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(p).getModificationTime
+    val fp = p.getFileSystem(conf).getFileStatus(p).getModificationTime
     bm25Cache.compute(sfDir, (_, old) =>
       if (old != null && old._1 == fp) old
       else {
-        var stalePath = bm25Tombstones.poll()
-        while (stalePath != null) {
-          val stale = new org.apache.hadoop.fs.Path(stalePath)
-          scala.util.Try(stale.getFileSystem(
-            spark.sessionState.newHadoopConf()).delete(stale, true))
-          stalePath = bm25Tombstones.poll()
-        }
-        if (old != null) bm25Tombstones.add(old._2)
+        if (old != null)
+          graft.util.StaleSidecars.supersede(conf, s"bm25:$sfDir", old._2)
         val path = java.nio.file.Files
           .createTempDirectory("graft_bm25").resolve("index").toString
         graft.index.Bm25Index.build(Tables.documents(spark, sfDir), path)

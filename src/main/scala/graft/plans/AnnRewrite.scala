@@ -437,11 +437,16 @@ object Graft extends org.apache.spark.internal.Logging {
     * honored: a changed corpus fingerprint rebuilds on first use). */
   def loadCatalog(spark: SparkSession, path: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    spark.read.parquet(path).collect().foreach { r =>
+    val df = spark.read.parquet(path)
+    // catalogs written before kind/fingerprint existed only ever held
+    // ivfflat registrations — read them as such instead of failing the
+    // whole load on the missing columns
+    val hasKind = df.columns.contains("kind")
+    df.collect().foreach { r =>
       val indexPath = r.getAs[String]("index_path")
       val p = new org.apache.hadoop.fs.Path(indexPath)
       if (p.getFileSystem(conf).exists(p)) {
-        val kind = r.getAs[String]("kind")
+        val kind = if (hasKind) r.getAs[String]("kind") else "ivfflat"
         val tablePath = r.getAs[String]("table_path")
         kind match {
           case "bm25" =>

@@ -83,15 +83,31 @@ object GraftDdl {
     "vector_l2_ops" -> "l2",
     "vector_ip_ops" -> "ip")
 
+  /** Storage options each access method accepts (Postgres rejects
+    * unrecognized reloptions rather than silently defaulting — a typo'd
+    * `list = 100` must not quietly build with DefaultLists). */
+  private val knownOptions: Map[String, Set[String]] = Map(
+    "ivfflat" -> Set("lists"),
+    "hnsw" -> Set("m", "ef_construction", "shards"))
+
   /** `lists = 100, m = 16` → Map("lists" -> 100, "m" -> 16); a malformed
-    * WITH body is a user error worth failing loudly, like Postgres. */
-  private def parseOptions(body: String): Map[String, Int] =
+    * body, an option the method doesn't recognize, or a non-positive
+    * value is a user error worth failing loudly, like Postgres. */
+  private def parseOptions(method: String, body: String): Map[String, Int] =
     body.trim match {
       case "" => Map.empty
       case b => b.split(",").map { kv =>
         kv.split("=") match {
           case Array(k, v) if v.trim.matches("\\d+") =>
-            k.trim.toLowerCase -> v.trim.toInt
+            val key = k.trim.toLowerCase
+            if (!knownOptions(method).contains(key))
+              throw new IllegalArgumentException(
+                s"unrecognized $method storage option '$key' " +
+                  s"(known: ${knownOptions(method).toSeq.sorted.mkString(", ")})")
+            val value = v.trim.toInt
+            if (value <= 0) throw new IllegalArgumentException(
+              s"$method storage option '$key' must be positive, got $value")
+            key -> value
           case _ => throw new IllegalArgumentException(
             s"malformed index storage option '${kv.trim}' (expect key = int)")
         }
@@ -119,7 +135,7 @@ object GraftDdl {
         colName = c.group(5),
         method = method,
         metric = metric,
-        options = parseOptions(Option(c.group(7)).getOrElse("")),
+        options = parseOptions(method, Option(c.group(7)).getOrElse("")),
         ifNotExists = c.group(1) != null))
     } else {
       val d = Drop.matcher(sqlText)

@@ -9,11 +9,19 @@ import org.apache.hadoop.fs.Path
   * belongs here, not in three copies. */
 object FsOps {
 
-  /** Atomically replace the dataset at `live`: `rewrite(live, staging)`
-    * produces the replacement, then stash → publish → delete, rolling the
-    * stash back if the publish rename fails. Staging/stash siblings carry
-    * a random tag so concurrent compactions of DIFFERENT datasets never
-    * collide. */
+  /** Replace the dataset at `live`: `rewrite(live, staging)` produces the
+    * replacement, then stash → publish → delete, rolling the stash back if
+    * the publish rename fails. Staging/stash siblings carry a random tag
+    * so concurrent compactions of DIFFERENT datasets never collide.
+    *
+    * Honest guarantee: each rename is atomic but the PAIR is not — a
+    * reader listing `live` in the instant between stash and publish can
+    * still miss it, and one that planned its file list against the old
+    * generation fails when the stash is deleted. The window is two
+    * metadata ops (vs the full rewrite duration of the overwrite-in-place
+    * this replaced); a manifest/pointer-file design would close it
+    * entirely and is the upgrade path if maintenance ever runs against
+    * latency-critical concurrent readers. */
   def swapDir(conf: Configuration, live: Path)
              (rewrite: (String, String) => Unit): Unit = {
     val fs = live.getFileSystem(conf)
@@ -44,4 +52,43 @@ object FsOps {
     }
     n
   }
+}
+
+/** Deferred reclamation of superseded sidecar directories, PER cache key:
+  * deleting a stale sidecar inline would fail any query still scanning it,
+  * and a single shared tombstone queue lets corpus B's rebuild delete the
+  * sidecar corpus A's in-flight queries hold. Tombstones are keyed by the
+  * cache key that superseded them and only reclaimed on a LATER rebuild of
+  * the SAME key once a grace window has passed — so back-to-back rebuilds
+  * (streaming maintenance) cannot delete a generation that racing queries
+  * may still read. Bounded: at most #rebuilds-within-grace stale copies
+  * per key, and rebuilds are corpus-mtime events, not query events. */
+object StaleSidecars {
+
+  /** Reclaim tombstones older than this on the key's next supersede. */
+  val GraceMs: Long = 15 * 60 * 1000L
+
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[String, List[(String, Long)]]()
+
+  /** Tombstone `path` as superseded under `key`; reclaim any of `key`'s
+    * earlier tombstones that have aged past [[GraceMs]]. */
+  def supersede(conf: Configuration, key: String, path: String): Unit =
+    supersede(conf, key, path, System.currentTimeMillis())
+
+  private[graft] def supersede(conf: Configuration, key: String,
+                               path: String, now: Long): Unit =
+    pending.compute(key, (_, old) => {
+      val (expired, kept) = Option(old).getOrElse(Nil)
+        .partition(now - _._2 > GraceMs)
+      expired.foreach { case (p, _) =>
+        val hp = new Path(p)
+        scala.util.Try(hp.getFileSystem(conf).delete(hp, true))
+      }
+      (path, now) :: kept
+    })
+
+  /** Test hook: pending tombstone paths for a key. */
+  private[graft] def pendingFor(key: String): Seq[String] =
+    Option(pending.get(key)).getOrElse(Nil).map(_._1)
 }

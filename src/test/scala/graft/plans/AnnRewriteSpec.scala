@@ -264,6 +264,24 @@ class AnnRewriteSpec extends SparkSpec {
       "dangling index paths must not re-register")
   }
 
+  test("a pre-kind catalog (5 columns) still loads as ivfflat registrations") {
+    import spark.implicits._
+    val catalog = java.nio.file.Files
+      .createTempDirectory("graft_catalog_legacy").resolve("cat.parquet").toString
+    // the round-4 schema: no kind / fingerprint columns
+    Seq(("items_legacy_idx", tablePath, indexPath, 4, "embedding"))
+      .toDF("index_name", "table_path", "index_path", "nprobe", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(catalog)
+    AnnIndexRegistry.unregister(tablePath)
+    Graft.loadCatalog(spark, catalog)
+    val restored = AnnIndexRegistry.lookupAll(Seq(tablePath))
+    assert(restored.exists(e => e.indexPath == indexPath && e.kind == "ivfflat"),
+      "legacy catalog rows must restore as ivfflat instead of failing the load")
+    assert(VectorIndexCatalog.contains("items_legacy_idx"))
+    AnnIndexRegistry.unregister(tablePath)
+    VectorIndexCatalog.remove("items_legacy_idx")
+  }
+
   test("hnsw-kind registrations survive the catalog round-trip and stay off the rewrite") {
     val catalog = java.nio.file.Files
       .createTempDirectory("graft_catalog_hnsw").resolve("cat.parquet").toString

@@ -169,6 +169,25 @@ class GraftSqlDdlSpec extends SparkSpec {
     }
   }
 
+  test("unknown / non-positive storage options are rejected like Postgres") {
+    withExtensionSession { s2 =>
+      s2.read.parquet(tablePath).createOrReplaceTempView("items5")
+      // a typo'd option must not silently build with defaults
+      val typo = intercept[Exception] {
+        s2.sql("CREATE INDEX ON items5 USING ivfflat " +
+          "(embedding vector_cosine_ops) WITH (list = 100)")
+      }
+      assert(typo.getMessage.contains("unrecognized ivfflat storage option"),
+        s"got: ${typo.getMessage}")
+      val zero = intercept[Exception] {
+        s2.sql("CREATE INDEX ON items5 USING hnsw " +
+          "(embedding vector_cosine_ops) WITH (shards = 0)")
+      }
+      assert(zero.getMessage.contains("must be positive"),
+        s"got: ${zero.getMessage}")
+    }
+  }
+
   test("unrelated SQL parses through; DROP INDEX IF EXISTS no-ops") {
     withExtensionSession { s2 =>
       s2.read.parquet(tablePath).createOrReplaceTempView("items4")

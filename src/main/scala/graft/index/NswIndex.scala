@@ -230,15 +230,15 @@ object NswIndex extends org.apache.spark.internal.Logging {
             }
           }
         }
-      updated.toDF()
-        .write.mode("overwrite").partitionBy("shard_id")
-        .parquet(s"$indexPath/graph_new")
+      // stash→publish swap (FsOps.swapDir): the old delete-then-rename left
+      // the graph ABSENT for the whole rename (and destroyed on a failed
+      // one) — the swap narrows that to two metadata ops with rollback
       val conf = spark.sessionState.newHadoopConf()
-      val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
-      val stagedPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph_new")
-      val fs = graphPath.getFileSystem(conf)
-      fs.delete(graphPath, true)
-      fs.rename(stagedPath, graphPath)
+      graft.util.FsOps.swapDir(conf,
+        new org.apache.hadoop.fs.Path(s"$indexPath/graph")) { (_, staging) =>
+        updated.toDF()
+          .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+      }
       spark.read.parquet(s"$indexPath/graph").count()
     }
 

@@ -71,6 +71,7 @@ object Dedup {
     * equivalent self-join, and the per-pair count (the measured wall: 1.1M
     * near-unique groups at sf0.1) groups on one packed 8-byte key. */
   private def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // recompute-per-consumer, not localCheckpoint — see minhashPairs
     val sh = hashedShingleRel(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = unpackPairCounts(
@@ -222,6 +223,14 @@ object Dedup {
     * ((doc_id, h) rows, [[hashedShingleRelOf]]) — shared by the fixture
     * query and the 1M-doc scale smoke. */
   private[graft] def minhashPairs(sh: DataFrame): DataFrame = {
+    // NOTE: sh feeds four consumers (signatures, sizes, both verification
+    // sides) with no plan-level CSE. Recompute-per-consumer is kept over
+    // localCheckpoint deliberately: measured at sf0.1 and the 1M-doc
+    // smoke the two are within run noise — the codegen'd
+    // tokenize+shingle+md5 pass pipelines into each consumer's first
+    // shuffle, while a checkpoint adds an eager barrier + block I/O that
+    // cancels the saved recomputation (unlike dedupNgramCapped's posting
+    // build, which is itself a shuffle and DOES pay to materialize).
     val hashed = sh.select(col("doc_id"), pmod(col("h"), lit(MinhashPrime)).as("h"))
     val sig = hashed.groupBy("doc_id")
       .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))

@@ -138,6 +138,10 @@ package object functions {
     * conv(substring(md5)) form is pinned in VectorPropertiesSpec. */
   def md5_long(s: Column): Column = col(Md5Long(expr(s)))
 
+  /** Upper-triangle outer-product terms of a float vector (row-major, i ≤ j)
+    * — the codegen'd per-row covariance contribution ([[TriProducts]]). */
+  def tri_products(v: Column): Column = col(TriProducts(expr(v)))
+
   /** Single-pass MinHash signature aggregate (input: pmod'ed hash ∈ [0,P)). */
   def minhash_signature(h: Column, numPerms: Int, prime: Long): Column =
     col(MinhashSignature(expr(h), numPerms, prime).toAggregateExpression())

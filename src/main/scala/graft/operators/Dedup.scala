@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{OracleSql => O, Tables}
@@ -611,7 +612,79 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Width of the exact-substring dedup window, in characters. ~8 tokens of
+    * the fixture vocabulary — long enough that chance collisions are
+    * essentially impossible, short enough to catch partial overlap the
+    * document-level signatures miss. */
+  val SpanWindow = 40
+
+  /** Exact-substring span dedup (the ExactSubstr pass of "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022, public):
+    * document-level MinHash misses a long verbatim passage pasted into an
+    * otherwise-novel document; this operator finds it exactly. Every
+    * stride-1 [[SpanWindow]]-char window is hashed (60-bit md5, shared with
+    * the Jaccard family); a window is duplicated when its hash occurs at ≥2
+    * positions corpus-wide (across documents OR repeated within one);
+    * overlapping duplicated windows merge into maximal spans per document.
+    * Emits per-doc span count, duplicated char count and coverage fraction.
+    *
+    * Scale shape: window generation is a per-row explode (O(len) rows/doc,
+    * 8-byte hash keys) over a row-repartitioned input (parallelism from
+    * rows, not input splits); duplicate detection is a count window over h —
+    * ONE pass over the hashed windows, one shuffle, groups bounded by a
+    * window's corpus-wide occurrence count (the same skew profile as any
+    * groupBy h, AQE-handled); span merging is a window partitioned by
+    * doc_id — frames bounded by document LENGTH, never corpus size. No
+    * global funnel anywhere. The oracle re-runs the identical pipeline in
+    * SQL (same hash, same island arithmetic) — bit-exact.
+    */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSpansOf(Tables.documents(spark, sfDir))
+
+  /** [[dedupSpans]] over an arbitrary (doc_id, text, n_chars) frame. */
+  private[graft] def dedupSpansOf(docs: DataFrame): DataFrame = {
+    val shuffleParts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val wins = docs
+      .filter(col("n_chars") >= SpanWindow)
+      // pre-explode fan-out: each doc row becomes O(len) hashed windows, so
+      // parallelism must come from ROWS, not input splits — a corpus chunk
+      // that arrives as one split would otherwise md5 on one core
+      .repartition(shuffleParts)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0L), col("n_chars") - lit(SpanWindow.toLong))).as("start"),
+        col("text"))
+      .select(col("doc_id"), col("n_chars"), col("start"),
+        graft.functions.md5_long(
+          col("text").substr(col("start") + lit(1), lit(SpanWindow))).as("h"))
+    // duplicate detection as a count-over-hash window: ONE pass over the
+    // hashed windows and one shuffle on h — the groupBy+join formulation
+    // recomputes the md5 scan for each consumer
+    val flagged = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("n_chars"), col("start"),
+        (col("start") + lit(SpanWindow.toLong)).as("end"))
+    // classic island merge: a window starts a new span iff it begins past
+    // every previous window's end (starts are unique per doc, so the
+    // running SUM default frame is unambiguous)
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val prevMaxEnd = max(col("end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = flagged
+      .withColumn("brk", when(col("start") > coalesce(prevMaxEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("n_chars"), col("island"))
+      .agg(min("start").as("s"), max("end").as("e"))
+    spans.groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_chars"))
+      .select(col("doc_id"), col("n_spans"), col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("n_chars").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> ((s, d) => dedupSpans(s, d)),
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
     "dedup_clean_clusters" -> ((s, d) => dedupCleanClusters(s, d)),
@@ -688,6 +761,37 @@ object Dedup {
        |ORDER BY vec_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= $SpanWindow),
+         |wo AS (
+         |  SELECT doc_id, n_chars, text,
+         |    CAST(unnest(generate_series(0, n_chars - $SpanWindow)) AS BIGINT) AS start
+         |  FROM d),
+         |w AS (
+         |  SELECT doc_id, n_chars, start,
+         |    ${O.md5Long(s"substring(text, CAST(start + 1 AS INTEGER), $SpanWindow)")} AS h
+         |  FROM wo),
+         |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+         |f AS (
+         |  SELECT w.doc_id, w.n_chars, w.start, w.start + $SpanWindow AS e
+         |  FROM w JOIN dup USING (h)),
+         |brk AS (
+         |  SELECT doc_id, n_chars, start, e,
+         |    CASE WHEN start > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+         |  FROM f),
+         |isl AS (
+         |  SELECT doc_id, n_chars, start, e,
+         |    SUM(b) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM brk),
+         |spans AS (
+         |  SELECT doc_id, n_chars, island, MIN(start) AS s, MAX(e) AS e2
+         |  FROM isl GROUP BY doc_id, n_chars, island)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(e2 - s) AS BIGINT) AS dup_chars,
+         |  ROUND(CAST(SUM(e2 - s) AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS dup_frac
+         |FROM spans GROUP BY doc_id, n_chars
+         |ORDER BY doc_id""".stripMargin,
     "dedup_clusters_star" -> clustersOracle,
     "contamination" ->
       s"""WITH tok AS (

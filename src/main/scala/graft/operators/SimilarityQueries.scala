@@ -391,7 +391,60 @@ object SimilarityQueries {
       .limit(BqK)
   }
 
+  /** Fixture embedding dimensionality (TESTDATA.md); the operator reads it
+    * from the data at runtime when it differs. */
+  val CovDims = 64
+
+  /** Upper-triangle covariance matrix of the embedding columns — the
+    * single-pass statistic feeding PCA/whitening (decorrelate before
+    * quantization — the OPQ rotation's cousin — or reduce dims before ANN).
+    * cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n over 9dp-quantized terms: each
+    * float32 product is EXACT in double (24+24 mantissa bits < 53), the
+    * 9dp round is deterministic (a dyadic rational can never tie at a
+    * decimal midpoint), and the DECIMAL(28,9) sums are exact integer
+    * arithmetic — so the oracle matches bit-for-bit with no
+    * accumulation-order dependence, unlike a raw double Σ.
+    *
+    * Scale shape: ONE pass; per row the d(d+1)/2 products explode from a
+    * generated array and feed a hash agg with map-side combine — the
+    * shuffle carries ≤2080 partial rows per partition regardless of corpus
+    * size. CPU is O(d²/2) per row, inherent to covariance. */
+  def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = CovDims
+    import spark.implicits._
+    // row-major upper-triangle position → (i, j), broadcast-joined after
+    // the 2080-group aggregation (d²-sized, never corpus-sized)
+    val mapping = (for { i <- 0 until d; j <- i until d } yield (i, j))
+      .zipWithIndex.map { case ((i, j), pos) => (pos, i.toLong, j.toLong) }
+      .toDF("pos", "i", "j")
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sij = Tables.embeddings(spark, sfDir)
+      // pre-explode fan-out: each row becomes d(d+1)/2 product terms —
+      // parallelism must come from rows, not input splits
+      .repartition(shuffleParts)
+      .select(posexplode(graft.functions.tri_products(col("embedding"))).as(Seq("pos", "p")))
+      .groupBy("pos")
+      .agg(sum(round(col("p"), 9).cast("decimal(28,9)")).as("sij"))
+      .join(broadcast(mapping), "pos")
+    val si = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(sum(round(col("x").cast("double"), 9).cast("decimal(28,9)")).as("s"),
+        count(lit(1)).as("n"))
+    sij
+      .join(broadcast(si.select(col("i"), col("s").as("s_i"), col("n"))), "i")
+      .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))), "j")
+      .select(col("i"), col("j"),
+        // + 0.0 folds IEEE −0.0 (a tiny negative cov rounded away) to +0.0
+        // — DuckDB and Spark disagree on the sign bit otherwise
+        (round((col("sij").cast("double") -
+          col("s_i").cast("double") * col("s_j").cast("double") / col("n").cast("double")) /
+          col("n").cast("double"), 6) + lit(0.0)).as("cov"))
+      .orderBy("i", "j")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_covariance" -> ((s, d) => embeddingCovariance(s, d)),
     "bq_knn_topk" -> ((s, d) => bqKnnTopK(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
@@ -424,6 +477,29 @@ object SimilarityQueries {
        |LIMIT $SparseK""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // exact-decimal covariance: see embeddingCovariance scaladoc — float32
+    // products are exact doubles, 9dp rounds can never tie, DECIMAL sums
+    // are order-free, final arithmetic is single deterministic double ops
+    "embedding_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT i, SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS s, COUNT(*) AS n
+        |  FROM x GROUP BY i),
+        |prods AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS sij
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  ROUND((CAST(p.sij AS DOUBLE)
+        |    - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / CAST(sa.n AS DOUBLE))
+        |    / CAST(sa.n AS DOUBLE), 6) + 0.0 AS cov
+        |FROM prods p
+        |JOIN sums sa ON p.i = sa.i
+        |JOIN sums sb ON p.j = sb.i
+        |ORDER BY i, j""".stripMargin,
     // round-then-derive: 6dp-rounded float centroids → bit-exact distances
     // → 6dp-rounded per-label stats → exact z arithmetic
     "embedding_outliers" ->

@@ -566,7 +566,59 @@ object TextAnalysis {
       .limit(BigramTopK)
   }
 
+  /** Hashed-feature space size for [[dsirWeights]] — DSIR's dimensionality
+    * knob; 128 keeps the bucket relation broadcastable at any corpus size. */
+  val DsirBuckets = 128L
+
+  /** The DSIR target domain: English documents (select multilingual raw
+    * data that "looks like" the English target distribution). */
+  val DsirTargetLang = "en"
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023, public): score every raw document by how much its
+    * hashed-unigram distribution resembles a target domain, here
+    * lang = [[DsirTargetLang]]. Features are [[graft.functions.md5_long]]
+    * unigram hashes folded into [[DsirBuckets]] buckets; per-bucket
+    * log-ratio λ_b = ln(p_target(b) / p_raw(b)) with add-one smoothing;
+    * per-doc weight = Σ_b n_b·λ_b. Documents with positive weight resemble
+    * the target more than the corpus average — the resampling pass then
+    * draws by weight.
+    *
+    * Scale shape: two hash-aggs over (bucket) — 128 groups, map-side
+    * combined to nothing — plus one per-doc bucket-count agg joined to the
+    * broadcast 128-row λ table; no corpus-sized shuffle anywhere.
+    * Bit-exactness: λ is rounded to 6dp and summed as DECIMAL(18,6)·count —
+    * exact integer-scaled arithmetic after one deterministic ln+round per
+    * bucket (the lm_score recipe). */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.md5_long(col("token")) % DsirBuckets).as("bucket"))
+    val raw = bucketed.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = bucketed.filter(col("lang") === DsirTargetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).cast("double").as("tr"))
+      .crossJoin(tgt.agg(sum(col("ct")).cast("double").as("tt")))
+    val lam = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(
+          ((col("ct") + lit(1L)).cast("double") / (col("tt") + lit(DsirBuckets.toDouble))) /
+            ((col("cr") + lit(1L)).cast("double") / (col("tr") + lit(DsirBuckets.toDouble)))), 6)
+          .cast("decimal(18,6)").as("lam"))
+    bucketed.groupBy("doc_id", "bucket").agg(count(lit(1)).as("nb"))
+      .join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("nb")).as("n_tokens"),
+        sum(col("nb").cast("decimal(18,0)") * col("lam")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("s").cast("double").as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
     "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
@@ -628,6 +680,27 @@ object TextAnalysis {
       s"CASE ${cases.mkString(" ")} ELSE 'und' END"
     }
     Map(
+      "dsir_weights" ->
+        s"""WITH tk AS (SELECT doc_id, lang, unnest($tok) AS token FROM documents),
+           |b AS (SELECT doc_id, lang, ${graft.OracleSql.md5Long("token")} % $DsirBuckets AS bucket
+           |  FROM tk),
+           |raw AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+           |tgt AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = '$DsirTargetLang' GROUP BY 1),
+           |tot AS (
+           |  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS tr,
+           |         (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS tt),
+           |lam AS (
+           |  SELECT r.bucket,
+           |    CAST(ROUND(ln(
+           |      (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (tot.tt + $DsirBuckets.0)) /
+           |      (CAST(r.cr + 1 AS DOUBLE) / (tot.tr + $DsirBuckets.0))), 6) AS DECIMAL(18,6)) AS lam
+           |  FROM raw r LEFT JOIN tgt t USING (bucket), tot),
+           |nb AS (SELECT doc_id, bucket, count(*) AS nb FROM b GROUP BY 1, 2)
+           |SELECT nb.doc_id, CAST(SUM(nb.nb) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CAST(nb.nb AS DECIMAL(18,0)) * lam.lam) AS DOUBLE) AS dsir_weight
+           |FROM nb JOIN lam USING (bucket)
+           |GROUP BY nb.doc_id
+           |ORDER BY doc_id""".stripMargin,
       "text_stats" ->
         s"""WITH base AS (
            |  SELECT doc_id, text,

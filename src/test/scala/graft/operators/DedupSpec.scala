@@ -225,6 +225,50 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => testIds.contains(r.getLong(0))))
   }
 
+  test("dedup_spans finds a cross-doc pasted passage and merges its windows into one span") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    // prefixes/suffixes abut the shared passage with DIFFERENT characters on
+    // each side, so no boundary-crossing window matches across docs and the
+    // merged span is exactly the shared region
+    val shared = "the quick brown fox jumps over the lazy sleeping dog today ok"  // 62 chars
+    val doc0 = "aardvark bison camel dromedary egret flamingoX" + shared +
+      "Penguin quail rhea stork tapir urial vole wombat"
+    val doc1 = "heron ibis jackal kudu lemur marmot narwhalQ" + shared +
+      "Xerus yak zebra addax bongo colobus dikdik eland"
+    // internal repetition: a 45-char block repeated with a spacer
+    val block = "uno dos tres cuatro cinco seis siete ocho nue"                  // 45 chars
+    val doc2 = block + " SPACERWORDS " + block
+    val doc3 = "completely unique sentence with no duplicated forty char window anywhere at all"
+    val doc4 = "short text"                                                      // < window
+    val rows = Seq(doc0, doc1, doc2, doc3, doc4).zipWithIndex
+      .map { case (t, id) => (id.toLong, t, "en", "a", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L), "unique and sub-window docs report nothing")
+    // the shared region yields one merged span of exactly its length
+    assert(out(0L)._1 === 1L)
+    assert(out(0L)._2 === shared.length.toLong)
+    val frac1 = BigDecimal(shared.length.toDouble / doc1.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((1L, shared.length.toLong, frac1)))
+    // the internal repeat flags both occurrences as separate spans
+    assert(out(2L)._1 === 2L)
+    assert(out(2L)._2 === 2L * block.length)
+  }
+
+  test("dedup_spans coverage fraction is bounded and spans never exceed the doc") {
+    val rows = Dedup.dedupSpans(spark, Sf0001).collect()
+    assert(rows.nonEmpty, "fixtures plant near/exact-dup documents")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(2) >= Dedup.SpanWindow.toLong)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("dedup_clusters: reps are cluster minima; sizes count members") {
     val out = Dedup.dedupClusters(spark, Sf0001).collect()
     assert(out.nonEmpty)

@@ -192,6 +192,74 @@ class SimilarityQueriesSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("embedding_covariance matches a direct two-pass computation") {
+    val d = SimilarityQueries.CovDims
+    val rows = SimilarityQueries.embeddingCovariance(spark, Sf0001).collect()
+    assert(rows.length === d * (d + 1) / 2, "full upper triangle")
+    val cov = rows.map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    // independent reference: plain-double two-pass covariance on the driver
+    val vecs = graft.Tables.embeddings(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(_.getAs[collection.Seq[Float]](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    for ((i, j) <- Seq((0, 0), (0, 1), (5, 40), (63, 63), (31, 32))) {
+      val ref = vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      assert(math.abs(cov((i, j)) - ref) < 1e-5, s"cov($i,$j): ${cov((i, j))} vs $ref")
+    }
+    // diagonal entries are variances: non-negative up to the 6dp rounding
+    (0 until d).foreach(i => assert(cov((i, i)) >= -1e-6))
+  }
+
+  test("pca: eigen residual, orthonormality, variance capture, whitening") {
+    val model = Pca.fit(spark, Sf0001)
+    val d = model.dims
+    assert(d === SimilarityQueries.CovDims)
+    // eigenvalues sorted descending, non-negative up to rounding noise
+    model.eigenvalues.sliding(2).foreach(w => assert(w(0) >= w(1) - 1e-12))
+    assert(model.eigenvalues.forall(_ >= -1e-6))
+    // rebuild C from the oracle-gated covariance query and check C·v ≈ λ·v
+    val covRows = SimilarityQueries.embeddingCovariance(spark, Sf0001).collect()
+    val c = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      c(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+      c(r.getLong(1).toInt)(r.getLong(0).toInt) = r.getDouble(2)
+    }
+    for (k <- 0 until 3) {
+      val v = model.components(k)
+      val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val resid = (0 until d).map(i => math.abs(cv(i) - model.eigenvalues(k) * v(i))).max
+      assert(resid < 1e-8, s"eigenpair $k residual $resid")
+    }
+    // orthonormal components
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = (0 until d).map(i => model.components(a)(i) * model.components(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+    // trace preservation: Σλ = Σ var_i
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    assert(math.abs(model.eigenvalues.sum - trace) < 1e-8)
+    // projected variance realizes the eigenvalues; whitening flattens it
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val pc = Pca.project(emb, model, 2).select("pc").collect()
+      .map(_.getAs[collection.Seq[Double]](0))
+    for (k <- 0 until 2) {
+      val xs = pc.map(_(k))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(v - model.eigenvalues(k)) < 1e-3,
+        s"projected var $v vs eigenvalue ${model.eigenvalues(k)}")
+    }
+    val white = Pca.whiten(emb, model, 2).select("white").collect()
+      .map(_.getAs[collection.Seq[Double]](0))
+    for (k <- 0 until 2) {
+      val xs = white.map(_(k))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(v - 1.0) < 1e-2, s"whitened var $v should be ~1")
+    }
+  }
 }
 
 private object SimilarityQueriesSpecHelper {

@@ -245,6 +245,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scan.toSeq === Seq(0L, 0L, 0L, 0L, 0L))
   }
 
+  test("dsir_weights: target-looking docs score higher; weights cover all docs") {
+    val rows = TextAnalysis.dsirWeights(spark, Sf0001).collect()
+    val nDocs = graft.Tables.documents(spark, Sf0001).count()
+    assert(rows.length === nDocs, "every document gets a weight")
+    rows.foreach(r => assert(r.getLong(1) > 0L, "token counts positive"))
+    // the target-domain (en) docs must average a higher importance weight
+    // than the rest — that is the whole point of the estimator
+    import org.apache.spark.sql.functions.col
+    val langs = graft.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = rows.partition(r => langs(r.getLong(0)) == TextAnalysis.DsirTargetLang)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def meanW(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(2)).sum / rs.length
+    assert(meanW(tgt) > meanW(rest),
+      s"en docs should out-score non-en: ${meanW(tgt)} vs ${meanW(rest)}")
+  }
+
+  test("dsir_weights: per-doc weight is additive over hashed-bucket log-ratios") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a two-lang micro corpus where the target unigram distribution is
+    // hand-checkable: 'en' docs use token A, the other lang token B
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val rows = Seq(
+      (0L, "alpha alpha alpha", "en", "s", 17L),
+      (1L, "alpha alpha alpha", "en", "s", 17L),
+      (2L, "bravo bravo bravo", "zz", "s", 17L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // raw: alpha 6, bravo 3 (T=9); target: alpha 6 (T=6); B=128 buckets
+    val lamA = BigDecimal(math.log(((6.0 + 1) / (6 + 128.0)) / ((6.0 + 1) / (9 + 128.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lamB = BigDecimal(math.log(((0.0 + 1) / (6 + 128.0)) / ((3.0 + 1) / (9 + 128.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0L) - 3 * lamA) < 1e-9)
+    assert(math.abs(out(1L) - 3 * lamA) < 1e-9)
+    assert(math.abs(out(2L) - 3 * lamB) < 1e-9)
+    assert(out(0L) > 0.0 && out(2L) < 0.0)
+  }
+
   test("knn_batch: rank 1 of each query is itself at distance ~0") {
     val rows = SimilarityQueries.knnBatch(spark, Sf0001).collect()
     assert(rows.length === SimilarityQueries.BatchQueries * SimilarityQueries.BatchK)

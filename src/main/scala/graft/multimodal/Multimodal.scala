@@ -303,6 +303,9 @@ object Multimodal {
   def videoFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaIn] = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      // codec work must parallelize by ROWS, not input splits (the fixture
+      // table is one row-group — its scan is a single task otherwise)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       // ONE writer per partition: the ImageIO service-registry lookup and
       // writer construction are per-use costs worth amortizing across a
       // partition's thousands of tiny encodes (the writer is reusable —

@@ -57,7 +57,12 @@ object Dedup {
     * ONE implementation of the shingle-hash contract the oracles depend
     * on, also the entry the scale smokes drive with synthetic corpora. */
   private[graft] def hashedShingleRelOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+    // pre-explode fan-out: each doc row becomes O(tokens) hashed shingles;
+    // parallelism must come from rows, not input splits (the fixture tables
+    // are single-row-group parquet — a scan is ONE task no matter the
+    // split config, so the shingle+md5 CPU would all land on one core)
+    docs.repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
       .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
 
   /** Unpack `(a << 32) | b` pair keys from [[graft.functions.sorted_pair_keys]]. */
@@ -271,6 +276,7 @@ object Dedup {
     * verified by exact hamming distance. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val tokh = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
       .select(col("doc_id"), graft.functions.md5_long(col("token")).as("h"))
     val sig = tokh.groupBy("doc_id")
@@ -545,6 +551,7 @@ object Dedup {
     // one tokenize+shingle pass serves both split sides (no plan-level CSE
     // across the self-join — localCheckpoint materializes it once)
     val sh = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
       .select(col("doc_id"),
         explode(graft.functions.shingles(tokens(col("text")), ContamNgram)).as("s"))
       .select(col("doc_id"), graft.functions.md5_long(col("s")).as("h"),

@@ -119,6 +119,7 @@ object TextAnalysis {
     * single-reducer funnel at any corpus size. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -351,6 +352,7 @@ object TextAnalysis {
     * join), identically in the oracle. */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
     def gramStats(n: Int, label: String): DataFrame = {
       val t = tokens(col("text"))
       val m = size(t)
@@ -397,6 +399,7 @@ object TextAnalysis {
     * count ([[graft.OracleSql.sumExact]] recipe). */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val scalars = vocab.agg(
@@ -592,6 +595,7 @@ object TextAnalysis {
     * bucket (the lm_score recipe). */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val bucketed = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
       .select(col("doc_id"), col("lang"),
         (graft.functions.md5_long(col("token")) % DsirBuckets).as("bucket"))

@@ -27,6 +27,42 @@ class VectorPropertiesSpec extends AnyFunSuite {
     1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("tri_products: row-major upper triangle, exact float products, length d(d+1)/2") {
+    val p = Prop.forAll(vecGen) { v =>
+      val out = TriProducts.build(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v)).toDoubleArray()
+      val d = v.length
+      var ok = out.length == d * (d + 1) / 2
+      var idx = 0
+      for (i <- 0 until d; j <- i until d) {
+        // float products are exact in double — require bit equality
+        ok = ok && out(idx) == v(i).toDouble * v(j).toDouble
+        idx += 1
+      }
+      ok
+    }
+    check(p, "tri_products")
+  }
+
+  test("jacobi eigen: reconstructs a hand-built symmetric matrix") {
+    // A = Q diag(5, 2, -1) Qᵀ for a known rotation Q
+    val q = Array(
+      Array(math.sqrt(0.5), -math.sqrt(0.5), 0.0),
+      Array(math.sqrt(0.5), math.sqrt(0.5), 0.0),
+      Array(0.0, 0.0, 1.0))
+    val lam = Array(5.0, 2.0, -1.0)
+    val a = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => q(i)(k) * lam(k) * q(j)(k)).sum)
+    val (vals, vecs) = graft.util.JacobiEigen.decompose(a)
+    assert(vals.zip(Seq(5.0, 2.0, -1.0)).forall { case (x, y) => math.abs(x - y) < 1e-10 })
+    for (k <- 0 until 3) {
+      // eigenvector matches ±column k of Q (sign-normalized by the solver)
+      val qk = Array.tabulate(3)(i => q(i)(k))
+      val dot = math.abs(qk.zip(vecs(k)).map { case (x, y) => x * y }.sum)
+      assert(math.abs(dot - 1.0) < 1e-10, s"eigvec $k: ${vecs(k).toSeq}")
+    }
+  }
+
   test("cosine distance: symmetry, range [0,2], self-distance ~ 0") {
     check(Prop.forAll(vecGen, vecGen) { (x, y) =>
       val n = math.min(x.length, y.length)

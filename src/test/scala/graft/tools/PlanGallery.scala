@@ -93,8 +93,22 @@ object PlanGallery {
       "equi-join — no window over the corpus."),
     "video_features" -> ("Multimodal decode plumbing: GIF payloads decode " +
       "in batched mapPartitions (external-codec work stays off the " +
-      "expression path); the plan is one scan → one serialize boundary → " +
-      "projection. No shuffle; decode parallelism = input partitions."),
+      "expression path); a row repartition ahead of the codec stage makes " +
+      "decode parallelism come from rows, not input splits."),
+    "dedup_spans" -> ("ExactSubstr-style passage dedup: stride-1 hashed " +
+      "windows from a row-repartitioned explode, duplicate flagging as a " +
+      "count window over the 8-byte hash (ONE pass over the windows, one " +
+      "shuffle), island merge in a per-document window — frames bounded by " +
+      "document length, never corpus size."),
+    "dsir_weights" -> ("DSIR importance weights: two 128-group hash aggs " +
+      "(map-side combined to nothing), a broadcast of the 128-row λ table " +
+      "into the per-doc bucket counts, exact DECIMAL sums. No corpus-sized " +
+      "shuffle at any stage."),
+    "embedding_covariance" -> ("Single-pass covariance: the codegen'd " +
+      "tri_products explode feeds a 2080-group hash agg with map-side " +
+      "combine — the shuffle carries ≤ d(d+1)/2 partial rows per partition " +
+      "regardless of corpus size; (i,j) labels join from a broadcast " +
+      "d²-sized mapping."),
   )
 
   def main(args: Array[String]): Unit = {

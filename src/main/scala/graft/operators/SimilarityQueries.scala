@@ -70,6 +70,56 @@ object SimilarityQueries {
         round(col("x"), 6).as("centroid_val"))
       .orderBy("label", "dim")
 
+  /** Cluster count for [[kmeansAssign]] — topic-granularity knob. */
+  val KmeansK = 8
+
+  /** K-means topic clustering over the embedding corpus (Lloyd, 2
+    * unrolled iterations) — the semantic-curation pass a training-data
+    * pipeline runs for cluster-balanced sampling and SemDeDup-style
+    * pruning. Deterministic throughout: seeds are the [[KmeansK]]
+    * lowest-vec_id vectors, assignment ties break to the lowest cluster
+    * id, and the one centroid update uses the round-then-derive recipe
+    * ([[embeddingOutliers]]): vector_avg → round 6dp → cast float, so the
+    * second assignment's distances are again the bit-exact
+    * [[cosine_distance]]. A cluster that captures no vectors in round one
+    * simply drops out of round two (documented Lloyd behavior).
+    *
+    * Scale shape: each assignment is a MAP — the centroid table collapses
+    * to ONE broadcast row holding an array of (cid, vector) structs, and
+    * the per-row argmin is `array_min` over a transform (struct ordering
+    * = distance then cid), so no corpus-sized shuffle or window exists in
+    * either pass; the only aggregations are the K-group vector_avg and
+    * the final ORDER BY for the oracle compare. */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // K seed rows → cid 0..K-1 in vec_id order (window over K rows post-limit)
+    val init = e.orderBy("vec_id").limit(KmeansK)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cid"),
+        col("embedding").as("cvec"))
+
+    // per-row argmin over the broadcast centroid array: struct (d, cid)
+    // sorts by distance first, lowest cid on exact ties
+    def assign(cents: DataFrame): DataFrame = {
+      val centArr = cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+      e.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("embedding"),
+          array_min(transform(col("cs"), s => struct(
+            cosine_distance(col("embedding"), s.getField("cvec")).as("d"),
+            s.getField("cid").as("cid")))).as("m"))
+        .select(col("vec_id"), col("embedding"),
+          col("m.cid").as("cluster"), col("m.d").as("d"))
+    }
+
+    val c1 = assign(init)
+      .groupBy("cluster")
+      .agg(graft.functions.vector_avg(col("embedding")).as("v"))
+      .select(col("cluster").as("cid"),
+        transform(col("v"), x => round(x, 6).cast("float")).as("cvec"))
+    assign(c1)
+      .select(col("vec_id"), col("cluster"), round(col("d"), 6).as("dist"))
+      .orderBy("vec_id")
+  }
+
   /** Outlier z-score threshold for [[embeddingOutliers]]. */
   val OutlierZ = 2.0
 
@@ -459,6 +509,7 @@ object SimilarityQueries {
     "sparse_knn_indexed" -> ((s, d) => sparseKnnIndexed(s, d)),
     "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
+    "kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
   )
 
   private lazy val sparseKnnOracleSql =
@@ -589,6 +640,37 @@ object SimilarityQueries {
         |  round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
         |FROM ex GROUP BY label, i
         |ORDER BY label, dim""".stripMargin,
+    // same two unrolled Lloyd rounds: distances are the exact cosDist
+    // fragment, the centroid update is round-6dp-then-float (the
+    // label_centroids recipe), ties in the argmin break to the lowest cid
+    "kmeans_assign" ->
+      s"""WITH init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmeansK)),
+         |a1 AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${O.cosDist("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN init c)
+         |  WHERE rn = 1),
+         |ex AS (
+         |  SELECT a1.cluster, generate_subscripts(e.embedding, 1) AS i,
+         |    unnest(e.embedding) AS x
+         |  FROM a1 JOIN embeddings e USING (vec_id)),
+         |cent AS (
+         |  SELECT cluster AS cid, list(v ORDER BY i) AS cvec FROM (
+         |    SELECT cluster, i, CAST(round(avg(CAST(x AS DOUBLE)), 6) AS FLOAT) AS v
+         |    FROM ex GROUP BY cluster, i)
+         |  GROUP BY cluster)
+         |SELECT vec_id, cluster, round(d, 6) AS dist FROM (
+         |  SELECT e.vec_id, c.cid AS cluster,
+         |    ${O.cosDist("e.embedding", "c.cvec")} AS d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${O.cosDist("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c)
+         |WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "sim_histogram" ->
       s"""SELECT CAST(floor(${O.cosSim("e1.embedding", "e2.embedding")} * 10) AS BIGINT) AS bucket,
          |  COUNT(*) AS n

@@ -621,7 +621,78 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Merge-candidate list size for [[bpePairCounts]]. */
+  val BpeTopK = 30
+
+  /** First BPE merge iteration (Sennrich et al. 2016, public): count
+    * adjacent character pairs inside words, weighted by word frequency —
+    * the statistic a tokenizer-induction pass maximizes when choosing the
+    * next merge. Top-[[BpeTopK]] pairs by total count, pair-ascending
+    * tie-break.
+    *
+    * Scale shape: the corpus-sized work is ONE token-count hash agg; the
+    * character-pair fan-out then runs over the *vocabulary* (distinct
+    * words) weighted by count — the classic BPE trick that makes each
+    * merge iteration vocab-sized, not corpus-sized. The top-k compiles to
+    * TakeOrderedAndProject (k rows per partition cross the wire). */
+  def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val wc = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc.filter(length(col("w")) >= 2)
+      .select(col("c"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("c")).as("n_total"))
+      .orderBy(col("n_total").desc, col("pair").asc)
+      .limit(BpeTopK)
+  }
+
+  /** Training-sequence length for [[sequencePacking]] — the model context
+    * the packer fills (production exposes it as a parameter). */
+  val PackSeqLen = 512L
+
+  /** Independent packing shards for [[sequencePacking]]: docs hash into
+    * shards and each shard packs its own token stream, so the running-sum
+    * window never sees more than corpus/shards rows. Scale knob: raise it
+    * with the cluster (each shard is one window partition). */
+  val PackShards = 32L
+
+  /** GPT-style sequence packing layout (concat-and-slice): concatenate
+    * documents (plus one EOS token each) in doc_id order within a hash
+    * shard, slice the stream into [[PackSeqLen]]-token training sequences,
+    * and report where each document lands — its shard-local first sequence,
+    * offset inside it, and how many sequences it spans. This is the batch
+    * audit a pre-training dataloader build runs: boundary-crossing counts
+    * size the attention-mask waste, offsets make the layout reproducible.
+    *
+    * Scale shape: one per-row token count (no explode), a shuffle into
+    * [[PackShards]] hash shards, and a cumulative-sum window *within* each
+    * shard — partition sizes are corpus/shards regardless of corpus size,
+    * and every derived column is integer arithmetic on the running sum.
+    * Nothing here is float, so the oracle is exact by construction. */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.md5_long
+    val nTok = size(tokens(col("text"))).cast("long") + lit(1L) // +1 EOS
+    val shard = pmod(md5_long(
+      concat(col("doc_id").cast("string"), lit(":pack"))), lit(PackShards))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shard.as("shard"), nTok.as("n_tok"))
+      .withColumn("running", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        floor((col("running") - col("n_tok")) / lit(PackSeqLen.toDouble)).as("first_seq"),
+        pmod(col("running") - col("n_tok"), lit(PackSeqLen)).as("seq_offset"),
+        (floor((col("running") - lit(1L)) / lit(PackSeqLen.toDouble)) -
+          floor((col("running") - col("n_tok")) / lit(PackSeqLen.toDouble)) + lit(1L))
+          .as("n_seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sequence_packing" -> ((s, d) => sequencePacking(s, d)),
+    "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
     "dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
@@ -705,6 +776,36 @@ object TextAnalysis {
            |FROM nb JOIN lam USING (bucket)
            |GROUP BY nb.doc_id
            |ORDER BY doc_id""".stripMargin,
+      // pure integer arithmetic on a running sum — exact cross-engine by
+      // construction (DuckDB's window SUM widens to HUGEINT → cast back)
+      "sequence_packing" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    ${graft.OracleSql.md5Long("(CAST(doc_id AS VARCHAR) || ':pack')")} % $PackShards AS shard,
+           |    CAST(len($tok) AS BIGINT) + 1 AS n_tok
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, shard, n_tok,
+           |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS running
+           |  FROM t)
+           |SELECT doc_id, shard, n_tok,
+           |  (running - n_tok) // $PackSeqLen AS first_seq,
+           |  (running - n_tok) % $PackSeqLen AS seq_offset,
+           |  (running - 1) // $PackSeqLen - (running - n_tok) // $PackSeqLen + 1 AS n_seqs_spanned
+           |FROM r ORDER BY doc_id""".stripMargin,
+      // integer pair counts over the vocab; exclusive-stop range(1, len)
+      // ≡ Spark's inclusive sequence(1, len-1) on the len>=2 filter
+      "bpe_pair_counts" ->
+        s"""WITH wcc AS (
+           |  SELECT w, count(*) AS c
+           |  FROM (SELECT unnest($tok) AS w FROM documents) GROUP BY 1),
+           |p AS (
+           |  SELECT substring(w, CAST(i AS INT), 2) AS pair, c
+           |  FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+           |        FROM wcc WHERE length(w) >= 2))
+           |SELECT pair, CAST(SUM(c) AS BIGINT) AS n_total
+           |FROM p GROUP BY pair
+           |ORDER BY n_total DESC, pair LIMIT $BpeTopK""".stripMargin,
       "text_stats" ->
         s"""WITH base AS (
            |  SELECT doc_id, text,

@@ -83,6 +83,39 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(out.forall(r => !r.getAs[Double]("z").isNaN))
   }
 
+  test("kmeans_assign: one-hot copies converge to their seed clusters at distance 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans").toString
+    // vec 0..7 are the 8 orthogonal one-hots (the seeds); vecs 8..39 are
+    // exact copies — every cosine distance is exactly 0 or 1, the centroid
+    // update reproduces the one-hot bit-for-bit, so the whole run is
+    // float-ambiguity-free
+    val dim = 8
+    val rows = (0L until 40L).map { i =>
+      val hot = (i % 8).toInt
+      (i, Array.tabulate(dim)(d => if (d == hot) 1.0f else 0.0f), hot)
+    }
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.kmeansAssign(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L until 40L))
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) % 8, s"vec ${r.getLong(0)}")
+      assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("kmeans_assign on the fixture corpus: total assignment, bounded ids, deterministic") {
+    val a = SimilarityQueries.kmeansAssign(spark, Sf0001).collect()
+    val b = SimilarityQueries.kmeansAssign(spark, Sf0001).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "must be deterministic")
+    val n = graft.Tables.embeddings(spark, Sf0001).count()
+    assert(a.length.toLong === n, "every vector assigned exactly once")
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < SimilarityQueries.KmeansK))
+    assert(a.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 2.0))
+    // the corpus is not degenerate: more than one cluster survives
+    assert(a.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("avg_pairwise_sim_fast equals the O(n²) crossJoin form; plan is join-free") {
     val slow = ReferenceQueries.avgPairwiseSim(spark, Sf0001).head().getDouble(0)
     val fastDf = SimilarityQueries.avgPairwiseSimFast(spark, Sf0001)

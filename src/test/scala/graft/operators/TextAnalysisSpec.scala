@@ -68,6 +68,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chunks.map(c => c.getLong(2) + c.getString(3).length).max === text.length)
   }
 
+  test("sequence_packing matches a driver-side sequential packer per shard") {
+    // token counts 1..1000 so plenty of docs span a 512-token sequence
+    val texts = (0L until 60L).map { i =>
+      i -> Seq.fill((i * 41 % 1000 + 1).toInt)(s"w$i").mkString(" ")
+    }
+    val dir = corpusDir(texts: _*)
+    val rows = TextAnalysis.sequencePacking(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 60L))
+    val nTokByDoc = texts.map { case (id, t) =>
+      id -> (t.trim.split("\\s+").length.toLong + 1L) // +1 EOS
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tok") === nTokByDoc(r.getLong(0)))
+      assert(r.getAs[Long]("shard") >= 0L &&
+        r.getAs[Long]("shard") < TextAnalysis.PackShards)
+    }
+    // replay each shard's concatenated token stream and check the layout
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      var pos = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        val n = r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("first_seq") === pos / TextAnalysis.PackSeqLen)
+        assert(r.getAs[Long]("seq_offset") === pos % TextAnalysis.PackSeqLen)
+        assert(r.getAs[Long]("n_seqs_spanned") ===
+          (pos + n - 1) / TextAnalysis.PackSeqLen - pos / TextAnalysis.PackSeqLen + 1)
+        pos += n
+      }
+    }
+  }
+
+  test("bpe_pair_counts: hand-computed merge statistics with tie-break") {
+    val dir = corpusDir(0L -> "low lower low", 1L -> "lowest")
+    // vocab: low×2, lower×1, lowest×1 → lo=4, ow=4, we=2, er=1, es=1, st=1
+    val rows = TextAnalysis.bpePairCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(
+      "lo" -> 4L, "ow" -> 4L, "we" -> 2L, "er" -> 1L, "es" -> 1L, "st" -> 1L))
+  }
+
   test("corpus_mix: kept fraction tracks each source's weight; deterministic") {
     val rows = TextAnalysis.corpusMix(spark, Sf0001).collect()
     assert(rows.length === 20)

@@ -104,6 +104,20 @@ object PlanGallery {
       "(map-side combined to nothing), a broadcast of the 128-row λ table " +
       "into the per-doc bucket counts, exact DECIMAL sums. No corpus-sized " +
       "shuffle at any stage."),
+    "sequence_packing" -> ("Concat-and-slice packing layout: a per-row " +
+      "token count (no explode), one shuffle into 32 hash shards, and a " +
+      "cumulative-sum window WITHIN each shard — window partitions stay " +
+      "corpus/shards-sized, so the packer scales by raising the shard " +
+      "count with the cluster; all derived columns are integer arithmetic."),
+    "bpe_pair_counts" -> ("BPE merge statistics: corpus-sized work is ONE " +
+      "token-count hash agg; the char-pair explode runs over the distinct " +
+      "VOCAB weighted by count (the classic BPE trick), and the top-k " +
+      "compiles to TakeOrderedAndProject."),
+    "kmeans_assign" -> ("Lloyd assignment as a MAP: the K centroids " +
+      "collapse to ONE broadcast row holding an array of (cid, vector) " +
+      "structs and the per-row argmin is array_min over a transform — no " +
+      "corpus-sized shuffle or window in either round; the only " +
+      "aggregation is the K-group vector_avg centroid update."),
     "embedding_covariance" -> ("Single-pass covariance: the codegen'd " +
       "tri_products explode feeds a 2080-group hash agg with map-side " +
       "combine — the shuffle carries ≤ d(d+1)/2 partial rows per partition " +

@@ -84,15 +84,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    // Keep the ONE JSON line compact (~3 KB, not ~6 KB): millisecond
+    // precision per query and shuffle entries only where ≥ 0.05 MB —
+    // the consumer captures a bounded tail of the build log, and a line
+    // longer than that window arrives truncated and unparseable.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, b) =>
+    val sh = results.filter(_._3 >= 50000L).map { case (k, _, b) =>
       jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e6))
     }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

@@ -9,6 +9,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet reader (verified via `.explain("formatted")` → PushedFilters).
   */
 object Tables {
+  /** Round-robin repartition to the session's shuffle parallelism, placed
+    * immediately BEFORE a heavy fan-out stage (an explode or per-row codec
+    * that multiplies work ≥100×). Parallelism must come from ROWS there,
+    * not input splits: a single-row-group parquet file (the fixture shape;
+    * also common for small dimension/staging tables at scale) scans as ONE
+    * task no matter the split config, so the fan-out CPU would all land on
+    * one core. A cheap exchange of small source rows ahead of the heavy
+    * stage is the correct shape at 100 TB too. */
+  private[graft] def rowParallel[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    ds.repartition(ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =

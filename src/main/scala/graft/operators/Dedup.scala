@@ -57,11 +57,9 @@ object Dedup {
     * ONE implementation of the shingle-hash contract the oracles depend
     * on, also the entry the scale smokes drive with synthetic corpora. */
   private[graft] def hashedShingleRelOf(docs: DataFrame): DataFrame =
-    // pre-explode fan-out: each doc row becomes O(tokens) hashed shingles;
-    // parallelism must come from rows, not input splits (the fixture tables
-    // are single-row-group parquet — a scan is ONE task no matter the
-    // split config, so the shingle+md5 CPU would all land on one core)
-    docs.repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // pre-explode fan-out: each doc row becomes O(tokens) hashed shingles
+    // (see Tables.rowParallel for why parallelism must come from rows)
+    Tables.rowParallel(docs)
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
       .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
 
@@ -276,7 +274,7 @@ object Dedup {
     * verified by exact hamming distance. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val tokh = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
       .select(col("doc_id"), graft.functions.md5_long(col("token")).as("h"))
     val sig = tokh.groupBy("doc_id")
@@ -551,7 +549,7 @@ object Dedup {
     // one tokenize+shingle pass serves both split sides (no plan-level CSE
     // across the self-join — localCheckpoint materializes it once)
     val sh = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
       .select(col("doc_id"),
         explode(graft.functions.shingles(tokens(col("text")), ContamNgram)).as("s"))
       .select(col("doc_id"), graft.functions.md5_long(col("s")).as("h"),

@@ -78,8 +78,12 @@ object SimilarityQueries {
     * pipeline runs for cluster-balanced sampling and SemDeDup-style
     * pruning. Deterministic throughout: seeds are the [[KmeansK]]
     * lowest-vec_id vectors, assignment ties break to the lowest cluster
-    * id, and the one centroid update uses the round-then-derive recipe
-    * ([[embeddingOutliers]]): vector_avg → round 6dp → cast float, so the
+    * id, and the one centroid update is ORDER-FREE: per (cluster, dim)
+    * the mean is an exact DECIMAL(28,9) sum of 9dp-quantized components
+    * (the [[embeddingCovariance]] recipe — no float accumulation-order
+    * dependence, unlike a raw vector_avg whose partial-merge order could
+    * flip a 6dp rounding boundary and cascade into different discrete
+    * assignments), one double division, round 6dp, cast float — so the
     * second assignment's distances are again the bit-exact
     * [[cosine_distance]]. A cluster that captures no vectors in round one
     * simply drops out of round two (documented Lloyd behavior).
@@ -88,8 +92,8 @@ object SimilarityQueries {
     * to ONE broadcast row holding an array of (cid, vector) structs, and
     * the per-row argmin is `array_min` over a transform (struct ordering
     * = distance then cid), so no corpus-sized shuffle or window exists in
-    * either pass; the only aggregations are the K-group vector_avg and
-    * the final ORDER BY for the oracle compare. */
+    * either pass; the centroid update is a dim-explode into a K·d-group
+    * hash agg with map-side combine (the label_centroids shape). */
   def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // K seed rows → cid 0..K-1 in vec_id order (window over K rows post-limit)
@@ -111,10 +115,16 @@ object SimilarityQueries {
     }
 
     val c1 = assign(init)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(sum(round(col("x").cast("double"), 9).cast("decimal(28,9)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).cast("float").as("v"))
       .groupBy("cluster")
-      .agg(graft.functions.vector_avg(col("embedding")).as("v"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("sv"))
       .select(col("cluster").as("cid"),
-        transform(col("v"), x => round(x, 6).cast("float")).as("cvec"))
+        transform(col("sv"), s => s.getField("v")).as("cvec"))
     assign(c1)
       .select(col("vec_id"), col("cluster"), round(col("d"), 6).as("dist"))
       .orderBy("vec_id")
@@ -641,8 +651,9 @@ object SimilarityQueries {
         |FROM ex GROUP BY label, i
         |ORDER BY label, dim""".stripMargin,
     // same two unrolled Lloyd rounds: distances are the exact cosDist
-    // fragment, the centroid update is round-6dp-then-float (the
-    // label_centroids recipe), ties in the argmin break to the lowest cid
+    // fragment, the centroid update is an ORDER-FREE exact DECIMAL sum of
+    // 9dp-quantized components (the embedding_covariance recipe) → one
+    // double division → round 6dp → float; argmin ties break to lowest cid
     "kmeans_assign" ->
       s"""WITH init AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
@@ -660,7 +671,9 @@ object SimilarityQueries {
          |  FROM a1 JOIN embeddings e USING (vec_id)),
          |cent AS (
          |  SELECT cluster AS cid, list(v ORDER BY i) AS cvec FROM (
-         |    SELECT cluster, i, CAST(round(avg(CAST(x AS DOUBLE)), 6) AS FLOAT) AS v
+         |    SELECT cluster, i,
+         |      CAST(round(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |        / COUNT(*), 6) AS FLOAT) AS v
          |    FROM ex GROUP BY cluster, i)
          |  GROUP BY cluster)
          |SELECT vec_id, cluster, round(d, 6) AS dist FROM (

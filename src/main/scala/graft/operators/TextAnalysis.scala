@@ -119,7 +119,7 @@ object TextAnalysis {
     * single-reducer funnel at any corpus size. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -352,7 +352,7 @@ object TextAnalysis {
     * join), identically in the oracle. */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
     def gramStats(n: Int, label: String): DataFrame = {
       val t = tokens(col("text"))
       val m = size(t)
@@ -399,7 +399,7 @@ object TextAnalysis {
     * count ([[graft.OracleSql.sumExact]] recipe). */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val scalars = vocab.agg(
@@ -595,7 +595,7 @@ object TextAnalysis {
     * bucket (the lm_score recipe). */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val bucketed = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
       .select(col("doc_id"), col("lang"),
         (graft.functions.md5_long(col("token")) % DsirBuckets).as("bucket"))
@@ -637,7 +637,7 @@ object TextAnalysis {
     * TakeOrderedAndProject (k rows per partition cross the wire). */
   def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val wc = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt) // row-parallel fan-out
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     wc.filter(length(col("w")) >= 2)
@@ -682,10 +682,11 @@ object TextAnalysis {
       .select(col("doc_id"), shard.as("shard"), nTok.as("n_tok"))
       .withColumn("running", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tok"),
-        floor((col("running") - col("n_tok")) / lit(PackSeqLen.toDouble)).as("first_seq"),
+        // true integral division (`div`), matching the oracle's `//` —
+        // a double-floor detour would silently cap exactness at 2^53
+        expr(s"(running - n_tok) div $PackSeqLen").as("first_seq"),
         pmod(col("running") - col("n_tok"), lit(PackSeqLen)).as("seq_offset"),
-        (floor((col("running") - lit(1L)) / lit(PackSeqLen.toDouble)) -
-          floor((col("running") - col("n_tok")) / lit(PackSeqLen.toDouble)) + lit(1L))
+        expr(s"((running - 1) div $PackSeqLen) - ((running - n_tok) div $PackSeqLen) + 1")
           .as("n_seqs_spanned"))
       .orderBy("doc_id")
   }

@@ -72,8 +72,9 @@ object PlanGallery {
       "broadcast join — no sort anywhere but the output determinism one."),
     "repetition_signals" -> ("Gopher repetition ratios via shifted-slice " +
       "n-grams: each order reuses ONE tokens array with slice+zip (no " +
-      "per-doc O(n²) explode), all ratios fold in a single projection — " +
-      "one scan, zero shuffles before the output sort."),
+      "per-doc O(n²) explode), all ratios fold per document; a row " +
+      "repartition ahead of the gram stages spreads the per-doc CPU, and " +
+      "the remaining exchanges are the per-doc gram aggregations."),
     "doc_chunks" -> ("Fixed-window chunking: sequence() over token offsets " +
       "posexplodes to chunk rows — row-local, shuffle-free; chunk count " +
       "scales with corpus size, not with a reducer's memory."),

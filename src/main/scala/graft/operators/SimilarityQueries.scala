@@ -94,7 +94,15 @@ object SimilarityQueries {
     * = distance then cid), so no corpus-sized shuffle or window exists in
     * either pass; the centroid update is a dim-explode into a K·d-group
     * hash agg with map-side combine (the label_centroids shape). */
-  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansCore(spark, sfDir)
+      .select(col("vec_id"), col("cluster"), round(col("d"), 6).as("dist"))
+      .orderBy("vec_id")
+
+  /** Shared 2-round Lloyd pipeline: (vec_id, cluster, d) without the
+    * presentation rounding/sort — [[kmeansAssign]] and [[clusterSample]]
+    * both build on it (mirrored by the shared oracle CTE block). */
+  private def kmeansCore(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // K seed rows → cid 0..K-1 in vec_id order (window over K rows post-limit)
     val init = e.orderBy("vec_id").limit(KmeansK)
@@ -125,9 +133,37 @@ object SimilarityQueries {
       .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("sv"))
       .select(col("cluster").as("cid"),
         transform(col("sv"), s => s.getField("v")).as("cvec"))
-    assign(c1)
-      .select(col("vec_id"), col("cluster"), round(col("d"), 6).as("dist"))
-      .orderBy("vec_id")
+    assign(c1).select(col("vec_id"), col("cluster"), col("d"))
+  }
+
+  /** Per-cluster sample size for [[clusterSample]]. */
+  val ClusterSampleN = 50
+
+  /** Cluster-balanced sampling — the curation pass that follows topic
+    * clustering: keep up to [[ClusterSampleN]] documents per k-means
+    * cluster, chosen by deterministic salted hash (reproducible, unbiased
+    * within cluster), so over-represented topics stop dominating the
+    * training mix.
+    *
+    * Scale shape: NOT a per-cluster row_number window (that funnels each
+    * cluster — corpus/K rows — through one reducer); the pick is the
+    * bounded-heap [[graft.functions.top_k_by_distance]] aggregate over the
+    * hash (map-side N-heaps per cluster × partition, N-row merges), so the
+    * shuffle carries ≤ N·|partitions| rows per cluster. */
+  def clusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{md5_long, top_k_by_distance}
+    kmeansCore(spark, sfDir)
+      .select(col("cluster"), col("vec_id"),
+        // 60-bit hash folded below 2^53 so the heap's double ordering is
+        // exact; ties (rare) break on vec_id in both engines
+        pmod(md5_long(concat(col("vec_id").cast("string"), lit(":cs"))),
+          lit(1000000000000L)).cast("double").as("hd"))
+      .groupBy("cluster")
+      .agg(top_k_by_distance(col("hd"), col("vec_id"), ClusterSampleN).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.vec_id").as("vec_id"))
+      .orderBy("cluster", "rnk")
   }
 
   /** Outlier z-score threshold for [[embeddingOutliers]]. */
@@ -520,6 +556,7 @@ object SimilarityQueries {
     "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
+    "cluster_sample" -> ((s, d) => clusterSample(s, d)),
   )
 
   private lazy val sparseKnnOracleSql =
@@ -536,6 +573,39 @@ object SimilarityQueries {
        |FROM sp, q
        |ORDER BY dist, vec_id
        |LIMIT $SparseK""".stripMargin
+
+  /** Shared Lloyd CTE block for the kmeans oracle pair — ends at
+    * a2(vec_id, cluster, d), the [[kmeansCore]] twin. */
+  private lazy val kmeansCoreSql: String =
+    s"""WITH init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${O.cosDist("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN init c)
+       |  WHERE rn = 1),
+       |ex AS (
+       |  SELECT a1.cluster, generate_subscripts(e.embedding, 1) AS i,
+       |    unnest(e.embedding) AS x
+       |  FROM a1 JOIN embeddings e USING (vec_id)),
+       |cent AS (
+       |  SELECT cluster AS cid, list(v ORDER BY i) AS cvec FROM (
+       |    SELECT cluster, i,
+       |      CAST(round(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
+       |        / COUNT(*), 6) AS FLOAT) AS v
+       |    FROM ex GROUP BY cluster, i)
+       |  GROUP BY cluster),
+       |a2 AS (
+       |  SELECT vec_id, cluster, d FROM (
+       |    SELECT e.vec_id, c.cid AS cluster,
+       |      ${O.cosDist("e.embedding", "c.cvec")} AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${O.cosDist("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // exact-decimal covariance: see embeddingCovariance scaladoc — float32
@@ -655,35 +725,22 @@ object SimilarityQueries {
     // 9dp-quantized components (the embedding_covariance recipe) → one
     // double division → round 6dp → float; argmin ties break to lowest cid
     "kmeans_assign" ->
-      s"""WITH init AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmeansK)),
-         |a1 AS (
-         |  SELECT vec_id, cid AS cluster FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${O.cosDist("e.embedding", "c.cvec")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN init c)
-         |  WHERE rn = 1),
-         |ex AS (
-         |  SELECT a1.cluster, generate_subscripts(e.embedding, 1) AS i,
-         |    unnest(e.embedding) AS x
-         |  FROM a1 JOIN embeddings e USING (vec_id)),
-         |cent AS (
-         |  SELECT cluster AS cid, list(v ORDER BY i) AS cvec FROM (
-         |    SELECT cluster, i,
-         |      CAST(round(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
-         |        / COUNT(*), 6) AS FLOAT) AS v
-         |    FROM ex GROUP BY cluster, i)
-         |  GROUP BY cluster)
-         |SELECT vec_id, cluster, round(d, 6) AS dist FROM (
-         |  SELECT e.vec_id, c.cid AS cluster,
-         |    ${O.cosDist("e.embedding", "c.cvec")} AS d,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${O.cosDist("e.embedding", "c.cvec")}, c.cid) AS rn
-         |  FROM embeddings e CROSS JOIN cent c)
-         |WHERE rn = 1
+      s"""$kmeansCoreSql
+         |SELECT vec_id, cluster, round(d, 6) AS dist FROM a2
          |ORDER BY vec_id""".stripMargin,
+    // same Lloyd CTE block; the per-cluster pick mirrors the bounded-heap
+    // aggregate's (hash ASC, vec_id ASC) order as a row_number
+    "cluster_sample" ->
+      s"""$kmeansCoreSql,
+         |r AS (
+         |  SELECT cluster, vec_id,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY ${O.md5Long("(CAST(vec_id AS VARCHAR) || ':cs')")} % 1000000000000,
+         |        vec_id) AS rn
+         |  FROM a2)
+         |SELECT cluster, CAST(rn AS BIGINT) AS rnk, vec_id
+         |FROM r WHERE rn <= $ClusterSampleN
+         |ORDER BY cluster, rnk""".stripMargin,
     "sim_histogram" ->
       s"""SELECT CAST(floor(${O.cosSim("e1.embedding", "e2.embedding")} * 10) AS BIGINT) AS bucket,
          |  COUNT(*) AS n

@@ -116,6 +116,30 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(a.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("cluster_sample: bounded per-cluster picks agree with a window replay of the heap") {
+    val out = SimilarityQueries.clusterSample(spark, Sf0001).collect()
+    val assigns = SimilarityQueries.kmeansAssign(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pick belongs to its claimed cluster; rnk is 1..N dense per cluster
+    out.groupBy(_.getLong(0)).foreach { case (cid, rs) =>
+      assert(rs.length <= SimilarityQueries.ClusterSampleN)
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length))
+      rs.foreach(r => assert(assigns(r.getLong(2)) === cid))
+    }
+    // replay the pick driver-side: per cluster, order by (salted hash, id)
+    def hd(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:cs".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 1000000000000L
+    }
+    val expected = assigns.toSeq.groupBy(_._2).flatMap { case (cid, members) =>
+      members.map(_._1).sortBy(id => (hd(id), id))
+        .take(SimilarityQueries.ClusterSampleN)
+        .zipWithIndex.map { case (id, i) => (cid, i + 1L, id) }
+    }.toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected)
+  }
+
   test("avg_pairwise_sim_fast equals the O(n²) crossJoin form; plan is join-free") {
     val slow = ReferenceQueries.avgPairwiseSim(spark, Sf0001).head().getDouble(0)
     val fastDf = SimilarityQueries.avgPairwiseSimFast(spark, Sf0001)

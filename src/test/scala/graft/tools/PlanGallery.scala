@@ -119,6 +119,11 @@ object PlanGallery {
       "structs and the per-row argmin is array_min over a transform — no " +
       "corpus-sized shuffle or window in either round; the only " +
       "aggregation is the K-group vector_avg centroid update."),
+    "cluster_sample" -> ("Cluster-balanced sampling on top of the Lloyd " +
+      "pipeline: the per-cluster pick is the bounded-heap " +
+      "top_k_by_distance aggregate over a salted hash — map-side N-heaps " +
+      "per cluster × partition, never a row_number window funnelling " +
+      "corpus/K rows through one reducer."),
     "embedding_covariance" -> ("Single-pass covariance: the codegen'd " +
       "tri_products explode feeds a 2080-group hash agg with map-side " +
       "combine — the shuffle carries ≤ d(d+1)/2 partial rows per partition " +

@@ -56,6 +56,12 @@ object OracleSql {
   def md5Long(expr: String): String =
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** DuckDB twin of [[graft.functions.salted_bucket]] — the deterministic
+    * salted hash bucket behind splits/mixes/sampling/shards/picks. The two
+    * halves must stay byte-identical (salt, cast, modulus). */
+  def saltedBucket(expr: String, salt: String, mod: Long): String =
+    s"${md5Long(s"(CAST($expr AS VARCHAR) || ':$salt')")} % $mod"
+
   /** binary16 round-to-nearest-even quantization of a float expression —
     * the DuckDB twin of [[graft.functions.HalfFloat.toHalf]], EXACT (no bit
     * intrinsics needed): for a power-of-two quantum q, `x/q` is exact in

@@ -138,6 +138,14 @@ package object functions {
     * conv(substring(md5)) form is pinned in VectorPropertiesSpec. */
   def md5_long(s: Column): Column = col(Md5Long(expr(s)))
 
+  /** Deterministic salted hash bucket: `md5_long("<id>:<salt>") mod m` —
+    * the ONE reproducible-sampling primitive behind corpus splits/mixes/
+    * sampling, packing shards and cluster picks. Keep byte-identical with
+    * its oracle twin [[graft.OracleSql.saltedBucket]]: salt string, VARCHAR
+    * cast and modulus must match or the oracle gate silently diverges. */
+  def salted_bucket(id: Column, salt: String, mod: Long): Column =
+    F.pmod(md5_long(F.concat(id.cast("string"), F.lit(":" + salt))), F.lit(mod))
+
   /** Upper-triangle outer-product terms of a float vector (row-major, i ≤ j)
     * — the codegen'd per-row covariance contribution ([[TriProducts]]). */
   def tri_products(v: Column): Column = col(TriProducts(expr(v)))

@@ -151,13 +151,13 @@ object SimilarityQueries {
     * hash (map-side N-heaps per cluster × partition, N-row merges), so the
     * shuffle carries ≤ N·|partitions| rows per cluster. */
   def clusterSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.{md5_long, top_k_by_distance}
+    import graft.functions.top_k_by_distance
     kmeansCore(spark, sfDir)
       .select(col("cluster"), col("vec_id"),
         // 60-bit hash folded below 2^53 so the heap's double ordering is
         // exact; ties (rare) break on vec_id in both engines
-        pmod(md5_long(concat(col("vec_id").cast("string"), lit(":cs"))),
-          lit(1000000000000L)).cast("double").as("hd"))
+        graft.functions.salted_bucket(col("vec_id"), "cs", 1000000000000L)
+          .cast("double").as("hd"))
       .groupBy("cluster")
       .agg(top_k_by_distance(col("hd"), col("vec_id"), ClusterSampleN).as("top"))
       .select(col("cluster"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -735,7 +735,7 @@ object SimilarityQueries {
          |r AS (
          |  SELECT cluster, vec_id,
          |    row_number() OVER (PARTITION BY cluster
-         |      ORDER BY ${O.md5Long("(CAST(vec_id AS VARCHAR) || ':cs')")} % 1000000000000,
+         |      ORDER BY ${O.saltedBucket("vec_id", "cs", 1000000000000L)},
          |        vec_id) AS rn
          |  FROM a2)
          |SELECT cluster, CAST(rn AS BIGINT) AS rnk, vec_id

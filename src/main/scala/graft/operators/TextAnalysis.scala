@@ -285,8 +285,7 @@ object TextAnalysis {
   /** The split label for a doc_id column — shared by [[corpusSplits]] and
     * the train/test contamination check ([[graft.operators.Dedup]]). */
   def splitCol(docId: Column): Column = {
-    val bucket = pmod(graft.functions.md5_long(
-      concat(docId.cast("string"), lit(":" + SplitSalt))), lit(100L))
+    val bucket = graft.functions.salted_bucket(docId, SplitSalt, 100L)
     when(bucket < ValBuckets, "val")
       .when(bucket < ValBuckets + TestBuckets, "test")
       .otherwise("train")
@@ -295,8 +294,8 @@ object TextAnalysis {
   /** [[splitCol]]'s DuckDB twin over a doc_id SQL fragment. */
   def splitSql(docId: String): String =
     s"""CASE
-       |    WHEN ${graft.OracleSql.md5Long(s"(CAST($docId AS VARCHAR) || ':$SplitSalt')")} % 100 < $ValBuckets THEN 'val'
-       |    WHEN ${graft.OracleSql.md5Long(s"(CAST($docId AS VARCHAR) || ':$SplitSalt')")} % 100 < ${ValBuckets + TestBuckets} THEN 'test'
+       |    WHEN ${graft.OracleSql.saltedBucket(docId, SplitSalt, 100)} < $ValBuckets THEN 'val'
+       |    WHEN ${graft.OracleSql.saltedBucket(docId, SplitSalt, 100)} < ${ValBuckets + TestBuckets} THEN 'test'
        |    ELSE 'train' END""".stripMargin
 
   def corpusSplits(spark: SparkSession, sfDir: String): DataFrame = {
@@ -471,8 +470,7 @@ object TextAnalysis {
     // Spark and DuckDB both hard-error casting '' to int
     val threshold = when(digits === "", lit(100))
       .otherwise((pmod(digits.cast("int"), lit(4)) + 1) * 25)
-    val bucket = pmod(md5_long(
-      concat(col("doc_id").cast("string"), lit(s":$MixSalt"))), lit(100L))
+    val bucket = graft.functions.salted_bucket(col("doc_id"), MixSalt, 100L)
     Tables.documents(spark, sfDir)
       .select(col("source"), threshold.as("keep_pct"),
         when(bucket < threshold.cast("long"), 1L).otherwise(0L).as("kept"))
@@ -492,8 +490,7 @@ object TextAnalysis {
     * (a 10% sample of a 10% sample re-salted is an unbiased 1%).
     * Shuffle-free: one scan, one codegen'd hash compare per row. */
   def corpusSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(graft.functions.md5_long(
-      concat(col("doc_id").cast("string"), lit(":" + SampleSalt))), lit(100L))
+    val bucket = graft.functions.salted_bucket(col("doc_id"), SampleSalt, 100L)
     Tables.documents(spark, sfDir)
       .filter(bucket < SampleBuckets)
       .select(col("doc_id"), col("lang"), col("source"))
@@ -675,8 +672,7 @@ object TextAnalysis {
   def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.md5_long
     val nTok = size(tokens(col("text"))).cast("long") + lit(1L) // +1 EOS
-    val shard = pmod(md5_long(
-      concat(col("doc_id").cast("string"), lit(":pack"))), lit(PackShards))
+    val shard = graft.functions.salted_bucket(col("doc_id"), "pack", PackShards)
     val w = Window.partitionBy("shard").orderBy("doc_id")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), shard.as("shard"), nTok.as("n_tok"))
@@ -782,7 +778,7 @@ object TextAnalysis {
       "sequence_packing" ->
         s"""WITH t AS (
            |  SELECT doc_id,
-           |    ${graft.OracleSql.md5Long("(CAST(doc_id AS VARCHAR) || ':pack')")} % $PackShards AS shard,
+           |    ${graft.OracleSql.saltedBucket("doc_id", "pack", PackShards)} AS shard,
            |    CAST(len($tok) AS BIGINT) + 1 AS n_tok
            |  FROM documents),
            |r AS (
@@ -884,7 +880,7 @@ object TextAnalysis {
            |  FROM documents),
            |b AS (
            |  SELECT source, keep_pct,
-           |    CASE WHEN ${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$MixSalt')")} % 100
+           |    CASE WHEN ${graft.OracleSql.saltedBucket("doc_id", MixSalt, 100)}
            |      < keep_pct THEN 1 ELSE 0 END AS kept
            |  FROM w)
            |SELECT source, keep_pct, count(*) AS n_docs,
@@ -962,7 +958,7 @@ object TextAnalysis {
            |FROM agg ORDER BY doc_id""".stripMargin,
       "corpus_sample" ->
         s"""SELECT doc_id, lang, source FROM documents
-           |WHERE ${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$SampleSalt')")} % 100 < $SampleBuckets
+           |WHERE ${graft.OracleSql.saltedBucket("doc_id", SampleSalt, 100)} < $SampleBuckets
            |ORDER BY doc_id""".stripMargin,
       "bigram_top" ->
         s"""WITH tok AS (SELECT doc_id, $tok AS t FROM documents),

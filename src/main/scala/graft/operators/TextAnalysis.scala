@@ -618,6 +618,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary prefix size for [[vocabCoverage]]. */
+  val VocabTopN = 100
+
+  /** Cumulative corpus coverage of the top-[[VocabTopN]] token vocabulary —
+    * the tokenizer-budget diagnostic: how much of the token stream the
+    * first N vocabulary entries absorb (a steep curve means a small vocab
+    * suffices; a flat tail predicts many OOV/byte-fallback tokens).
+    *
+    * Scale shape: corpus-sized work is ONE token-count hash agg; the
+    * top-N cut compiles to TakeOrderedAndProject, the 1-row total
+    * broadcasts, and the rank/cumulative window runs over ≤ N post-limit
+    * rows (bounded — never corpus-sized). All counts are integers; the
+    * coverage is one double division per row → oracle-exact. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.documents(spark, sfDir)
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = v.agg(sum(col("cnt")).cast("long").as("t"))
+    val win = Window.orderBy(col("cnt").desc, col("w").asc)
+    v.orderBy(col("cnt").desc, col("w").asc).limit(VocabTopN)
+      .crossJoin(broadcast(tot))
+      .select(row_number().over(win).cast("long").as("rnk"),
+        col("w").as("token"), col("cnt"),
+        (sum(col("cnt")).over(win).cast("double") / col("t").cast("double"))
+          .as("coverage"))
+      .orderBy("rnk")
+  }
+
   /** Merge-candidate list size for [[bpePairCounts]]. */
   val BpeTopK = 30
 
@@ -690,6 +719,7 @@ object TextAnalysis {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sequence_packing" -> ((s, d) => sequencePacking(s, d)),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
+    "vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
@@ -790,6 +820,21 @@ object TextAnalysis {
            |  (running - n_tok) % $PackSeqLen AS seq_offset,
            |  (running - 1) // $PackSeqLen - (running - n_tok) // $PackSeqLen + 1 AS n_seqs_spanned
            |FROM r ORDER BY doc_id""".stripMargin,
+      // integer counts end-to-end; coverage is one double division per row
+      // over the bounded ≤N post-limit window
+      "vocab_coverage" ->
+        s"""WITH v AS (
+           |  SELECT w, count(*) AS cnt
+           |  FROM (SELECT unnest($tok) AS w FROM documents) GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v),
+           |top AS (SELECT w, cnt FROM v ORDER BY cnt DESC, w LIMIT $VocabTopN),
+           |r AS (
+           |  SELECT w, cnt,
+           |    row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+           |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w) AS BIGINT) AS cum
+           |  FROM top)
+           |SELECT rnk, w AS token, cnt, CAST(cum AS DOUBLE) / t AS coverage
+           |FROM r, tot ORDER BY rnk""".stripMargin,
       // integer pair counts over the vocab; exclusive-stop range(1, len)
       // ≡ Spark's inclusive sequence(1, len-1) on the len>=2 filter
       "bpe_pair_counts" ->

@@ -107,6 +107,16 @@ class TextAnalysisSpec extends SparkSpec {
       "lo" -> 4L, "ow" -> 4L, "we" -> 2L, "er" -> 1L, "es" -> 1L, "st" -> 1L))
   }
 
+  test("vocab_coverage: hand-computed cumulative shares with tie-break") {
+    val dir = corpusDir(0L -> "a a a b b c", 1L -> "a d")
+    // counts: a=4 b=2 c=1 d=1, total 8 → coverage .5 .75 .875 1.0 (c before d)
+    val rows = TextAnalysis.vocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (1L, "a", 4L, 0.5), (2L, "b", 2L, 0.75),
+      (3L, "c", 1L, 0.875), (4L, "d", 1L, 1.0)))
+  }
+
   test("corpus_mix: kept fraction tracks each source's weight; deterministic") {
     val rows = TextAnalysis.corpusMix(spark, Sf0001).collect()
     assert(rows.length === 20)

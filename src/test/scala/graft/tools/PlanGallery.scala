@@ -110,6 +110,10 @@ object PlanGallery {
       "cumulative-sum window WITHIN each shard — window partitions stay " +
       "corpus/shards-sized, so the packer scales by raising the shard " +
       "count with the cluster; all derived columns are integer arithmetic."),
+    "vocab_coverage" -> ("Tokenizer-budget curve: ONE token-count hash " +
+      "agg, a TakeOrderedAndProject top-N cut, a broadcast 1-row total, " +
+      "and the rank/cumulative window over <=N post-limit rows — bounded, " +
+      "never corpus-sized."),
     "bpe_pair_counts" -> ("BPE merge statistics: corpus-sized work is ONE " +
       "token-count hash agg; the char-pair explode runs over the distinct " +
       "VOCAB weighted by count (the classic BPE trick), and the top-k " +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, IndexQueries, IngestQueries, MultimodalQueries, ReferenceQueries, SimilarityQueries, StarSchemaQueries, TemporalJoins, TextAnalysis}
+import graft.operators.{CorpusDiagnostics, Dedup, IndexQueries, IngestQueries, MultimodalQueries, ReferenceQueries, SimilarityQueries, StarSchemaQueries, TemporalJoins, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,12 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.all ++ StarSchemaQueries.all ++ TextAnalysis.all ++
       Dedup.all ++ SimilarityQueries.all ++ IngestQueries.all ++ IndexQueries.all ++
-      MultimodalQueries.all ++ TemporalJoins.all
+      MultimodalQueries.all ++ TemporalJoins.all ++ CorpusDiagnostics.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ StarSchemaQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ SimilarityQueries.oracles ++ IngestQueries.oracles ++ IndexQueries.oracles ++
-      MultimodalQueries.oracles ++ TemporalJoins.oracles
+      MultimodalQueries.oracles ++ TemporalJoins.oracles ++ CorpusDiagnostics.oracles
 }

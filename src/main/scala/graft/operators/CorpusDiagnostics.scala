@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-level diagnostics for training-data curation — the passes a
+  * pipeline runs BETWEEN per-doc quality scoring and the final mix: global
+  * vocabulary heavy hitters (sketch + exact verify), per-doc novelty
+  * against the corpus boilerplate vocabulary, and the temperature-weighted
+  * source mixing plan (builder brief; SURVEY.md §7.1.8).
+  *
+  * Cross-engine exactness follows the house recipes: integer counts and
+  * single double divisions; order-free DECIMAL sums for anything float
+  * that crosses an aggregation; sqrt only (IEEE-exact in both engines,
+  * unlike pow).
+  */
+object CorpusDiagnostics {
+
+  /** A bigram is "familiar" when ≥ [[NoveltyDf]] documents contain it —
+    * the boilerplate threshold. */
+  val NoveltyDf = 3
+
+  /** Per-document novelty against the corpus's frequent-bigram vocabulary —
+    * the template/boilerplate complement of pair dedup: docs whose bigrams
+    * are mostly corpus-frequent are templated or derivative, docs with a
+    * low familiar ratio carry novel text worth keeping.
+    *
+    * Scale shape: one document-frequency agg over distinct per-doc bigrams
+    * (hash agg, map-side combined), the frequent set filtered to df ≥
+    * [[NoveltyDf]] and BROADCAST back (boilerplate vocabularies are small
+    * by construction — raise the threshold or switch to a shuffle join on
+    * a corpus where "frequent" stops being selective), one per-doc count
+    * agg. No windows, no self-joins.
+    *
+    * Exactness: pure integer counts; the ratio is one double division
+    * rounded 6dp. Docs with fewer than two tokens have no bigrams and do
+    * not appear (mirrored by the oracle's inner unnest). */
+  def bigramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val bigrams = ColumnBridge.column(graft.functions.Shingles(
+      ColumnBridge.expression(tokens(col("text"))), 2))
+    val docBg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    val frequent = docBg.groupBy("bigram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= NoveltyDf)
+      .select(col("bigram"), lit(1L).as("fam"))
+    docBg.join(broadcast(frequent), Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("fam"), lit(0L))).as("n_familiar"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_familiar"),
+        round(col("n_familiar").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("familiar_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Result size of [[heavyHitters]]. */
+  val HeavyK = 20
+
+  /** Misra-Gries summary capacity per partition: every token with global
+    * count > N/[[MgCapacity]] is guaranteed to survive in at least one
+    * partition's summary (pigeonhole over partition-local guarantees). */
+  val MgCapacity = 512
+
+  /** Exact corpus top-[[HeavyK]] tokens by occurrence via the two-pass
+    * sketch-then-verify shape — the 100 TB pattern for "top terms" where a
+    * full token→count shuffle is the dominant cost: pass 1 runs a
+    * Misra-Gries summary per partition (driver merges only candidate
+    * TOKENS, ≤ [[MgCapacity]]·partitions rows); pass 2 recounts ONLY the
+    * candidate set (broadcast semi-join, hash agg over ≤ that many
+    * groups) and takes the exact top-k.
+    *
+    * Correctness does not depend on the sketch: the MG union is a superset
+    * of every token with count > N/[[MgCapacity]], so as long as the k-th
+    * exact candidate count clears that bar the top-k over candidates IS the
+    * global top-k; the guard re-checks the bar at runtime and falls back to
+    * the full exact aggregation on pathological (near-uniform) frequency
+    * distributions. Output is exact and partitioning-independent either
+    * way. Ref: Misra & Gries 1982; reference surface has no sketch ops —
+    * this is the scale path the builder brief asks for. */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+                   capacity: Int = MgCapacity): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .transform(Tables.rowParallel) // fan-out parallelism from rows, not splits
+      .select(explode(tokens(col("text"))).as("token"))
+    // pass 1: per-partition MG summaries; each partition also emits one
+    // (null, n) row so the guard's N needs no second corpus pass
+    val summary = toks.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < capacity => counts.update(t, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.foreach { case (k, c) => if (c == 0) dead += k }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator.map(t => (t, 0L)) ++ Iterator.single((null: String, n))
+    }.toDF("token", "n_part")
+    summary.persist()
+    try {
+      val totalN = summary.filter(col("token").isNull)
+        .agg(sum(col("n_part"))).head.getLong(0)
+      val cands = summary.filter(col("token").isNotNull).select("token").distinct()
+      val exact = toks.join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(HeavyK)
+        .collect() // K rows
+      val safe = exact.length == HeavyK &&
+        exact.last.getLong(1) > totalN / capacity
+      val rows =
+        if (safe) exact.toIndexedSeq
+        else // pathological distribution: the bar isn't cleared — full exact agg
+          toks.groupBy("token").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("token").asc)
+            .limit(HeavyK).collect().toIndexedSeq
+      spark.createDataFrame(rows.map(r => (r.getString(0), r.getLong(1))))
+        .toDF("token", "n")
+    } finally summary.unpersist()
+  }
+
+  /** Sqrt-temperature mixing exponent note: α = 0.5 (multilingual-BERT /
+    * XLM-style temperature sampling with T = 2). sqrt is the one power
+    * IEEE-754 requires correctly rounded — `pow(x, 0.7)` is NOT bit-pinned
+    * across engines, sqrt is. */
+  val MixKeepDivisor = 2
+
+  /** Temperature-weighted source mixing plan — the pass that turns raw
+    * per-source corpus mass into training-mix target counts: source weight
+    * ∝ sqrt(char mass) (temperature sampling flattens the head so
+    * low-resource sources aren't drowned; Conneau & Lample 2019, public),
+    * normalized into shares, then integer per-source document targets for
+    * a corpus budget of total/[[MixKeepDivisor]] docs. Feed the targets to
+    * the salted-hash pickers ([[TextAnalysis.corpusMix]] /
+    * [[SimilarityQueries.clusterSample]]) to materialize the mix.
+    *
+    * Scale shape: one |sources|-group hash agg + one broadcast of the
+    * 1-row total — nothing corpus-sized moves.
+    *
+    * Exactness: char masses are exact BIGINT sums; sqrt is IEEE-exact;
+    * the 9dp-rounded weights sum as DECIMAL (order-free); share is one
+    * double division rounded 6dp; targets are floor over identical
+    * doubles. */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("char_mass"))
+      .select(col("source"), col("n_docs"), col("char_mass"),
+        round(sqrt(col("char_mass").cast("double")), 9).as("w"))
+    val tot = m.agg(
+      sum(col("w").cast("decimal(28,9)")).cast("double").as("tw"),
+      sum(col("n_docs")).as("nd"))
+    m.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("char_mass"),
+        round(col("w") / col("tw"), 6).as("share"),
+        floor(round(col("w") / col("tw"), 6) *
+          floor(col("nd") / MixKeepDivisor)).cast("long").as("target_docs"))
+      .orderBy("source")
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bigram_novelty" -> ((s, d) => bigramNovelty(s, d)),
+    "heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "temperature_mix" -> ((s, d) => temperatureMix(s, d)))
+
+  def oracles: Map[String, String] = {
+    val tok = """string_split_regex(trim(text), '\s+')"""
+    Map(
+      "bigram_novelty" ->
+        s"""WITH tk AS (SELECT doc_id, $tok AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]
+           |  )) AS bigram FROM tk),
+           |freq AS (
+           |  SELECT bigram FROM bg GROUP BY 1 HAVING count(*) >= $NoveltyDf)
+           |SELECT bg.doc_id,
+           |  count(*) AS n_bigrams,
+           |  CAST(sum(CASE WHEN f.bigram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS n_familiar,
+           |  round(CAST(sum(CASE WHEN f.bigram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+           |    / count(*), 6) AS familiar_ratio
+           |FROM bg LEFT JOIN freq f ON bg.bigram = f.bigram
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // the sketch is a candidate generator only — the answer is the exact
+      // top-k, which the oracle states directly
+      "heavy_hitters" ->
+        s"""SELECT token, count(*) AS n
+           |FROM (SELECT unnest($tok) AS token FROM documents)
+           |GROUP BY 1 ORDER BY n DESC, token LIMIT $HeavyK""".stripMargin,
+      "temperature_mix" ->
+        s"""WITH m AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS char_mass
+           |  FROM documents GROUP BY 1),
+           |w AS (SELECT *, round(sqrt(CAST(char_mass AS DOUBLE)), 9) AS w FROM m),
+           |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS tw,
+           |  CAST(SUM(n_docs) AS BIGINT) AS nd FROM w)
+           |SELECT source, n_docs, char_mass,
+           |  round(w / tw, 6) AS share,
+           |  CAST(floor(round(w / tw, 6) * floor(nd / $MixKeepDivisor)) AS BIGINT)
+           |    AS target_docs
+           |FROM w, t ORDER BY source""".stripMargin)
+  }
+}

@@ -166,6 +166,40 @@ object SimilarityQueries {
       .orderBy("cluster", "rnk")
   }
 
+  /** Per-cluster keep budget for [[prototypePrune]]. */
+  val PrunePerCluster = 50
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws", public): within each k-means cluster keep the
+    * [[PrunePerCluster]] examples FARTHEST from their centroid — the
+    * hard/informative tail — and drop the prototypical near-centroid mass
+    * the model learns for free. The abundant-data pruning metric that
+    * paper shows beats random keeps.
+    *
+    * Scale shape: rides [[kmeansCore]] (broadcast centroids, map-only
+    * assignment); the per-cluster pick is the bounded-heap
+    * [[graft.functions.top_k_by_distance]] aggregate over NEGATED distance
+    * (max-heap by min-heap), never a per-cluster row_number window — the
+    * shuffle carries ≤ N·|partitions| rows per cluster.
+    *
+    * Exactness: distances round 6dp BEFORE the heap (the heap key and the
+    * oracle's ORDER BY see identical doubles; negation is exact), ties
+    * break on vec_id ascending in both engines. */
+  def prototypePrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.top_k_by_distance
+    kmeansCore(spark, sfDir)
+      .select(col("cluster"), col("vec_id"),
+        (-round(col("d"), 6)).as("negd"))
+      .groupBy("cluster")
+      .agg(top_k_by_distance(col("negd"), col("vec_id"), PrunePerCluster).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("rnk"),
+        col("s.vec_id").as("vec_id"),
+        // -(-d) round-trips exactly; +0.0 folds the d=0 row's IEEE -0.0
+        (-col("s.dist") + lit(0.0)).as("dist"))
+      .orderBy("cluster", "rnk")
+  }
+
   /** Outlier z-score threshold for [[embeddingOutliers]]. */
   val OutlierZ = 2.0
 
@@ -539,8 +573,75 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
+  /** Power-iteration rounds for [[pcaProject]] — unrolled, like the Lloyd
+    * rounds in [[kmeansAssign]], so the oracle can state each round as a
+    * CTE. */
+  val PcaIters = 2
+
+  /** First-principal-component projection — the spectral pass of embedding
+    * curation (PCA-based quality/domain separation; also the whitening
+    * precursor): the dominant eigenvector of the exact covariance via
+    * [[PcaIters]] unrolled power-iteration rounds, then every embedding
+    * projected onto it. Emits (vec_id, pc1 score, eigenvalue estimate).
+    *
+    * Scale shape: the covariance relation is d²-sized (≤2080 rows at
+    * d=[[CovDims]]) — bounded, collected to the driver like the centroid
+    * sidecars, where the two matvec+normalize rounds run in exact decimal;
+    * the resulting 64-float eigenvector returns to the cluster as a
+    * LITERAL, so the projection is one shuffle-free codegen'd map over the
+    * corpus. The only corpus-sized work is covariance's single pass.
+    *
+    * Cross-engine exactness (the kmeans round-then-derive recipe, mirrored
+    * step for step in the oracle's CTE chain): covariance entries are
+    * 6dp-rounded doubles (order-free by the DECIMAL recipe); each matvec
+    * sums 9dp-rounded products as exact BigDecimal (the SQL side:
+    * DECIMAL(28,9)); the norm is one IEEE sqrt; each normalized component
+    * rounds 6dp then casts float32 — from there the projection is the
+    * bit-pinned [[graft.functions.inner_product]] fragment. Doubles can
+    * never tie at a decimal midpoint, so HALF_UP vs engine-native rounding
+    * cannot diverge. Sign is pinned by the fixed all-ones start vector. */
+  def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def round9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+    def round6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    val d = CovDims
+    // bounded d(d+1)/2-row collect — the covariance relation is index-
+    // sidecar sized, never corpus-sized
+    val c = Array.ofDim[Double](d, d)
+    embeddingCovariance(spark, sfDir).collect().foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val v = r.getDouble(2)
+      c(i)(j) = v
+      c(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0f)
+    var eig = 0.0
+    for (_ <- 0 until PcaIters) {
+      val w = Array.tabulate(d) { i =>
+        var s = JBD.ZERO
+        var j = 0
+        while (j < d) { s = s.add(round9(c(i)(j) * v(j).toDouble)); j += 1 }
+        s.doubleValue
+      }
+      var nsq = JBD.ZERO
+      w.foreach(x => nsq = nsq.add(round9(x * x)))
+      val nrm = math.sqrt(nsq.doubleValue)
+      require(nrm > 0.0, "pcaProject: zero covariance matrix")
+      eig = round6(nrm)
+      v = w.map(x => round6(x / nrm).toFloat)
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        round(graft.functions.inner_product(col("embedding"),
+          graft.functions.vector_lit(v)), 6).as("pc1"),
+        lit(eig).as("eigenvalue"))
+      .orderBy("vec_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_covariance" -> ((s, d) => embeddingCovariance(s, d)),
+    "pca_project" -> ((s, d) => pcaProject(s, d)),
     "bq_knn_topk" -> ((s, d) => bqKnnTopK(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
@@ -556,6 +657,7 @@ object SimilarityQueries {
     "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
+    "prototype_prune" -> ((s, d) => prototypePrune(s, d)),
     "cluster_sample" -> ((s, d) => clusterSample(s, d)),
   )
 
@@ -607,30 +709,62 @@ object SimilarityQueries {
        |    FROM embeddings e CROSS JOIN cent c)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Exact-decimal covariance CTE block ending in covu(i, j, cov) — shared
+    * by the embedding_covariance and pca_project oracles so the two stay
+    * bit-identical (see embeddingCovariance scaladoc for the recipe). */
+  private val covCte: String =
+    """x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT i, SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS s, COUNT(*) AS n
+      |  FROM x GROUP BY i),
+      |prods AS (
+      |  SELECT a.i AS i, b.i AS j, SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS sij
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |covu AS (
+      |  SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+      |    ROUND((CAST(p.sij AS DOUBLE)
+      |      - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / CAST(sa.n AS DOUBLE))
+      |      / CAST(sa.n AS DOUBLE), 6) + 0.0 AS cov
+      |  FROM prods p
+      |  JOIN sums sa ON p.i = sa.i
+      |  JOIN sums sb ON p.j = sb.i)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // exact-decimal covariance: see embeddingCovariance scaladoc — float32
     // products are exact doubles, 9dp rounds can never tie, DECIMAL sums
     // are order-free, final arithmetic is single deterministic double ops
     "embedding_covariance" ->
-      """WITH x AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |sums AS (
-        |  SELECT i, SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS s, COUNT(*) AS n
-        |  FROM x GROUP BY i),
-        |prods AS (
-        |  SELECT a.i AS i, b.i AS j, SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28,9))) AS sij
-        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |  GROUP BY 1, 2)
-        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-        |  ROUND((CAST(p.sij AS DOUBLE)
-        |    - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / CAST(sa.n AS DOUBLE))
-        |    / CAST(sa.n AS DOUBLE), 6) + 0.0 AS cov
-        |FROM prods p
-        |JOIN sums sa ON p.i = sa.i
-        |JOIN sums sb ON p.j = sb.i
-        |ORDER BY i, j""".stripMargin,
+      s"""WITH $covCte
+         |SELECT i, j, cov FROM covu ORDER BY i, j""".stripMargin,
+    // mirrors pcaProject's driver-side decimal arithmetic CTE for CTE:
+    // upper-triangle covariance mirrored to the full matrix, two
+    // matvec+normalize rounds (9dp-rounded products in DECIMAL sums, IEEE
+    // sqrt, 6dp-round + float cast), then the bit-pinned dot projection
+    "pca_project" ->
+      s"""WITH $covCte,
+         |cov AS (SELECT i, j, cov FROM covu
+         |        UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE i < j),
+         |w1 AS (SELECT i,
+         |    CAST(SUM(CAST(ROUND(cov * 1.0, 9) AS DECIMAL(28,9))) AS DOUBLE) AS w
+         |  FROM cov GROUP BY i),
+         |n1 AS (SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE)) AS nrm FROM w1),
+         |v1 AS (SELECT i, CAST(round(w / nrm, 6) AS FLOAT) AS v FROM w1, n1),
+         |w2 AS (SELECT c.i AS i,
+         |    CAST(SUM(CAST(ROUND(c.cov * CAST(v1.v AS DOUBLE), 9) AS DECIMAL(28,9)))
+         |      AS DOUBLE) AS w
+         |  FROM cov c JOIN v1 ON c.j = v1.i GROUP BY c.i),
+         |n2 AS (SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE)) AS nrm FROM w2),
+         |v2 AS (SELECT i, CAST(round(w / nrm, 6) AS FLOAT) AS v FROM w2, n2),
+         |varr AS (SELECT list(v ORDER BY i) AS va FROM v2)
+         |SELECT e.vec_id, round(${O.dot("e.embedding", "va")}, 6) AS pc1,
+         |  (SELECT round(nrm, 6) FROM n2) AS eigenvalue
+         |FROM embeddings e, varr ORDER BY vec_id""".stripMargin,
     // round-then-derive: 6dp-rounded float centroids → bit-exact distances
     // → 6dp-rounded per-label stats → exact z arithmetic
     "embedding_outliers" ->
@@ -728,6 +862,18 @@ object SimilarityQueries {
       s"""$kmeansCoreSql
          |SELECT vec_id, cluster, round(d, 6) AS dist FROM a2
          |ORDER BY vec_id""".stripMargin,
+    // same Lloyd CTE block; farthest-from-centroid keep mirrors the
+    // negated-distance bounded heap as a row_number over (dist DESC, id)
+    "prototype_prune" ->
+      s"""$kmeansCoreSql,
+         |r AS (
+         |  SELECT cluster, vec_id, round(d, 6) AS dist,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY round(d, 6) DESC, vec_id) AS rn
+         |  FROM a2)
+         |SELECT cluster, CAST(rn AS BIGINT) AS rnk, vec_id, dist + 0.0 AS dist
+         |FROM r WHERE rn <= $PrunePerCluster
+         |ORDER BY cluster, rnk""".stripMargin,
     // same Lloyd CTE block; the per-cluster pick mirrors the bounded-heap
     // aggregate's (hash ASC, vec_id ASC) order as a row_number
     "cluster_sample" ->

@@ -358,4 +358,33 @@ class ScaleSmokeSpec extends SparkSpec {
     info(f"1M-row exact-dedup group: $secs%.2f s")
     assert(secs < 120.0)
   }
+
+  test("heavy-hitters sketch+verify holds at 1M docs / 4M tokens; equals exact") {
+    // zipf-ish: two universal tokens, 100 mid-frequency (10k each — above
+    // the N/capacity bar so the guarded sketch path is the one exercised),
+    // 50k rare. Per-partition MG summaries stay ≤ capacity entries.
+    val docs = spark.range(N).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta u"), (col("id") % 100).cast("string"),
+        lit(" t"), (col("id") % 50000).cast("string")).as("text"),
+      lit("s").as("source"),
+      lit(30L).as("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_scale").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(graft.operators.CorpusDiagnostics.HeavyK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val t0 = System.nanoTime()
+    val got = graft.operators.CorpusDiagnostics.heavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got === expected)
+    assert(got.take(2).map(_._2) === Seq(N, N), "universal tokens lead")
+    assert(got.last._2 === N / 100, "mid-band fills the tail")
+    info(f"1M-doc heavy hitters (sketch+verify): $secs%.2f s")
+    assert(secs < 120.0)
+  }
 }

@@ -133,6 +133,32 @@ object PlanGallery {
       "combine — the shuffle carries ≤ d(d+1)/2 partial rows per partition " +
       "regardless of corpus size; (i,j) labels join from a broadcast " +
       "d²-sized mapping."),
+    "pca_project" -> ("Spectral projection: the d²-sized covariance " +
+      "relation collects to the driver (sidecar-scale, like centroids), " +
+      "the power-iteration matvecs run in exact decimal there, and the " +
+      "64-float eigenvector returns as a LITERAL — so the per-row score " +
+      "is one codegen'd inner_product inside the scan's WholeStageCodegen " +
+      "span, shuffle-free."),
+    "heavy_hitters" -> ("Sketch-then-verify top-k tokens: per-partition " +
+      "Misra-Gries summaries emit ≤ capacity candidate rows each " +
+      "(mapPartitions — genuinely imperative per-partition state), the " +
+      "candidate set broadcasts into a left-semi join, and the exact " +
+      "recount aggregates only candidate groups. The full token→count " +
+      "shuffle never happens on the guarded path."),
+    "bigram_novelty" -> ("Boilerplate-familiarity scoring: one " +
+      "document-frequency hash agg over distinct per-doc bigrams " +
+      "(codegen'd shingles), the df-thresholded frequent set broadcasts " +
+      "back, and the per-doc ratio folds in a second hash agg — two " +
+      "shuffles total, both map-side combined."),
+    "temperature_mix" -> ("Mixing-plan computation: one |sources|-group " +
+      "agg, one broadcast 1-row total, integer targets — nothing " +
+      "corpus-sized moves; the decimal weight sum keeps shares " +
+      "order-free."),
+    "prototype_prune" -> ("Prototypicality pruning on the Lloyd " +
+      "pipeline: negated 6dp distances feed the bounded-heap " +
+      "top_k_by_distance aggregate per cluster (max-heap by min-heap) — " +
+      "the same ≤ N·|partitions| shuffle bound as cluster_sample, no " +
+      "per-cluster window."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -422,6 +422,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Stupid Backoff discount (Brants et al. 2007, §4 — the published
+    * constant). */
+  val SbAlpha = 0.4
+
+  /** Bigram Stupid Backoff LM scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the LM built FOR MapReduce-scale
+    * corpora: unnormalized relative-frequency scores, no held-out
+    * discounting pass): train bigram/unigram counts on the
+    * [[DsirTargetLang]] slice, score EVERY document's bigram stream by
+    * mean −ln s(w₂|w₁), where s = c(w₁w₂)/c(w₁) when the bigram was seen
+    * and α·(c(w₂)+1)/(T+V) (add-one-smoothed unigram backoff) otherwise.
+    * In-domain text scores low; out-of-domain/garbage text rides the
+    * backoff path and scores high — the CCNet-style domain filter one
+    * order up from [[lmScore]].
+    *
+    * Scale shape: LM construction is two hash aggs over the target slice;
+    * scoring joins the corpus bigram stream to the bigram table by
+    * equi-join (corpus-sized, shuffle on (w1,w2) — inherent, the LM *is*
+    * that table) and to the vocab-sized unigram table twice by broadcast
+    * (at open-vocab scale swap those for shuffle joins), then one per-doc
+    * agg. No windows.
+    *
+    * Exactness: counts are exact integers; each s is 1-2 deterministic
+    * double ops; −ln rounds 6dp into DECIMAL(18,6) order-free sums (the
+    * [[lmScore]] recipe); the final mean is one division rounded 6dp. */
+  def stupidBackoffScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val base = Tables.documents(spark, sfDir)
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
+    val docBg = base
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c1 = base.filter(col("lang") === DsirTargetLang)
+      .select(explode(t).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val c2 = docBg.filter(col("lang") === DsirTargetLang)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scal = c1.agg(sum(col("c1")).cast("double").as("tt"),
+      count(lit(1)).cast("double").as("v"))
+    docBg
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(c1.select(col("token").as("w1"), col("c1").as("c1w1"))),
+        Seq("w1"), "left")
+      .join(broadcast(c1.select(col("token").as("w2"), col("c1").as("c1w2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        when(col("c2").isNotNull,
+          col("c2").cast("double") / col("c1w1").cast("double"))
+          .otherwise(lit(SbAlpha) * (coalesce(col("c1w2"), lit(0L)).cast("double") + lit(1.0))
+            / (col("tt") + col("v"))).as("p"),
+        when(col("c2").isNull, 1L).otherwise(0L).as("backoff"))
+      .select(col("doc_id"), col("backoff"),
+        round(-log(col("p")), 6).cast("decimal(18,6)").as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("backoff")).as("n_backoff"),
+        sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        // deliberately NOT rounded: the numerator is an exact 6dp decimal
+        // and the denominator an exact integer, so the single IEEE division
+        // is already bit-identical cross-engine — whereas rounding it CAN
+        // diverge: sum/n can land exactly on a 6dp midpoint (e.g.
+        // 62.769447/18 = 3.48719150), where Spark's BigDecimal
+        // shortest-string rounding and DuckDB's scaled-multiply rounding
+        // disagree on the straddle
+        (col("s").cast("double") / col("n_bigrams").cast("double"))
+          .as("sb_score"))
+      .orderBy("doc_id")
+  }
+
   // RAG-style chunking parameters: fixed windows with overlap
   val ChunkSize = 200
   val ChunkOverlap = 50
@@ -734,6 +808,7 @@ object TextAnalysis {
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
     "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
     "lm_score" -> ((s, d) => lmScore(s, d)),
+    "stupid_backoff_score" -> ((s, d) => stupidBackoffScore(s, d)),
     "doc_chunks" -> ((s, d) => docChunks(s, d)),
     "corpus_mix" -> ((s, d) => corpusMix(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
@@ -946,6 +1021,38 @@ object TextAnalysis {
            |  FROM tf JOIN probs USING (token))
            |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            |  round(CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS lm_score
+           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // same decimal-sum recipe; the CASE mirrors the seen/backoff branch
+      // arithmetic parenthesis-for-parenthesis
+      "stupid_backoff_score" ->
+        s"""WITH tk AS (SELECT doc_id, lang, $tok AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM (
+           |    SELECT doc_id, lang, t,
+           |      unnest(generate_series(1, len(t) - 1)) AS i
+           |    FROM tk)),
+           |u AS (SELECT token, count(*) AS c1 FROM (
+           |    SELECT unnest(t) AS token FROM tk WHERE lang = '$DsirTargetLang')
+           |  GROUP BY 1),
+           |b2 AS (SELECT w1, w2, count(*) AS c2 FROM bg
+           |  WHERE lang = '$DsirTargetLang' GROUP BY 1, 2),
+           |scal AS (SELECT CAST(sum(c1) AS DOUBLE) AS tt,
+           |    CAST(count(*) AS DOUBLE) AS v FROM u),
+           |terms AS (
+           |  SELECT bg.doc_id,
+           |    CASE WHEN b2.c2 IS NULL THEN 1 ELSE 0 END AS backoff,
+           |    CAST(round(-ln(
+           |      CASE WHEN b2.c2 IS NOT NULL
+           |        THEN CAST(b2.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+           |        ELSE $SbAlpha * (CAST(COALESCE(u2.c1, 0) AS DOUBLE) + 1.0)
+           |          / (scal.tt + scal.v) END), 6) AS DECIMAL(18,6)) AS term
+           |  FROM bg
+           |  LEFT JOIN b2 ON bg.w1 = b2.w1 AND bg.w2 = b2.w2
+           |  LEFT JOIN u u1 ON bg.w1 = u1.token
+           |  LEFT JOIN u u2 ON bg.w2 = u2.token, scal)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+           |  CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sb_score
            |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "corpus_splits" ->
         s"""WITH b AS (

@@ -14,6 +14,33 @@ class TextAnalysisSpec extends SparkSpec {
     dir
   }
 
+  test("stupid_backoff_score: seen bigrams use c2/c1, unseen ride the α backoff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sb").toString
+    Seq((0L, "a b", "en"), (1L, "a b", "en"), (2L, "a c", "en"),
+      (3L, "a b z a", "fr"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // en LM: unigrams a:3 b:2 c:1 (T=6, V=3); bigrams (a,b):2 (a,c):1
+    def term(p: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(-math.log(p))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    val rows = TextAnalysis.stupidBackoffScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(2) === 0L)
+    assert(rows(0L).getDouble(3) === term(2.0 / 3).doubleValue)
+    // fr doc: (a,b) seen; (b,z) backs off to unseen z (c1=0); (z,a) backs
+    // off to a (c1=3)
+    assert(rows(3L).getLong(1) === 3L)
+    assert(rows(3L).getLong(2) === 2L)
+    val expected = term(2.0 / 3)
+      .add(term(0.4 * (0 + 1.0) / (6 + 3.0)))
+      .add(term(0.4 * (3 + 1.0) / (6 + 3.0)))
+      .doubleValue / 3
+    assert(rows(3L).getDouble(3) === expected)
+    // out-of-domain scores above in-domain
+    assert(rows(3L).getDouble(3) > rows(0L).getDouble(3))
+  }
+
   test("repetition_signals separates degenerate from diverse text") {
     val dir = corpusDir(
       0L -> "spam spam spam spam spam spam spam spam",      // one bigram repeated

@@ -149,8 +149,8 @@ object CorpusDiagnostics {
     *
     * Exactness: char masses are exact BIGINT sums; sqrt is IEEE-exact;
     * the 9dp-rounded weights sum as DECIMAL (order-free); share is one
-    * double division rounded 6dp; targets are floor over identical
-    * doubles. */
+    * unrounded double division (bit-identical by construction); targets
+    * are floor over identical doubles. */
   def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     val m = Tables.documents(spark, sfDir)
       .groupBy("source")
@@ -162,8 +162,12 @@ object CorpusDiagnostics {
       sum(col("n_docs")).as("nd"))
     m.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("char_mass"),
-        round(col("w") / col("tw"), 6).as("share"),
-        floor(round(col("w") / col("tw"), 6) *
+        // share stays UNROUNDED: w and tw are identical doubles on both
+        // engines, so the single division is bit-identical — while
+        // round(w/tw, 6) could diverge at a reachable decimal midpoint
+        // and flip the discrete floor() below (see stupidBackoffScore)
+        (col("w") / col("tw")).as("share"),
+        floor((col("w") / col("tw")) *
           floor(col("nd") / MixKeepDivisor)).cast("long").as("target_docs"))
       .orderBy("source")
   }
@@ -207,8 +211,8 @@ object CorpusDiagnostics {
            |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS tw,
            |  CAST(SUM(n_docs) AS BIGINT) AS nd FROM w)
            |SELECT source, n_docs, char_mass,
-           |  round(w / tw, 6) AS share,
-           |  CAST(floor(round(w / tw, 6) * floor(nd / $MixKeepDivisor)) AS BIGINT)
+           |  w / tw AS share,
+           |  CAST(floor(w / tw * floor(nd / $MixKeepDivisor)) AS BIGINT)
            |    AS target_docs
            |FROM w, t ORDER BY source""".stripMargin)
   }

@@ -100,8 +100,20 @@ object SimilarityQueries {
       .orderBy("vec_id")
 
   /** Shared 2-round Lloyd pipeline: (vec_id, cluster, d) without the
-    * presentation rounding/sort — [[kmeansAssign]] and [[clusterSample]]
-    * both build on it (mirrored by the shared oracle CTE block). */
+    * presentation rounding/sort — [[kmeansAssign]], [[clusterSample]] and
+    * [[prototypePrune]] build on it (mirrored by the shared oracle CTE
+    * block).
+    *
+    * Known residual hazard, accepted: the centroid update's
+    * `round(decimal_sum / n, 6)` CAN land exactly on a 6dp midpoint
+    * (decimal/int quotients reach midpoints — see
+    * [[TextAnalysis.stupidBackoffScore]]), where Spark's BigDecimal
+    * shortest-string rounding and DuckDB's scaled-multiply rounding may
+    * disagree by one 6dp step and flip a downstream assignment. The round
+    * here is STRUCTURAL (it quantizes the centroid that seeds round two,
+    * and changing the recipe would change every kmeans-family hash), the
+    * fixtures are fixed and pass on both engines, and the one-hot
+    * convergence spec pins semantics — so this stays, documented. */
   private def kmeansCore(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // K seed rows → cid 0..K-1 in vec_id order (window over K rows post-limit)

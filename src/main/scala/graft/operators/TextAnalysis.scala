@@ -417,7 +417,11 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("term")).as("neg_log_sum"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("neg_log_sum").cast("double") / col("n_tokens").cast("double"), 6)
+        // unrounded on purpose: exact-decimal sum / exact integer is one
+        // IEEE division — already bit-identical cross-engine; rounding it
+        // can DIVERGE at the reachable 6dp midpoints of decimal/int
+        // quotients (see stupidBackoffScore)
+        (col("neg_log_sum").cast("double") / col("n_tokens").cast("double"))
           .as("lm_score"))
       .orderBy("doc_id")
   }
@@ -1020,7 +1024,7 @@ object TextAnalysis {
            |    CAST(round(CAST(tf AS DOUBLE) * -ln(p), 6) AS DECIMAL(18,6)) AS term
            |  FROM tf JOIN probs USING (token))
            |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-           |  round(CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS lm_score
+           |  CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS lm_score
            |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // same decimal-sum recipe; the CASE mirrors the seen/backoff branch
       // arithmetic parenthesis-for-parenthesis

@@ -154,6 +154,12 @@ object PlanGallery {
       "agg, one broadcast 1-row total, integer targets — nothing " +
       "corpus-sized moves; the decimal weight sum keeps shares " +
       "order-free."),
+    "stupid_backoff_score" -> ("Distributed bigram LM scoring: the LM " +
+      "tables build as two hash aggs over the target slice; the corpus " +
+      "bigram stream equi-joins the bigram table (the one corpus-sized " +
+      "shuffle — the LM IS that relation), unigram lookups broadcast, and " +
+      "per-doc decimal sums close it out. The Stupid Backoff design goal " +
+      "— no normalization pass — is exactly what keeps this join-shaped."),
     "prototype_prune" -> ("Prototypicality pruning on the Lloyd " +
       "pipeline: negated 6dp distances feed the bounded-heap " +
       "top_k_by_distance aggregate per cluster (max-heap by min-heap) — " +

@@ -739,17 +739,61 @@ object TextAnalysis {
     * words) weighted by count — the classic BPE trick that makes each
     * merge iteration vocab-sized, not corpus-sized. The top-k compiles to
     * TakeOrderedAndProject (k rows per partition cross the wire). */
-  def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val wc = Tables.documents(spark, sfDir)
+  def bpePairCounts(spark: SparkSession, sfDir: String): DataFrame =
+    pairCountsIter1(wordCounts(spark, sfDir))
+      .orderBy(col("n_total").desc, col("pair").asc)
+      .limit(BpeTopK)
+
+  /** Vocab word-frequency table — the input relation of every BPE merge
+    * iteration (corpus-sized work happens exactly once, here). */
+  private def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Iteration-1 adjacent char-pair counts over the vocab (unordered). */
+  private def pairCountsIter1(wc: DataFrame): DataFrame =
     wc.filter(length(col("w")) >= 2)
       .select(col("c"),
         explode(transform(sequence(lit(1), length(col("w")) - 1),
           i => col("w").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(sum(col("c")).as("n_total"))
+
+  /** Merged-symbol stand-in inside re-segmented words — a control char no
+    * whitespace-split token can contain. */
+  private val BpeMarker = "\u0001"
+
+  /** Second BPE merge iteration — the step that makes BPE *training* a
+    * loop (Sennrich 2016 §3.2): take iteration 1's winning pair, apply the
+    * merge to the vocabulary (greedy left-to-right non-overlapping — which
+    * is exactly `replace`'s contract in both engines, so no bespoke
+    * segmenter), and recount symbol pairs over the re-segmented words.
+    * Pairs are reported as `s1+s2` with the merged symbol expanded, so
+    * `lo+w` is distinguishable from `l+ow`.
+    *
+    * Scale shape: identical to [[bpePairCounts]] — the merge application
+    * and recount run over the DISTINCT VOCAB weighted by word frequency
+    * (the classic trick that makes each merge iteration vocab-sized, not
+    * corpus-sized); the winner is ONE driver-side row that returns as a
+    * literal. Iterations 3..N repeat this shape unchanged.
+    *
+    * Exactness: all integer counts and string ops — float-free. */
+  def bpeMergeIter2(spark: SparkSession, sfDir: String): DataFrame = {
+    val wc = wordCounts(spark, sfDir)
+    val top1 = pairCountsIter1(wc)
       .orderBy(col("n_total").desc, col("pair").asc)
+      .limit(1).head.getString(0) // 1-row collect: the merge-table entry
+    def expand(s: Column): Column = replace(s, lit(BpeMarker), lit(top1))
+    wc.select(col("c"),
+        replace(col("w"), lit(top1), lit(BpeMarker)).as("w2"))
+      .filter(length(col("w2")) >= 2)
+      .select(col("c"),
+        explode(transform(sequence(lit(1), length(col("w2")) - 1),
+          i => concat(expand(col("w2").substr(i, lit(1))), lit("+"),
+            expand(col("w2").substr(i + 1, lit(1)))))).as("pair2"))
+      .groupBy("pair2").agg(sum(col("c")).as("n_total"))
+      .orderBy(col("n_total").desc, col("pair2").asc)
       .limit(BpeTopK)
   }
 
@@ -797,6 +841,7 @@ object TextAnalysis {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sequence_packing" -> ((s, d) => sequencePacking(s, d)),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
+    "bpe_merge_iter2" -> ((s, d) => bpeMergeIter2(s, d)),
     "vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
@@ -927,6 +972,34 @@ object TextAnalysis {
            |SELECT pair, CAST(SUM(c) AS BIGINT) AS n_total
            |FROM p GROUP BY pair
            |ORDER BY n_total DESC, pair LIMIT $BpeTopK""".stripMargin,
+      // replace() is greedy left-to-right non-overlapping in both engines
+      // — the BPE merge-application contract — so the re-segmentation
+      // needs no bespoke segmenter on either side
+      "bpe_merge_iter2" ->
+        s"""WITH wcc AS (
+           |  SELECT w, count(*) AS c
+           |  FROM (SELECT unnest($tok) AS w FROM documents) GROUP BY 1),
+           |p AS (
+           |  SELECT substring(w, CAST(i AS INT), 2) AS pair, c
+           |  FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+           |        FROM wcc WHERE length(w) >= 2)),
+           |top1 AS (
+           |  SELECT pair FROM (
+           |    SELECT pair, CAST(SUM(c) AS BIGINT) AS n_total FROM p GROUP BY pair)
+           |  ORDER BY n_total DESC, pair LIMIT 1),
+           |seg AS (
+           |  SELECT c, replace(w, (SELECT pair FROM top1), chr(1)) AS w2 FROM wcc),
+           |s2 AS (
+           |  SELECT c,
+           |    substring(w2, CAST(i AS INT), 1) AS sa,
+           |    substring(w2, CAST(i AS INT) + 1, 1) AS sb
+           |  FROM (SELECT c, w2, unnest(range(1, length(w2))) AS i
+           |        FROM seg WHERE length(w2) >= 2))
+           |SELECT replace(sa, chr(1), (SELECT pair FROM top1)) || '+' ||
+           |    replace(sb, chr(1), (SELECT pair FROM top1)) AS pair2,
+           |  CAST(SUM(c) AS BIGINT) AS n_total
+           |FROM s2 GROUP BY pair2
+           |ORDER BY n_total DESC, pair2 LIMIT $BpeTopK""".stripMargin,
       "text_stats" ->
         s"""WITH base AS (
            |  SELECT doc_id, text,

@@ -14,6 +14,26 @@ class TextAnalysisSpec extends SparkSpec {
     dir
   }
 
+  test("bpe_merge_iter2 applies the winning merge and recounts symbol pairs") {
+    // vocab: low×2, lower×1. Iteration 1: lo:3, ow:3, we:1, er:1 —
+    // tie between "lo" and "ow" breaks pair-ascending → merge "lo".
+    // Re-segmented: [lo,w]×2, [lo,w,e,r]×1 → pairs lo+w:3, w+e:1, e+r:1.
+    val dir = corpusDir(0L -> "low low lower")
+    val got = TextAnalysis.bpeMergeIter2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("lo+w", 3L), ("e+r", 1L), ("w+e", 1L)))
+  }
+
+  test("bpe_merge_iter2 merge application is greedy left-to-right on overlaps") {
+    // "aaa": iteration-1 top pair "aa" (count 2 from overlapping windows);
+    // greedy replace gives [aa, a] — so the single iteration-2 pair is
+    // aa+a, never a+aa
+    val dir = corpusDir(0L -> "aaa aaa")
+    val got = TextAnalysis.bpeMergeIter2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("aa+a", 2L)))
+  }
+
   test("stupid_backoff_score: seen bigrams use c2/c1, unseen ride the α backoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sb").toString
     Seq((0L, "a b", "en"), (1L, "a b", "en"), (2L, "a c", "en"),

@@ -456,7 +456,64 @@ object StarSchemaQueries {
       .orderBy(col("revenue").desc, col("s_suppkey"))
       .limit(10)
 
+  /** PageRank damping factor (Brin & Page 1998 — the published 0.85). */
+  val PrDamping = 0.85
+
+  /** PageRank over the event-type transition graph — link analysis on
+    * behavioral data (which states concentrate user flow): consecutive
+    * events per user (arrival order = event_id, which both engines agree
+    * on bit-for-bit, unlike the ns-vs-µs `ts`) define weighted src→dst
+    * edges between event types; two unrolled PageRank iterations run on
+    * that |types|-node graph. Dangling mass is dropped (the simple
+    * variant), documented and mirrored in the oracle.
+    *
+    * Scale shape: the corpus-sized work is ONE lag window over per-user
+    * groups (bounded, the events_sessions shape) collapsing into a
+    * |types|²-edge relation; the PR iterations are joins over that tiny
+    * relation — broadcast-sized no matter the event count.
+    *
+    * Exactness: edge weights are exact counts; per-edge contributions
+    * round 9dp into DECIMAL sums (order-free); each new rank is then two
+    * deterministic double ops on identical operands, left unrounded
+    * (rounding could diverge at reachable midpoints — see
+    * [[TextAnalysis.stupidBackoffScore]]). */
+  def eventTypePagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val edges = ev
+      .select(col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum(col("w")).cast("double").as("wout"))
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    val nN = nodes.count().toDouble // |event types| — bounded driver scalar
+    def step(p: DataFrame): DataFrame = {
+      val contrib = edges
+        .join(p.select(col("node").as("src"), col("pr")), "src")
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          round(col("pr") * col("w").cast("double") / col("wout"), 9)
+            .cast("decimal(28,9)").as("t"))
+        .groupBy("node").agg(sum(col("t")).cast("double").as("s"))
+      p.select(col("node")).join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          // (1.0 - 0.85) as an explicit subtraction, mirrored verbatim in
+          // the oracle — the difference is NOT the decimal literal 0.15
+          // in IEEE doubles
+          ((lit(1.0) - lit(PrDamping)) / lit(nN) +
+            lit(PrDamping) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    val p0 = nodes.select(col("node"), (lit(1.0) / lit(nN)).as("pr"))
+    step(step(p0))
+      .select(col("node").as("event_type"), col("pr").as("pagerank"))
+      .orderBy("event_type")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_type_pagerank" -> ((s, d) => eventTypePagerank(s, d)),
     "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
     "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
     "events_quartile_stats" -> ((s, d) => eventsQuartileStats(s, d)),
@@ -487,6 +544,38 @@ object StarSchemaQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // transitions in event_id arrival order (engine-identical, unlike ns
+    // ts); per-edge contributions 9dp-rounded into DECIMAL sums; rank
+    // arithmetic mirrored op for op ((1.0 - 0.85), never literal 0.15)
+    "event_type_pagerank" -> {
+      def step(prev: String, contribName: String, outName: String): String =
+        s"""$contribName AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM(CAST(ROUND(p.pr * e.w / o.wout, 9) AS DECIMAL(28,9)))
+           |      AS DOUBLE) AS s
+           |  FROM e JOIN $prev p ON e.src = p.node JOIN outw o ON e.src = o.src
+           |  GROUP BY 1),
+           |$outName AS (
+           |  SELECT p.node,
+           |    (1.0 - $PrDamping) / n.n + $PrDamping * COALESCE(c.s, 0.0) AS pr
+           |  FROM $prev p LEFT JOIN $contribName c ON p.node = c.node, n)"""
+          .stripMargin
+      s"""WITH ev AS (SELECT user_id, event_id, event_type FROM events),
+         |e AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT event_type AS dst,
+         |      lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+         |    FROM ev)
+         |  WHERE src IS NOT NULL GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM e GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) AS n FROM ev),
+         |p0 AS (SELECT event_type AS node, 1.0 / n.n AS pr
+         |  FROM (SELECT DISTINCT event_type FROM ev), n),
+         |${step("p0", "c1", "p1")},
+         |${step("p1", "c2", "p2")}
+         |SELECT node AS event_type, pr AS pagerank FROM p2
+         |ORDER BY event_type""".stripMargin
+    },
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,

@@ -4,6 +4,43 @@ import graft.SparkSpec
 
 class StarSchemaQueriesSpec extends SparkSpec {
 
+  test("event_type_pagerank replays the 2-iteration rank arithmetic on a hand graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: v c v c → edges v→c:2, c→v:1; user 2: v p → v→p:1
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    Seq((1L, 1L, "v"), (2L, 1L, "c"), (3L, 1L, "v"), (4L, 1L, "c"),
+      (5L, 2L, "v"), (6L, 2L, "p"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", col("event_id") * 1000000000L) // nanos long
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StarSchemaQueries.eventTypePagerank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driver replay with the operator's exact arithmetic
+    val edges = Seq(("v", "c", 2L), ("c", "v", 1L), ("v", "p", 1L))
+    val outw = Map("v" -> 3.0, "c" -> 1.0)
+    val n = 3.0
+    def round9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    def step(p: Map[String, Double]): Map[String, Double] = {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.foldLeft(java.math.BigDecimal.ZERO) { case (acc, (src, _, w)) =>
+          acc.add(round9(p(src) * w / outw(src)))
+        }.doubleValue
+      }
+      p.keys.map(k => k ->
+        ((1.0 - StarSchemaQueries.PrDamping) / n +
+          StarSchemaQueries.PrDamping * s.getOrElse(k, 0.0))).toMap
+    }
+    val p0 = Map("v" -> 1.0 / n, "c" -> 1.0 / n, "p" -> 1.0 / n)
+    val expected = step(step(p0))
+    assert(got === expected)
+    // flow concentrates where links point: c (fed twice per v-loop)
+    // outranks p (single dangling hop)
+    assert(got("c") > got("p"))
+  }
+
   test("q1_agg: 6 flag/status groups with exact decimal sums") {
     val rows = StarSchemaQueries.q1Agg(spark, Sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 9)

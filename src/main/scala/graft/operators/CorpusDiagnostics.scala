@@ -81,6 +81,28 @@ object CorpusDiagnostics {
     * distributions. Output is exact and partitioning-independent either
     * way. Ref: Misra & Gries 1982; reference surface has no sketch ops —
     * this is the scale path the builder brief asks for. */
+  /** Misra-Gries summary of one token stream: the surviving candidate set
+    * (≤ capacity entries) and the stream length. Invariant (the property
+    * spec pins it): every token with count > n/capacity survives. */
+  private[operators] def mgSummarize(it: Iterator[String],
+                                     capacity: Int): (Seq[String], Long) = {
+    val counts = new scala.collection.mutable.HashMap[String, Long]
+    var n = 0L
+    it.foreach { t =>
+      n += 1
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None if counts.size < capacity => counts.update(t, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.foreach { case (k, c) => if (c == 0) dead += k }
+          dead.result().foreach(counts.remove)
+      }
+    }
+    (counts.keys.toSeq, n)
+  }
+
   def heavyHitters(spark: SparkSession, sfDir: String,
                    capacity: Int = MgCapacity): DataFrame = {
     import spark.implicits._
@@ -90,21 +112,8 @@ object CorpusDiagnostics {
     // pass 1: per-partition MG summaries; each partition also emits one
     // (null, n) row so the guard's N needs no second corpus pass
     val summary = toks.as[String].mapPartitions { it =>
-      val counts = new scala.collection.mutable.HashMap[String, Long]
-      var n = 0L
-      it.foreach { t =>
-        n += 1
-        counts.get(t) match {
-          case Some(c) => counts.update(t, c + 1)
-          case None if counts.size < capacity => counts.update(t, 1L)
-          case None =>
-            val dead = List.newBuilder[String]
-            counts.mapValuesInPlace((_, c) => c - 1)
-            counts.foreach { case (k, c) => if (c == 0) dead += k }
-            dead.result().foreach(counts.remove)
-        }
-      }
-      counts.keysIterator.map(t => (t, 0L)) ++ Iterator.single((null: String, n))
+      val (cands, n) = mgSummarize(it, capacity)
+      cands.iterator.map(t => (t, 0L)) ++ Iterator.single((null: String, n))
     }.toDF("token", "n_part")
     summary.persist()
     try {

@@ -35,9 +35,11 @@ object CorpusDiagnostics {
     * a corpus where "frequent" stops being selective), one per-doc count
     * agg. No windows, no self-joins.
     *
-    * Exactness: pure integer counts; the ratio is one double division
-    * rounded 6dp. Docs with fewer than two tokens have no bigrams and do
-    * not appear (mirrored by the oracle's inner unnest). */
+    * Exactness: pure integer counts; the ratio is one unrounded double
+    * division (bit-identical by construction — int/int quotients CAN
+    * reach 6dp midpoints where engine round()s diverge). Docs with fewer
+    * than two tokens have no bigrams and do not appear (mirrored by the
+    * oracle's inner unnest). */
   def bigramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val bigrams = ColumnBridge.column(graft.functions.Shingles(
@@ -52,7 +54,9 @@ object CorpusDiagnostics {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("fam"), lit(0L))).as("n_familiar"))
       .select(col("doc_id"), col("n_bigrams"), col("n_familiar"),
-        round(col("n_familiar").cast("double") / col("n_bigrams").cast("double"), 6)
+        // unrounded: int/int quotients reach 6dp midpoints (the
+        // stupidBackoffScore hazard); the raw division is bit-identical
+        (col("n_familiar").cast("double") / col("n_bigrams").cast("double"))
           .as("familiar_ratio"))
       .orderBy("doc_id")
   }
@@ -201,8 +205,8 @@ object CorpusDiagnostics {
            |  count(*) AS n_bigrams,
            |  CAST(sum(CASE WHEN f.bigram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
            |    AS n_familiar,
-           |  round(CAST(sum(CASE WHEN f.bigram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-           |    / count(*), 6) AS familiar_ratio
+           |  CAST(sum(CASE WHEN f.bigram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+           |    / count(*) AS familiar_ratio
            |FROM bg LEFT JOIN freq f ON bg.bigram = f.bigram
            |GROUP BY 1 ORDER BY 1""".stripMargin,
       // the sketch is a candidate generator only — the answer is the exact

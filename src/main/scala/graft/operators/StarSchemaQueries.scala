@@ -469,46 +469,53 @@ object StarSchemaQueries {
     *
     * Scale shape: the corpus-sized work is ONE lag window over per-user
     * groups (bounded, the events_sessions shape) collapsing into a
-    * |types|²-edge relation; the PR iterations are joins over that tiny
-    * relation — broadcast-sized no matter the event count.
+    * |types|²-edge relation, plus one cheap column-distinct for the node
+    * set; both collect to the driver (≤ |types|² rows — sidecar-scale,
+    * the pcaProject pattern) where the two PR iterations run in exact
+    * decimal. No corpus subtree is ever referenced twice, so nothing
+    * recomputes.
     *
     * Exactness: edge weights are exact counts; per-edge contributions
-    * round 9dp into DECIMAL sums (order-free); each new rank is then two
-    * deterministic double ops on identical operands, left unrounded
-    * (rounding could diverge at reachable midpoints — see
-    * [[TextAnalysis.stupidBackoffScore]]). */
+    * round 9dp into exact BigDecimal sums (order-free, DECIMAL(28,9) in
+    * the oracle); each new rank is then two deterministic double ops on
+    * identical operands, left unrounded (rounding could diverge at
+    * reachable midpoints — see [[TextAnalysis.stupidBackoffScore]]). The
+    * (1−d) difference is an explicit DOUBLE subtraction on BOTH engines:
+    * DuckDB constant-folds bare `(1.0 - 0.85)` in DECIMAL (exactly 0.15,
+    * ≠ the IEEE double 0.15000000000000002), so the oracle casts the
+    * operands to DOUBLE first. */
   def eventTypePagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import java.math.{BigDecimal => JBD, RoundingMode}
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy("event_id")
+    // |types|²-row collect — bounded by the type alphabet, not event count
     val edges = ev
       .select(col("event_type").as("dst"),
         lag(col("event_type"), 1).over(w).as("src"))
       .filter(col("src").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    val outw = edges.groupBy("src").agg(sum(col("w")).cast("double").as("wout"))
-    val nodes = ev.select(col("event_type").as("node")).distinct()
-    val nN = nodes.count().toDouble // |event types| — bounded driver scalar
-    def step(p: DataFrame): DataFrame = {
-      val contrib = edges
-        .join(p.select(col("node").as("src"), col("pr")), "src")
-        .join(outw, "src")
-        .select(col("dst").as("node"),
-          round(col("pr") * col("w").cast("double") / col("wout"), 9)
-            .cast("decimal(28,9)").as("t"))
-        .groupBy("node").agg(sum(col("t")).cast("double").as("s"))
-      p.select(col("node")).join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          // (1.0 - 0.85) as an explicit subtraction, mirrored verbatim in
-          // the oracle — the difference is NOT the decimal literal 0.15
-          // in IEEE doubles
-          ((lit(1.0) - lit(PrDamping)) / lit(nN) +
-            lit(PrDamping) * coalesce(col("s"), lit(0.0))).as("pr"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted // |types| rows
+    val nN = nodes.length.toDouble
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
+    def round9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+    def step(p: Map[String, Double]): Map[String, Double] = {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.foldLeft(JBD.ZERO) { case (acc, (src, _, ew)) =>
+          acc.add(round9(p(src) * ew / wout(src)))
+        }.doubleValue
+      }
+      nodes.map(v => v -> ((1.0 - PrDamping) / nN +
+        PrDamping * s.getOrElse(v, 0.0))).toMap
     }
-    val p0 = nodes.select(col("node"), (lit(1.0) / lit(nN)).as("pr"))
-    step(step(p0))
-      .select(col("node").as("event_type"), col("pr").as("pagerank"))
+    val p0 = nodes.map(_ -> 1.0 / nN).toMap
+    val p2 = step(step(p0))
+    import spark.implicits._
+    nodes.map(v => (v, p2(v))).toSeq
+      .toDF("event_type", "pagerank")
       .orderBy("event_type")
   }
 
@@ -546,7 +553,9 @@ object StarSchemaQueries {
   def oracles: Map[String, String] = Map(
     // transitions in event_id arrival order (engine-identical, unlike ns
     // ts); per-edge contributions 9dp-rounded into DECIMAL sums; rank
-    // arithmetic mirrored op for op ((1.0 - 0.85), never literal 0.15)
+    // arithmetic mirrored op for op — with (1−d) computed as an explicit
+    // DOUBLE subtraction, since DuckDB folds bare (1.0 - 0.85) in exact
+    // DECIMAL, 2 ulp away from the JVM's double
     "event_type_pagerank" -> {
       def step(prev: String, contribName: String, outName: String): String =
         s"""$contribName AS (
@@ -557,7 +566,8 @@ object StarSchemaQueries {
            |  GROUP BY 1),
            |$outName AS (
            |  SELECT p.node,
-           |    (1.0 - $PrDamping) / n.n + $PrDamping * COALESCE(c.s, 0.0) AS pr
+           |    (CAST(1.0 AS DOUBLE) - CAST($PrDamping AS DOUBLE)) / n.n
+           |      + $PrDamping * COALESCE(c.s, 0.0) AS pr
            |  FROM $prev p LEFT JOIN $contribName c ON p.node = c.node, n)"""
           .stripMargin
       s"""WITH ev AS (SELECT user_id, event_id, event_type FROM events),

@@ -780,21 +780,30 @@ object TextAnalysis {
     *
     * Exactness: all integer counts and string ops — float-free. */
   def bpeMergeIter2(spark: SparkSession, sfDir: String): DataFrame = {
-    val wc = wordCounts(spark, sfDir)
-    val top1 = pairCountsIter1(wc)
-      .orderBy(col("n_total").desc, col("pair").asc)
-      .limit(1).head.getString(0) // 1-row collect: the merge-table entry
-    def expand(s: Column): Column = replace(s, lit(BpeMarker), lit(top1))
-    wc.select(col("c"),
-        replace(col("w"), lit(top1), lit(BpeMarker)).as("w2"))
-      .filter(length(col("w2")) >= 2)
-      .select(col("c"),
-        explode(transform(sequence(lit(1), length(col("w2")) - 1),
-          i => concat(expand(col("w2").substr(i, lit(1))), lit("+"),
-            expand(col("w2").substr(i + 1, lit(1)))))).as("pair2"))
-      .groupBy("pair2").agg(sum(col("c")).as("n_total"))
-      .orderBy(col("n_total").desc, col("pair2").asc)
-      .limit(BpeTopK)
+    // persist the vocab across the two passes (winner lookup + recount) so
+    // the corpus-sized word-count aggregation truly runs once; both passes
+    // and the ≤BpeTopK result are vocab/driver-sized, so the query
+    // computes eagerly and returns a local frame (the heavyHitters shape)
+    val wc = wordCounts(spark, sfDir).persist()
+    try {
+      val top1 = pairCountsIter1(wc)
+        .orderBy(col("n_total").desc, col("pair").asc)
+        .limit(1).head.getString(0) // 1-row collect: the merge-table entry
+      def expand(s: Column): Column = replace(s, lit(BpeMarker), lit(top1))
+      val rows = wc.select(col("c"),
+          replace(col("w"), lit(top1), lit(BpeMarker)).as("w2"))
+        .filter(length(col("w2")) >= 2)
+        .select(col("c"),
+          explode(transform(sequence(lit(1), length(col("w2")) - 1),
+            i => concat(expand(col("w2").substr(i, lit(1))), lit("+"),
+              expand(col("w2").substr(i + 1, lit(1)))))).as("pair2"))
+        .groupBy("pair2").agg(sum(col("c")).as("n_total"))
+        .orderBy(col("n_total").desc, col("pair2").asc)
+        .limit(BpeTopK)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      import spark.implicits._
+      rows.toDF("pair2", "n_total")
+    } finally wc.unpersist()
   }
 
   /** Training-sequence length for [[sequencePacking]] — the model context

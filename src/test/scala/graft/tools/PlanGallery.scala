@@ -155,15 +155,17 @@ object PlanGallery {
       "corpus-sized moves; the decimal weight sum keeps shares " +
       "order-free."),
     "bpe_merge_iter2" -> ("The BPE training loop's iteration shape: the " +
-      "iteration-1 winner is ONE driver-side row returning as a literal; " +
-      "merge application (string replace) and the pair recount both run " +
-      "over the distinct VOCAB weighted by word count — vocab-sized per " +
-      "iteration, corpus-sized exactly once (the word-count agg)."),
+      "corpus-sized word-count agg runs ONCE into a persisted vocab; the " +
+      "iteration-1 winner is one driver-side row returning as a literal; " +
+      "merge application (string replace) and the pair recount run over " +
+      "the distinct VOCAB weighted by word count — vocab-sized per " +
+      "iteration. The result materializes eagerly (LocalTableScan here)."),
     "event_type_pagerank" -> ("Link analysis: one per-user lag window " +
       "(bounded groups) collapses the corpus into a |types|²-edge " +
-      "relation; both PageRank iterations are joins over that " +
-      "broadcast-sized graph. Event-count scale lives entirely in the " +
-      "edge-extraction window."),
+      "relation that collects driver-side (sidecar-scale, the " +
+      "pca_project pattern); both PageRank iterations run there in " +
+      "exact decimal, so no corpus subtree is referenced twice. " +
+      "Event-count scale lives entirely in the edge-extraction window."),
     "stupid_backoff_score" -> ("Distributed bigram LM scoring: the LM " +
       "tables build as two hash aggs over the target slice; the corpus " +
       "bigram stream equi-joins the bigram table (the one corpus-sized " +

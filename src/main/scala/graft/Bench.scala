@@ -99,6 +99,15 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"sf":"$sfDir"}""")
+    // Durability: the consumer keeps only a bounded tail of the build log,
+    // and the full line above has been observed to arrive truncated at the
+    // HEAD of that window. Emit a second, much smaller summary line LAST —
+    // totals plus the 15 slowest queries — so the expensive tail and the
+    // grand total always survive whatever prefix the log tail cuts off.
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v, _) => "[" + jstr(k) + "," + f3(v) + "]" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"summary","total_s":${f3(total)},"n":${results.size},"n_errors":${errors.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

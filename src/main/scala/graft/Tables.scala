@@ -24,35 +24,47 @@ object Tables {
     spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to a micros timestamp (UTC
-    * session). DuckDB keeps full ns — queries must not emit raw `ts`, only
-    * values truncated to ≥1s granularity (e.g. date_trunc), which agree.
+  /** events.ts has shipped in two fixture schemas: parquet TIMESTAMP(NANOS)
+    * (Spark's vectorized reader rejects it — read nanos as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, then truncate to micros)
+    * and plain TIMESTAMP_NTZ micros (read directly). This loader adapts to
+    * whichever the directory holds and always returns `ts` as TIMESTAMP
+    * (UTC session — the NTZ→TZ cast is wall-clock identity there, matching
+    * DuckDB's naive read). Queries must not emit sub-µs values.
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set at build time by Verify/Bench/Demo/SparkSpec) — a loader must not
-    * mutate session conf as a side effect, so it only verifies. */
+    * A loader must not mutate session conf as a side effect, so the nanos
+    * path only verifies the flag Verify/Bench/SparkSpec already set. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) fixture read as nanos-long
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "events requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // micros timestamp fixture (NTZ or TZ)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   /** events with `ts` as a MICROSECOND epoch long — for operators whose
     * semantics compare timestamps between rows (as-of / range joins): long
     * comparisons are exact and the DuckDB oracle mirrors them with
-    * `epoch_us(ts)` (µs is the finest granularity DuckDB 1.0 keeps when
-    * reading TIMESTAMP_NS parquet — it truncates, hence `div 1000` here).
-    * Same nanosAsLong session requirement. */
+    * `epoch_us(ts)`. Adapts to both fixture schemas like [[events]]. */
   def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "eventsUs requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000L"))
-      .drop("ts")
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "eventsUs requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
+        raw.withColumn("ts_us", expr("ts div 1000L")).drop("ts")
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType))).drop("ts")
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/lineitem.parquet")

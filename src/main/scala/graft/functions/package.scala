@@ -44,17 +44,15 @@ package object functions {
   def vector_mul(a: Column, b: Column): Column =
     F.zip_with(a, b, (x, y) => (x * y).cast(FloatType))
 
-  /** pgvector `vector_norm(v)` (Euclidean norm, double). */
-  def vector_norm(v: Column): Column =
-    F.sqrt(col(InnerProduct(expr(v), expr(v))))
+  /** pgvector `vector_norm(v)` (Euclidean norm, double) — single-pass
+    * codegen'd [[VectorNorm]], SQL-registered by [[registerAll]]. */
+  def vector_norm(v: Column): Column = col(VectorNorm(expr(v)))
 
   /** pgvector `l2_normalize(v)`: v/‖v‖ as float (zero vector passes
     * through unchanged, matching pgvector's error-free behavior on norm 0
-    * for halfvec/sparsevec and avoiding NaN codes downstream). */
-  def l2_normalize(v: Column): Column = {
-    val n = vector_norm(v)
-    F.when(n === 0.0d, v).otherwise(F.transform(v, x => (x / n).cast(FloatType)))
-  }
+    * for halfvec/sparsevec and avoiding NaN codes downstream). Codegen'd
+    * [[L2Normalize]], SQL-registered by [[registerAll]]. */
+  def l2_normalize(v: Column): Column = col(L2Normalize(expr(v)))
 
   /** pgvector `a <#> b` (negative inner product, ascending = max-IP). */
   def neg_inner_product(a: Column, b: Column): Column = -inner_product(a, b)
@@ -228,6 +226,12 @@ package object functions {
         "scala_udf")
       r.createOrReplaceTempFunction("vector_concat",
         es => org.apache.spark.sql.catalyst.expressions.Concat(es), "scala_udf")
+      // pgvector 0.8 function-surface completion (VERDICT r6 item 7)
+      r.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es(0)), "scala_udf")
+      r.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es(0)), "scala_udf")
+      // pgvector binary_quantize returns bit(n); ours packs the same sign
+      // bits into array<bigint> words (documented representation deviation)
+      r.createOrReplaceTempFunction("binary_quantize", es => BqPack(es(0)), "scala_udf")
     }
   }
 }

@@ -255,19 +255,21 @@ object PqIndex {
     * driver hash-level evidence that the ADC machinery ranks the right
     * ids. Still exercises the full PQ read path: every candidate id flows
     * out of the codes dataset through the ADC ranking before the re-rank.
-    * Candidates join the base table by broadcast id-frame — an `isin`
-    * literal chain would be corpus-sized here. A verification query:
-    * production probes stay overfetch-bounded ([[searchRerank]]). */
+    * The candidate frame here is CORPUS-SIZED, so it joins the base table
+    * by a plain shuffled left_semi (an `isin` literal chain or a broadcast
+    * would both be corpus-sized driver/executor memory); AQE is free to
+    * downgrade to broadcast only if the runtime size allows. A
+    * verification query: production probes stay overfetch-bounded
+    * ([[searchRerank]]). */
   def searchRerankAll(spark: SparkSession, indexPath: String, base: DataFrame,
                       q: Array[Float], k: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.{cosine_distance, vector_lit}
-    import org.apache.spark.sql.functions.broadcast
     val nCodes = spark.read.parquet(s"$indexPath/codes").count()
     val pool = math.min(nCodes, Int.MaxValue.toLong).toInt
     val cands = search(spark, indexPath, q, pool)
       .select(col("vec_id").as("_cand_id"))
-    base.join(broadcast(cands), col(idCol).cast("long") === col("_cand_id"), "left_semi")
+    base.join(cands, col(idCol).cast("long") === col("_cand_id"), "left_semi")
       .select(col(idCol).cast("long").as("vec_id"),
         cosine_distance(col(vecCol), vector_lit(q)).as("dist"))
       .orderBy(col("dist"), col("vec_id"))

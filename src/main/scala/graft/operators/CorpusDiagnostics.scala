@@ -29,11 +29,14 @@ object CorpusDiagnostics {
     * low familiar ratio carry novel text worth keeping.
     *
     * Scale shape: one document-frequency agg over distinct per-doc bigrams
-    * (hash agg, map-side combined), the frequent set filtered to df ≥
-    * [[NoveltyDf]] and BROADCAST back (boilerplate vocabularies are small
-    * by construction — raise the threshold or switch to a shuffle join on
-    * a corpus where "frequent" stops being selective), one per-doc count
-    * agg. No windows, no self-joins.
+    * (hash agg, map-side combined), the frequent set joined back WITHOUT a
+    * broadcast hint: at 100 TB a df ≥ [[NoveltyDf]] cut is NOT selective,
+    * so the join must not assume the frequent set fits an executor. AQE
+    * size-gates it at runtime — small measured frequent sets downgrade to
+    * a broadcast-hash join, large ones stay a shuffled join (the fallback
+    * is the planner's measured-bytes decision, not prose; spec pins both
+    * paths row-identical). Then one per-doc count agg. No windows, no
+    * self-joins.
     *
     * Exactness: pure integer counts; the ratio is one unrounded double
     * division (bit-identical by construction — int/int quotients CAN
@@ -49,7 +52,7 @@ object CorpusDiagnostics {
     val frequent = docBg.groupBy("bigram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= NoveltyDf)
       .select(col("bigram"), lit(1L).as("fam"))
-    docBg.join(broadcast(frequent), Seq("bigram"), "left")
+    docBg.join(frequent, Seq("bigram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("fam"), lit(0L))).as("n_familiar"))

@@ -201,6 +201,27 @@ object ReferenceQueries {
     (parts :+ catRow).reduce(_ unionAll _).orderBy("vec_id", "part", "dim")
   }
 
+  /** pgvector 0.8 SQL-function surface — `vector_norm`, `l2_normalize`,
+    * `binary_quantize` — exercised through the SESSION REGISTRY (the query
+    * goes through `spark.sql`, not the Column API, so it proves the
+    * functions are SQL-callable as [[graft.functions.registerAll]]
+    * promises). Per vector: the Euclidean norm, the norm after
+    * normalization (≈1; exact double recompute, oracle replays the same
+    * one-rounding float division), and the sign-bit population count of
+    * the binary quantization (scalar-typed so the driver can hash it).
+    *
+    * Scale shape: map-only projection over the scan — no shuffle. */
+  def vectorNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_norm_embeddings")
+    spark.sql(
+      """SELECT vec_id,
+        |  vector_norm(embedding) AS norm,
+        |  vector_norm(l2_normalize(embedding)) AS unit_norm,
+        |  aggregate(binary_quantize(embedding), 0L, (acc, w) -> acc + bit_count(w)) AS n_pos
+        |FROM graft_norm_embeddings ORDER BY vec_id""".stripMargin)
+  }
+
   /** Oracle SQL (DuckDB dialect) for every query above; fragments built by
     * [[graft.OracleSql]] are bit-exact with the Catalyst expressions. */
   def oracles: Map[String, String] = {
@@ -242,6 +263,22 @@ object ReferenceQueries {
         "SELECT doc_id, n_chars FROM documents WHERE text ILIKE '%merge slow%' ORDER BY doc_id",
       "vector_dims" ->
         "SELECT vec_id, len(embedding) AS dim FROM embeddings ORDER BY vec_id",
+      // norm in sequential double accumulation (bit-exact with VectorNorm);
+      // unit_norm replays L2Normalize's one float rounding per element
+      "vector_norms" ->
+        s"""WITH n AS (
+           |  SELECT vec_id, embedding, sqrt(${O.normSq("embedding")}) AS norm
+           |  FROM embeddings),
+           |u AS (
+           |  SELECT vec_id, norm, embedding,
+           |    CASE WHEN norm = 0 THEN embedding
+           |         ELSE list_transform(embedding,
+           |                x -> CAST(CAST(x AS DOUBLE) / norm AS FLOAT)) END AS uv
+           |  FROM n)
+           |SELECT vec_id, norm,
+           |  sqrt(${O.normSq("uv")}) AS unit_norm,
+           |  CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_pos
+           |FROM u ORDER BY vec_id""".stripMargin,
       "l2_topk" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
            |SELECT e.vec_id, ${O.l2Dist("e.embedding", "q.qv")} AS dist
@@ -307,6 +344,7 @@ object ReferenceQueries {
     "recent_docs" -> ((s, d) => recentDocs(s, d)),
     "ilike_filter" -> ((s, d) => ilikeFilter(s, d)),
     "vector_dims" -> ((s, d) => vectorDims(s, d)),
+    "vector_norms" -> ((s, d) => vectorNorms(s, d)),
     "l2_topk" -> ((s, d) => l2TopK(s, d)),
     "l1_topk" -> ((s, d) => l1TopK(s, d)),
     "ip_topk" -> ((s, d) => ipTopK(s, d)),

@@ -446,12 +446,22 @@ object TextAnalysis {
     * equi-join (corpus-sized, shuffle on (w1,w2) — inherent, the LM *is*
     * that table) and to the vocab-sized unigram table twice by broadcast
     * (at open-vocab scale swap those for shuffle joins), then one per-doc
-    * agg. No windows.
+    * agg. No windows. The bigram join key is Zipfian at scale — head
+    * bigrams ("of the") would pile one reducer — so it runs through
+    * [[graft.util.Skew.saltedEquiJoin]] with [[SbJoinSalt]] salts: the
+    * corpus stream salts uniformly, the LM table replicates ×salt
+    * (LM-table-sized, bounded), and each hot key spreads over salt
+    * reducers. Row-identical to the plain join (spec-pinned).
     *
     * Exactness: counts are exact integers; each s is 1-2 deterministic
     * double ops; −ln rounds 6dp into DECIMAL(18,6) order-free sums (the
     * [[lmScore]] recipe); the final mean is one division rounded 6dp. */
-  def stupidBackoffScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Salt fan-out for the [[stupidBackoffScore]] bigram join (spec runs
+    * salt=1 as the plain-join twin). */
+  val SbJoinSalt = 8
+
+  def stupidBackoffScore(spark: SparkSession, sfDir: String,
+                         salt: Int = SbJoinSalt): DataFrame = {
     val t = tokens(col("text"))
     val base = Tables.documents(spark, sfDir)
       .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
@@ -468,8 +478,7 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val scal = c1.agg(sum(col("c1")).cast("double").as("tt"),
       count(lit(1)).cast("double").as("v"))
-    docBg
-      .join(c2, Seq("w1", "w2"), "left")
+    graft.util.Skew.saltedEquiJoin(docBg, c2, Seq("w1", "w2"), salt, "left")
       .join(broadcast(c1.select(col("token").as("w1"), col("c1").as("c1w1"))),
         Seq("w1"), "left")
       .join(broadcast(c1.select(col("token").as("w2"), col("c1").as("c1w2"))),
@@ -806,6 +815,82 @@ object TextAnalysis {
     } finally wc.unpersist()
   }
 
+  /** Number of greedy merges [[bpeLearn]] performs. Bounded by 8 so every
+    * merged symbol gets its own control-char marker chr(1)..chr(8) — none
+    * of which can appear inside a whitespace-split token — and the unrolled
+    * DuckDB oracle stays tractable. Production would raise this with a
+    * wider marker alphabet (any unused codepoints). */
+  val BpeLearnK = 8
+
+  /** BPE trainer loop (Sennrich et al. 2016 §3.2): k greedy merge
+    * iterations, each one winner-select → apply-merge → recount, over the
+    * persisted vocab-sized word-frequency state. Returns the learned merge
+    * table — `rank, merge_pair ("sa+sb", symbols expanded), n_total` — the
+    * artifact a tokenizer build ships. Generalizes [[bpeMergeIter2]] (its
+    * 2 unrolled iterations are this loop's k=2 prefix; spec-pinned).
+    *
+    * Scale shape: the corpus-sized work is ONE token-count hash agg
+    * (inside [[wordCounts]], persisted); every iteration after that runs
+    * over the DISTINCT VOCAB weighted by word frequency — the classic
+    * Sennrich trick that makes each merge vocab-sized, not corpus-sized.
+    * Per iteration: one vocab-sized pair recount + a 1-row collect (the
+    * winner), then one vocab-sized `replace` projection. The re-segmented
+    * vocab is re-persisted each iteration so lineage stays one step deep.
+    *
+    * Merged symbols are tracked as control-char markers inside the vocab
+    * strings (merge i ⇒ chr(i)); candidate pairs are expanded through the
+    * driver-side symbol table both for reporting and for the tie-break, so
+    * ordering is over the human-readable "sa+sb" form — byte-identical in
+    * both engines (binary UTF-8 collation).
+    *
+    * Exactness: integer counts and string ops end-to-end — float-free. */
+  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    var wc = wordCounts(spark, sfDir).persist()
+    wc.count() // materialize before the loop so iteration lineage starts here
+    // marker char -> fully-expanded symbol (expansions never contain
+    // markers, so chained replace in any order expands correctly)
+    var symtab = List.empty[(String, String)]
+    def expand(c: Column): Column =
+      symtab.foldLeft(c) { case (acc, (m, e)) => replace(acc, lit(m), lit(e)) }
+    def expandStr(s: String): String =
+      symtab.foldLeft(s) { case (acc, (m, e)) => acc.replace(m, e) }
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    try {
+      var i = 1
+      var exhausted = false
+      while (i <= BpeLearnK && !exhausted) {
+        // 1-row collect: this iteration's merge-table entry (empty when a
+        // tiny fixture vocab runs out of adjacent pairs before k merges)
+        val winArr = wc.filter(length(col("w")) >= 2)
+          .select(col("c"),
+            explode(transform(sequence(lit(1), length(col("w")) - 1),
+              j => col("w").substr(j, lit(2)))).as("p"))
+          .groupBy("p").agg(sum(col("c")).as("n_total"))
+          .select(col("p"), col("n_total"),
+            concat(expand(col("p").substr(1, 1)), lit("+"),
+              expand(col("p").substr(2, 1))).as("ep"))
+          .orderBy(col("n_total").desc, col("ep").asc)
+          .limit(1).collect()
+        if (winArr.isEmpty) exhausted = true
+        else {
+          val win = winArr(0)
+          val (pMarked, nTotal, ep) = (win.getString(0), win.getLong(1), win.getString(2))
+          merges += ((i.toLong, ep, nTotal))
+          val marker = i.toChar.toString // chr(i): this merge's symbol marker
+          symtab ::= (marker, expandStr(pMarked))
+          val next = wc.select(replace(col("w"), lit(pMarked), lit(marker)).as("w"),
+            col("c")).persist()
+          next.count() // cut lineage: each iteration reads the previous persist
+          wc.unpersist()
+          wc = next
+          i += 1
+        }
+      }
+    } finally wc.unpersist()
+    import spark.implicits._
+    merges.result().toDF("rank", "merge_pair", "n_total")
+  }
+
   /** Training-sequence length for [[sequencePacking]] — the model context
     * the packer fills (production exposes it as a parameter). */
   val PackSeqLen = 512L
@@ -851,6 +936,7 @@ object TextAnalysis {
     "sequence_packing" -> ((s, d) => sequencePacking(s, d)),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
     "bpe_merge_iter2" -> ((s, d) => bpeMergeIter2(s, d)),
+    "bpe_learn" -> ((s, d) => bpeLearn(s, d)),
     "vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
@@ -898,6 +984,48 @@ object TextAnalysis {
        |  FROM qtf q
        |  JOIN dl USING (doc_id)
        |  JOIN df ON df.token = q.token, n, ad)""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeLearn]] — the k-iteration trainer loop unrolled
+    * into a generated CTE chain (DuckDB has no imperative loop). Iteration
+    * i: pair recount over wc_{i-1} → winner by (n_total DESC, expanded
+    * pair ASC) → expansion entry exp_i → merge application wc_i via the
+    * same greedy left-to-right `replace`. Markers are chr(1)..chr(k),
+    * matching the Spark loop byte-for-byte. */
+  private def bpeLearnOracle(tok: String, k: Int): String = {
+    // expand a marked-symbol fragment through the merge table learned so
+    // far: chained replace over the (marker, expansion) entries < i
+    def expFn(x: String, i: Int): String =
+      (1 until i).foldLeft(x)((acc, j) => s"replace($acc, chr($j), (SELECT e FROM exp$j))")
+    // AS MATERIALIZED everywhere a CTE is referenced more than once:
+    // DuckDB inlines plain CTEs, and wc_i feeds both p_{i+1} and wc_{i+1}
+    // — unmaterialized, the base scan would be inlined 2^k times
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc0 AS MATERIALIZED (
+              |  SELECT w, count(*) AS c
+              |  FROM (SELECT unnest($tok) AS w FROM documents) GROUP BY 1)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+                |p$i AS (
+                |  SELECT substring(w, CAST(j AS INT), 2) AS pair, c
+                |  FROM (SELECT w, c, unnest(range(1, length(w))) AS j
+                |        FROM wc${i - 1} WHERE length(w) >= 2)),
+                |a$i AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n_total FROM p$i GROUP BY pair),
+                |win$i AS MATERIALIZED (
+                |  SELECT pair, n_total,
+                |    ${expFn("substring(pair, 1, 1)", i)} || '+' ||
+                |    ${expFn("substring(pair, 2, 1)", i)} AS ep
+                |  FROM a$i ORDER BY n_total DESC, ep LIMIT 1),
+                |exp$i AS MATERIALIZED (SELECT ${expFn("pair", i)} AS e FROM win$i),
+                |wc$i AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM win$i), chr($i)) AS w, c FROM wc${i - 1})""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (1 to k).map { i =>
+      s"  SELECT CAST($i AS BIGINT) AS rank, (SELECT ep FROM win$i) AS merge_pair, " +
+        s"(SELECT n_total FROM win$i) AS n_total"
+    }.mkString(" UNION ALL\n")
+    sb ++= "\n) ORDER BY rank"
+    sb.toString
   }
 
   def oracles: Map[String, String] = {
@@ -1009,6 +1137,7 @@ object TextAnalysis {
            |  CAST(SUM(c) AS BIGINT) AS n_total
            |FROM s2 GROUP BY pair2
            |ORDER BY n_total DESC, pair2 LIMIT $BpeTopK""".stripMargin,
+      "bpe_learn" -> bpeLearnOracle(tok, BpeLearnK),
       "text_stats" ->
         s"""WITH base AS (
            |  SELECT doc_id, text,

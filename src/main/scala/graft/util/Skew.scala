@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
-                     salt: Int, joinType: String = "inner"): DataFrame = {
+                     salt: Int, joinType: String = "inner"): DataFrame =
+    saltedEquiJoin(big, small, Seq(key), salt, joinType)
+
+  /** Composite-key form — the bigram LM join's (w1, w2) shape. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     salt: Int, joinType: String): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
     // right/full outer would emit `salt` null-padded copies of every
     // unmatched small-side row (it is replicated before the join)
@@ -30,7 +35,7 @@ object Skew {
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig
-      .join(replicatedSmall, Seq(key, "_salt"), joinType)
+      .join(replicatedSmall, keys :+ "_salt", joinType)
       .drop("_salt")
   }
 

@@ -83,4 +83,30 @@ class SqlParitySpec extends SparkSpec {
     assert(row.getDouble(1) === 5.0)
     assert(row.getDouble(2) === 11.0)
   }
+
+  test("SQL-registered pgvector 0.8 functions: vector_norm, l2_normalize, binary_quantize") {
+    views
+    val row = spark.sql(
+      """SELECT vector_norm(array(3.0f, 4.0f)) AS n,
+        |       l2_normalize(array(3.0f, 4.0f)) AS u,
+        |       l2_normalize(array(0.0f, 0.0f)) AS z,
+        |       binary_quantize(array(1.0f, -2.0f, 0.0f, -0.5f)) AS b""".stripMargin)
+      .head()
+    assert(row.getDouble(0) === 5.0)
+    assert(row.getSeq[Float](1) === Seq(0.6f, 0.8f))
+    assert(row.getSeq[Float](2) === Seq(0.0f, 0.0f)) // norm-0 passthrough
+    // sign bits: elements 0 (1.0) and 2 (0.0 >= 0) set → word 0b101 = 5
+    assert(row.getSeq[Long](3) === Seq(5L))
+  }
+
+  test("vector_norms contract query runs through the SQL registry and is self-consistent") {
+    val df = operators.ReferenceQueries.vectorNorms(spark, Sf0001).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      assert(r.getDouble(1) > 0.0) // fixture embeddings are non-zero
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6) // unit after normalize
+      val nPos = r.getLong(3)
+      assert(nPos >= 0 && nPos <= 64)
+    }
+  }
 }

@@ -54,6 +54,20 @@ class PqIndexSpec extends SparkSpec {
     assert(reranked.head === 0L, "the query's own vector must rank first after re-rank")
   }
 
+  test("searchRerankAll equals exact top-k with no broadcast over the corpus-sized candidate frame") {
+    val df = PqIndex.searchRerankAll(spark, indexPath,
+      graft.Tables.embeddings(spark, Sf0001), queryVec, k = 10)
+    // scale guard: the candidate frame is corpus-sized, so the static plan
+    // must join it by shuffle, never by a hinted BroadcastExchange (AQE may
+    // still downgrade small runtime sizes — that gate is size-measured)
+    val staticPlan = df.queryExecution.sparkPlan.toString
+    assert(!staticPlan.contains("BroadcastExchange"),
+      s"corpus-sized candidate frame must not be broadcast-hinted:\n$staticPlan")
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(df.collect().map(_.getLong(0)).toSeq === exact)
+  }
+
   test("ADC distance approximates exact cosine distance within PQ error") {
     import graft.functions.{cosine_distance, vector_lit}
     val approx = PqIndex.search(spark, indexPath, queryVec, 500)

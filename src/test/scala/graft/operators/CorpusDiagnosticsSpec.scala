@@ -32,6 +32,32 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("bigram_novelty: forced shuffle-join path is row-identical to the broadcast path") {
+    // the frequent-set join carries no broadcast hint (a df≥3 cut is not
+    // selective at scale); the planner size-gates it. Force the fallback
+    // (shuffle) plan by disabling broadcast joins entirely and pin that
+    // both paths return identical rows.
+    val dir = corpusDir(
+      (0L, "a b c a b", "s"), (1L, "a b d", "s"), (2L, "a b e c a", "s"),
+      (3L, "x y x y x y", "s"), (4L, "solo", "s"))
+    val default = CorpusDiagnostics.bigramNovelty(spark, dir).collect().map(_.toSeq).toSeq
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fallback = CorpusDiagnostics.bigramNovelty(spark, dir)
+      val plan = fallback.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"broadcast disabled — fallback plan must shuffle:\n$plan")
+      assert(fallback.collect().map(_.toSeq).toSeq === default)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
+
   test("heavy_hitters: sketch+verify equals the exact aggregation, any capacity") {
     val texts = (0 until 40).map { i =>
       // token t<j> appears in docs 0..j-1 → global count of t<j> is 40-j…

@@ -34,6 +34,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("aa+a", 2L)))
   }
 
+  test("bpe_learn: k-merge trainer loop, hand-computed on low/lower") {
+    // vocab low:2, lower:1. Merge 1: lo:3, ow:3 tie → "l+o". Merge 2:
+    // re-segmented [lo,w]×2 [lo,w,e,r] → lo+w:3. Merge 3: [low]×2
+    // [low,e,r] → low+e:1 vs e+r:1 tie → "e+r". Merge 4: [low,er] →
+    // low+er:1. Merge 5: vocab is single symbols → loop stops early.
+    val dir = corpusDir(0L -> "low low lower")
+    val got = TextAnalysis.bpeLearn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "l+o", 3L), (2L, "lo+w", 3L),
+      (3L, "e+r", 1L), (4L, "low+er", 1L)))
+  }
+
+  test("bpe_learn iterations 1-2 equal the unrolled bpe_pair_counts / bpe_merge_iter2 winners") {
+    // the trainer's k=2 prefix must reproduce the two existing unrolled
+    // queries: merge 1 = bpe_pair_counts' top pair, merge 2 = the top
+    // recounted pair bpe_merge_iter2 reports
+    val dir = corpusDir(0L -> "low low lower newest newest wider low")
+    val learned = TextAnalysis.bpeLearn(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    val iter1 = TextAnalysis.bpePairCounts(spark, dir).head
+    val pair1 = s"${iter1.getString(0).charAt(0)}+${iter1.getString(0).charAt(1)}"
+    assert(learned.head === ((pair1, iter1.getLong(1))))
+    val iter2 = TextAnalysis.bpeMergeIter2(spark, dir).head
+    assert(learned(1) === ((iter2.getString(0), iter2.getLong(1))))
+  }
+
   test("stupid_backoff_score: seen bigrams use c2/c1, unseen ride the α backoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sb").toString
     Seq((0L, "a b", "en"), (1L, "a b", "en"), (2L, "a c", "en"),
@@ -59,6 +85,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L).getDouble(3) === expected)
     // out-of-domain scores above in-domain
     assert(rows(3L).getDouble(3) > rows(0L).getDouble(3))
+  }
+
+  test("stupid_backoff_score: salted bigram join is row-identical to the plain join on a skewed fixture") {
+    // Zipfian head: "of the" dominates the bigram stream (the key shape
+    // that piles one reducer at scale); salt=1 IS the plain equi-join
+    val dir = java.nio.file.Files.createTempDirectory("graft_sb_skew").toString
+    val head = Array.fill(40)("of the").mkString(" ")
+    Seq((0L, s"$head tail one", "en"), (1L, s"$head tail two", "en"),
+      (2L, "of the of the of the", "en"), (3L, "novel words here", "fr"),
+      (4L, s"$head", "en"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plain = TextAnalysis.stupidBackoffScore(spark, dir, salt = 1)
+      .collect().map(_.toSeq).toSeq
+    val salted = TextAnalysis.stupidBackoffScore(spark, dir, salt = TextAnalysis.SbJoinSalt)
+      .collect().map(_.toSeq).toSeq
+    assert(salted === plain)
   }
 
   test("repetition_signals separates degenerate from diverse text") {

@@ -299,6 +299,59 @@ object IvfIndex {
       (nBefore, FsOps.countParquetFiles(conf, lists))
     }
 
+  /** List-occupancy skew stat — the health check streaming ingest needs:
+    * [[append]] assigns to FROZEN centroids (ivfflat semantics), so a
+    * drifting input distribution grows a few hot lists monotonically and
+    * probe pruning degrades toward a full scan. One row:
+    * `(n_lists, n_rows, max_list, min_list, skew)` where `skew` =
+    * max list size / mean list size (1.0 = perfectly balanced). One
+    * metadata-cheap count agg over the lists dataset. */
+  def listSkew(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/lists")
+      .groupBy("list_id").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).cast("int").as("n_lists"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_list"),
+        min(col("n")).as("min_list"),
+        (max(col("n")).cast("double") / avg(col("n"))).as("skew"))
+
+  /** Skew-triggered re-clustering — the rebuild pgvector leaves to a manual
+    * `REINDEX`: when [[listSkew]]'s ratio exceeds `skewThreshold`, re-run
+    * the full [[build]] (fresh KMeans over every stored row, same metric /
+    * list count / indexed column) into a staging directory and atomically
+    * swap the WHOLE index (lists + centroids + radii + meta) via
+    * [[graft.util.FsOps.swapDir]] — concurrent probes read either the old
+    * generation or the new one, never a mix of frozen-stale centroids and
+    * re-assigned lists. Below the threshold it is a no-op (appends stay
+    * cheap; rebuilds amortize). Returns whether a rebuild ran.
+    *
+    * Scale shape: the trigger is one count-agg job over index metadata-
+    * sized groups; the rebuild itself is exactly one [[build]] — KMeans
+    * over the corpus, the same cost the index cost initially, run only
+    * when the skew stat says pruning is degrading. */
+  def rebalance(spark: SparkSession, indexPath: String,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                skewThreshold: Double = 2.0): Boolean =
+    timeIt("ivf_rebalance") {
+      val skew = listSkew(spark, indexPath).head.getAs[Double]("skew")
+      if (skew <= skewThreshold) false
+      else {
+        val metric = metricOf(spark, indexPath)
+        // rebuild on the column the index was BUILT on (meta), not the
+        // caller's default — a mismatch would re-cluster the wrong geometry
+        val vc = columnOf(spark, indexPath).getOrElse(vecCol)
+        val nLists = spark.read.parquet(s"$indexPath/centroids").count().toInt
+        graft.util.FsOps.swapDir(
+          spark.sessionState.newHadoopConf(),
+          new org.apache.hadoop.fs.Path(indexPath)) { (live, staging) =>
+          val rows = spark.read.parquet(s"$live/lists").drop("list_id")
+          build(rows, staging, idCol, vc, nLists, metric)
+        }
+        true
+      }
+    }
+
   /** Top-k probe of `nprobe` lists for one query vector, in the index's
     * opclass metric. */
   def probe(spark: SparkSession, indexPath: String, query: Array[Float],

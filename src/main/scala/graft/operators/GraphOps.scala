@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted-graph link analysis with the adaptive driver/distributed split
+  * the connected-components family already uses ([[Dedup]]): a graph whose
+  * edge list fits comfortably on the driver (≤ [[DriverMaxEdges]]) iterates
+  * in exact local arithmetic with zero shuffles; anything larger runs the
+  * same recurrence as distributed iterate-joins — rank × edge equi-join,
+  * decimal contribution sum per destination — whose per-iteration cost is
+  * one shuffle on the edge key. Both paths implement the SAME numeric
+  * contract, so they agree bit-for-bit (spec-pinned):
+  *
+  *  - per-edge contribution `rank(src) · w / wout(src)` in double,
+  *    rounded HALF_UP to 9dp into DECIMAL(28,9) — decimal sums are
+  *    order-free, so distributed partial aggregation cannot diverge from
+  *    the driver's sequential BigDecimal fold;
+  *  - new rank `(1−d)/n + d·s` in double on identical operands;
+  *  - dangling mass dropped (the simple PageRank variant — documented in
+  *    [[StarSchemaQueries.eventTypePagerank]] and its oracle).
+  *
+  * Ref: Brin & Page 1998 (damping 0.85); the reference surface has no
+  * graph operator — this is the 100 TB scale path the builder brief asks
+  * for (a user→user interaction graph does not fit a driver edge list).
+  */
+object GraphOps {
+
+  /** Edge-count ceiling for the driver-local path. */
+  val DriverMaxEdges = 100000L
+
+  /** PageRank over `edges(src, dst, w)` for the node set `nodes(node)`.
+    * Picks the driver kernel when the edge list is sidecar-sized, the
+    * iterate-join kernel above [[DriverMaxEdges]]; `forceDistributed`
+    * exists so specs can pin cross-kernel equality on one fixture. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int,
+               damping: Double, driverMaxEdges: Long = DriverMaxEdges,
+               forceDistributed: Boolean = false): DataFrame = {
+    val nEdges = edges.count()
+    if (!forceDistributed && nEdges <= driverMaxEdges) {
+      val e = edges.select(col("src").cast("string"), col("dst").cast("string"),
+        col("w").cast("long"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val n = nodes.select(col("node").cast("string"))
+        .collect().map(_.getString(0)).sorted
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      driverPageRank(n, e, iterations, damping).toSeq.toDF("node", "pagerank")
+    } else distributedPageRank(nodes, edges, iterations, damping)
+  }
+
+  /** Exact local kernel — ≤ [[DriverMaxEdges]] edges (index-metadata
+    * scale). One BigDecimal fold per destination per iteration. */
+  private[operators] def driverPageRank(
+      nodes: Array[String], edges: Array[(String, String, Long)],
+      iterations: Int, damping: Double): Seq[(String, Double)] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val nN = nodes.length.toDouble
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
+    def round9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+    def step(p: Map[String, Double]): Map[String, Double] = {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.foldLeft(JBD.ZERO) { case (acc, (src, _, ew)) =>
+          acc.add(round9(p(src) * ew / wout(src)))
+        }.doubleValue
+      }
+      nodes.map(v => v -> ((1.0 - damping) / nN +
+        damping * s.getOrElse(v, 0.0))).toMap
+    }
+    val p0 = nodes.map(_ -> 1.0 / nN).toMap
+    val pk = (1 to iterations).foldLeft(p0)((p, _) => step(p))
+    nodes.map(v => (v, pk(v))).toSeq
+  }
+
+  /** Iterate-join kernel: per iteration ONE equi-join of the rank relation
+    * to the (out-degree-annotated) edge relation on `src` and one decimal
+    * hash agg on `dst` — both shuffles scale with |edges|, never |edges|²;
+    * ranks re-persist each superstep so lineage stays one step deep (the
+    * [[Dedup]] large-graph CC shape). */
+  private[operators] def distributedPageRank(
+      nodes: DataFrame, edges: DataFrame,
+      iterations: Int, damping: Double): DataFrame = {
+    val nN = nodes.count().toDouble
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val wout = e.groupBy("src").agg(sum(col("w")).cast("double").as("wout"))
+    val ew = e.join(wout, "src").persist() // static across iterations
+    ew.count()
+    var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank")).persist()
+    ranks.count()
+    try {
+      for (_ <- 1 to iterations) {
+        val contrib = ew
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"),
+            // the driver kernel's exact op order: (rank · w) / wout,
+            // HALF_UP 9dp → order-free decimal partial sums
+            round(col("rank") * col("w").cast("double") / col("wout"), 9)
+              .cast("decimal(28,9)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        val next = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit((1.0 - damping) / nN) + lit(damping) *
+              coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
+          .persist()
+        next.count() // materialize before dropping the previous generation
+        ranks.unpersist()
+        ranks = next
+      }
+      ranks.withColumnRenamed("rank", "pagerank")
+    } finally ew.unpersist()
+  }
+}

@@ -470,10 +470,12 @@ object StarSchemaQueries {
     * Scale shape: the corpus-sized work is ONE lag window over per-user
     * groups (bounded, the events_sessions shape) collapsing into a
     * |types|²-edge relation, plus one cheap column-distinct for the node
-    * set; both collect to the driver (≤ |types|² rows — sidecar-scale,
-    * the pcaProject pattern) where the two PR iterations run in exact
-    * decimal. No corpus subtree is ever referenced twice, so nothing
-    * recomputes.
+    * set. Iteration runs through [[GraphOps.pageRank]]'s adaptive split:
+    * a type graph is sidecar-sized, so the two PR iterations run in exact
+    * driver decimal; a graph past [[GraphOps.DriverMaxEdges]] (user→user
+    * edges) takes the distributed iterate-join kernel with the identical
+    * numeric contract (cross-kernel equality spec-pinned in
+    * GraphOpsSpec).
     *
     * Exactness: edge weights are exact counts; per-edge contributions
     * round 9dp into exact BigDecimal sums (order-free, DECIMAL(28,9) in
@@ -486,36 +488,17 @@ object StarSchemaQueries {
     * operands to DOUBLE first. */
   def eventTypePagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy("event_id")
-    // |types|²-row collect — bounded by the type alphabet, not event count
     val edges = ev
       .select(col("event_type").as("dst"),
         lag(col("event_type"), 1).over(w).as("src"))
       .filter(col("src").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val nodes = ev.select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted // |types| rows
-    val nN = nodes.length.toDouble
-    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
-    def round9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
-    def step(p: Map[String, Double]): Map[String, Double] = {
-      val s = edges.groupBy(_._2).map { case (dst, es) =>
-        dst -> es.foldLeft(JBD.ZERO) { case (acc, (src, _, ew)) =>
-          acc.add(round9(p(src) * ew / wout(src)))
-        }.doubleValue
-      }
-      nodes.map(v => v -> ((1.0 - PrDamping) / nN +
-        PrDamping * s.getOrElse(v, 0.0))).toMap
-    }
-    val p0 = nodes.map(_ -> 1.0 / nN).toMap
-    val p2 = step(step(p0))
-    import spark.implicits._
-    nodes.map(v => (v, p2(v))).toSeq
-      .toDF("event_type", "pagerank")
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    GraphOps.pageRank(nodes, edges, iterations = 2, damping = PrDamping)
+      .select(col("node").as("event_type"), col("pagerank"))
       .orderBy("event_type")
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, Descending, Expression, IntegerLiteral, Literal, SortOrder, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, Descending, Expression, In, IntegerLiteral, Literal, SortOrder, UnaryMinus}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -285,6 +285,62 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Transparent hnsw rewrite — fires when the sorted table has an
+    * hnsw-kind registration (and no ivfflat one matched): the graph probe
+    * cannot be expressed as a pruned scan of an index DATASET (it is a
+    * traversal), so instead the beam search runs AT PLAN TIME —
+    * [[graft.index.NswIndex.search]], honoring the `hnsw.ef_search`
+    * session knob through its `ef = -1` default — and its k candidate ids
+    * re-enter the plan as an `id IN (…)` filter over the BASE relation;
+    * the untouched Sort/Limit above re-rank those rows exactly. Same
+    * plan-time-driver-work budget as `probedLists` (pgvector's planner
+    * also probes at plan time); k ids is strictly less data than the
+    * ivfflat path's pruned partitions. Cosine only (the NSW graph ranks
+    * in cosine); predicate kNN stays on the explicit `searchFiltered` API
+    * (adaptive-ef semantics do not fit a fixed candidate list). */
+  private def hnswRewrite(gl: GlobalLimit, ll: LocalLimit,
+                          limChild: LogicalPlan, kLimit: Int): Option[LogicalPlan] =
+    for {
+      (outerProj, srt) <- peelToSort(limChild)
+      (metric, dl, dr) <- sortDistance(srt)
+      if metric == "cosine"
+      (stack, rel) <- unwrap(srt.child)
+      if !stack.exists(_.isInstanceOf[Filter])
+      (vecAttr, q) <- queryVector(dl, dr)
+      if rel.outputSet.contains(vecAttr)
+      fsRel <- rel.relation match {
+        case r: HadoopFsRelation => Some(r); case _ => None
+      }
+      entry <- AnnIndexRegistry.lookupAll(
+          fsRel.location.rootPaths.map(_.toString).toSeq)
+        .filter(_.kind == "hnsw")
+        .find(e => e.column.forall(_ == vecAttr.name))
+      // the graph stores (vec_id, embedding): the relation must expose the
+      // id column the graph was keyed on
+      idAttr <- rel.output.find(_.name == "vec_id")
+      // plan-time probe: ≤ k ids. A broken/missing graph must not fail
+      // every kNN query inside the optimizer — warn and stay exact.
+      ids <- scala.util.Try(
+          graft.index.NswIndex.search(spark, entry.indexPath, q, kLimit)
+            .collect().map(_.getLong(0))).toOption
+        .orElse {
+          logWarning(s"hnsw graph at ${entry.indexPath} unreadable; " +
+            "leaving plan unrewritten")
+          None
+        }
+      if ids.nonEmpty
+    } yield {
+      val cand = Filter(In(idAttr, ids.map(Literal(_)).toIndexedSeq), rel)
+      val rebuilt = stack.foldRight(cand: LogicalPlan) {
+        (node, child) => node.withNewChildren(Seq(child))
+      }
+      val newSort = srt.copy(child = rebuilt)
+      val newChild = outerProj
+        .map(p => p.withNewChildren(Seq(newSort)): LogicalPlan)
+        .getOrElse(newSort)
+      gl.copy(child = ll.copy(child = newChild))
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case gl @ GlobalLimit(IntegerLiteral(kLimit),
         ll @ LocalLimit(IntegerLiteral(_), limChild)) =>
@@ -366,7 +422,7 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .getOrElse(newSort)
         gl.copy(child = ll.copy(child = newChild))
       }
-      rewritten.getOrElse(gl)
+      rewritten.orElse(hnswRewrite(gl, ll, limChild, kLimit)).getOrElse(gl)
   }
 }
 

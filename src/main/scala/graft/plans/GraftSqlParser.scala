@@ -35,12 +35,12 @@ import graft.index.IvfIndex
   * sharded NSW graph ([[graft.index.NswIndex]] — the reference advertises
   * HNSW as a pgvector capability, /root/reference/README.md:40) and
   * registers it with kind = "hnsw"; DROP INDEX routes the same way.
-  * DIVERGENCE, documented: hnsw searches go through the explicit
-  * `NswIndex.search`/`searchFiltered` API (discover the graph with
-  * [[AnnIndexRegistry.hnswIndexFor]]) — there is no transparent hnsw plan
-  * rewrite, because the rewrite substitutes PARTITION-PRUNED scan
-  * datasets (the ivfflat layout) while a graph probes via traversal
-  * (decision recorded in SURVEY.md round-3 notes). pgvector's `m` /
+  * `ORDER BY <=> LIMIT k` over an hnsw-registered table rewrites
+  * transparently too (closing the round-3 divergence): the beam search
+  * runs at plan time and its candidate ids re-enter as an id filter —
+  * see [[AnnRewriteRule.hnswRewrite]]; `SET hnsw.ef_search = n` steers
+  * it, mirroring `ivfflat.probes`. Predicate kNN stays on the explicit
+  * `searchFiltered` API (adaptive-ef semantics). pgvector's `m` /
   * `ef_construction` storage options are accepted and ignored with a
   * warning (graph constants are fixed engine-side); `shards` — the knob
   * that actually governs this layout — is honored.

@@ -209,6 +209,16 @@ object StreamingIngest {
     * fire while in-gap events may still legally arrive. Closed sessions
     * append to `resultPath` (file sink, exactly-once via checkpoint).
     * Batch/stream parity is asserted in StreamingSpec. */
+  /** `ts` column normalized to TIMESTAMP, whichever fixture schema the
+    * source carries — nanos-as-long (legacy TIMESTAMP(NANOS) read) or a
+    * plain micros timestamp — mirroring [[graft.Tables.events]]. */
+  private def tsAsTimestamp(schema: StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+
   def startSessionize(spark: SparkSession, srcDir: String, schema: StructType,
                       resultPath: String,
                       gapSeconds: Long = graft.operators.StarSchemaQueries.SessionGapSeconds,
@@ -217,7 +227,7 @@ object StreamingIngest {
     val events = spark.readStream.schema(schema).parquet(srcDir)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        tsAsTimestamp(schema).as("ts"))
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("event_id"), col("ts"),
         unix_seconds(col("ts")).as("sec"))
@@ -267,23 +277,36 @@ object StreamingIngest {
       .start()
   }
 
-  /** Streaming windowed rollup over events (watermark + event-time window)
-    * into a memory sink — the stream form of StarSchemaQueries.eventsHourly;
-    * batch/stream parity is asserted in StreamingSpec. */
+  /** Event-time tumbling-window rollup over the events feed — the stream
+    * form of StarSchemaQueries.eventsHourly, run the way a production
+    * stream would be: APPEND output, so a window row is emitted exactly
+    * once, when the watermark passes its end, and rows arriving later than
+    * `watermarkDelay` behind the observed max event time are DROPPED from
+    * already-finalized windows (bounded state — the watermark is what lets
+    * per-type hourly state stay finite on an unbounded feed). The batch
+    * parity and the late-drop behavior are pinned in StreamingSpec.
+    *
+    * `maxFilesPerTrigger` controls micro-batch granularity (the watermark
+    * only advances BETWEEN micro-batches); `ts` adapts to both fixture
+    * schemas like [[graft.Tables.events]]. Note append mode emits nothing
+    * for windows the final watermark has not passed — replayers close the
+    * tail with a sentinel row or accept the open tail missing. */
   def startHourlyRollup(spark: SparkSession, srcDir: String, schema: StructType,
-                        queryName: String): StreamingQuery = {
-    val events = spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    events
-      .withWatermark("ts", "1 hour")
+                        resultPath: String, watermarkDelay: String = "30 minutes",
+                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+    raw.withColumn("ts", tsAsTimestamp(schema))
+      .withWatermark("ts", watermarkDelay)
       .groupBy(col("event_type"), window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"),
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("n"))
       .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", resultPath)
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
   }

@@ -58,6 +58,56 @@ class IvfMaintenanceSpec extends SparkSpec {
       "compaction must not touch the centroid/radius sidecar")
   }
 
+  test("rebalance: skew-triggered rebuild rebalances lists; probe-all stays exact") {
+    import graft.functions.{cosine_distance, vector_lit}
+    val path = Files.createTempDirectory("ivf_rebal").resolve("index").toString
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    // build on a 100-row subset: its 8 centroids model only that sample
+    IvfIndex.build(e.filter(col("vec_id") < 100), path, lists = 8)
+    // heavy append stream: a tight jittered blob around vec 0 — the
+    // drifting-ingest shape. Frozen centroids pile it into ONE list.
+    val base = e.filter(col("vec_id") === 0)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val rnd = new scala.util.Random(7)
+    val blob = (0 until 300).map { i =>
+      (1000L + i, base.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq, 999)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    IvfIndex.append(blob, path)
+    val skewBefore = IvfIndex.listSkew(spark, path).head.getAs[Double]("skew")
+
+    // below-threshold: no-op (appends stay cheap, no surprise rebuilds)
+    assert(!IvfIndex.rebalance(spark, path, skewThreshold = skewBefore + 1.0))
+    assert(IvfIndex.listSkew(spark, path).head.getAs[Double]("skew") === skewBefore)
+
+    // above-threshold: full re-cluster over every stored row
+    assert(IvfIndex.rebalance(spark, path, skewThreshold = 1.0))
+    val statAfter = IvfIndex.listSkew(spark, path).head
+    val skewAfter = statAfter.getAs[Double]("skew")
+    info(f"list skew: before=$skewBefore%.3f after=$skewAfter%.3f")
+    assert(statAfter.getAs[Long]("n_rows") === 400L, "rebuild must keep every row")
+    assert(statAfter.getAs[Int]("n_lists") === 8)
+    assert(skewAfter < skewBefore, "re-clustering must reduce list skew")
+    assert(statAfter.getAs[Long]("max_list").toDouble /
+      math.max(statAfter.getAs[Long]("min_list"), 1L) <= 8.0,
+      "max/min list-size ratio must stay bounded after rebalance")
+
+    // exactness: probe-all over the rebuilt index ≡ brute force
+    val q = e.filter(col("vec_id") === 7)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val probeAll = IvfIndex.probe(spark, path, q, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id"), cosine_distance(col("embedding"), vector_lit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAll === exact)
+    // radii sidecar regenerated for the new generation (filteredKnn bound)
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(cents.columns.contains("radius"))
+    assert(cents.count() === 8L)
+  }
+
   test("streaming knn serving resolves query batches against the index") {
     import graft.streaming.StreamingIngest
     val indexPath = IndexQueries.indexFor(spark, Sf0001)

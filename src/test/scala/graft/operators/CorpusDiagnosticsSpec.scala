@@ -42,8 +42,11 @@ class CorpusDiagnosticsSpec extends SparkSpec {
       (3L, "x y x y x y", "s"), (4L, "solo", "s"))
     val default = CorpusDiagnostics.bigramNovelty(spark, dir).collect().map(_.toSeq).toSeq
     val conf = spark.conf
-    val saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"))
+    // restore-by-unset when a key was not explicitly set before: leaving
+    // an explicit value behind changes AQE decisions for later suites
+    // (SkewSpec's runtime skew-split assertion is sensitive to it)
+    val savedStatic = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAdaptive = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -53,8 +56,11 @@ class CorpusDiagnosticsSpec extends SparkSpec {
         s"broadcast disabled — fallback plan must shuffle:\n$plan")
       assert(fallback.collect().map(_.toSeq).toSeq === default)
     } finally {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved._2)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedStatic)
+      savedAdaptive match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 

@@ -295,7 +295,9 @@ class AnnRewriteSpec extends SparkSpec {
     Graft.loadCatalog(spark, catalog)
     assert(AnnIndexRegistry.hnswIndexFor(tablePath, Some("embedding")) === Some(graphDir),
       "hnsw registration (kind included) must survive the round-trip")
-    // a graph index must never feed the transparent ivfflat rewrite
+    // a graph index must never feed the transparent IVFFLAT rewrite, and
+    // an unreadable graph dir (this one is empty) must leave the plan
+    // exact rather than fail the query inside the optimizer
     val plan = topK(5).queryExecution.executedPlan.toString
     assert(plan.contains("embeddings.parquet") && !plan.contains("list_id"),
       s"restored hnsw entry must not swap the scan:\n$plan")

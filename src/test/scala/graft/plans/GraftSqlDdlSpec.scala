@@ -139,13 +139,29 @@ class GraftSqlDdlSpec extends SparkSpec {
       val idx = AnnIndexRegistry.hnswIndexFor(tablePath, Some("embedding"))
       assert(idx.isDefined, "CREATE INDEX USING hnsw must register the graph")
 
-      // DIVERGENCE (documented): no transparent hnsw rewrite — the plan
-      // stays an exact scan; searches go through the explicit API
-      val plan = s2.table("items2")
+      // transparent hnsw rewrite: the plan-time beam search injects its
+      // candidate ids as an `vec_id IN (…)` filter over the base relation
+      // (no full scan re-rank), and the result equals the explicit API's
+      def topK = s2.table("items2")
         .orderBy(cosine_distance(col("embedding"), vector_lit(q)), col("vec_id"))
-        .limit(10).queryExecution.executedPlan.toString
-      assert(plan.contains("embeddings.parquet"),
-        s"hnsw must not swap the scan:\n$plan")
+        .limit(10)
+      val plan = topK.queryExecution.optimizedPlan.toString
+      assert(plan.contains(" IN (") || plan.contains("INSET"),
+        s"expected candidate-id filter after CREATE INDEX USING hnsw:\n$plan")
+      val viaSql = topK.collect().map(_.getLong(0)).toSeq
+      val viaApi = graft.index.NswIndex.search(s2, idx.get, q, 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaSql === viaApi, "transparent path must serve the graph probe")
+      val recall = viaSql.toSet.intersect(exact.toSet).size / 10.0
+      info(f"hnsw transparent-rewrite recall@10: $recall%.1f")
+      assert(recall >= 0.8, s"recall@10 through the rewrite was $recall")
+
+      // pgvector's `SET hnsw.ef_search` steers the transparent probe: a
+      // corpus-wide beam makes the graph search exact
+      s2.sql("SET hnsw.ef_search = 500")
+      assert(topK.collect().map(_.getLong(0)).toSeq === exact,
+        "ef_search = corpus through the transparent path must equal exact")
+      s2.conf.unset("hnsw.ef_search")
 
       // full-beam search ≡ exact over the DDL-built graph (ef = corpus)
       val viaGraph = graft.index.NswIndex
@@ -157,6 +173,9 @@ class GraftSqlDdlSpec extends SparkSpec {
       s2.sql("DROP INDEX items2_hnsw")
       assert(AnnIndexRegistry.hnswIndexFor(tablePath, Some("embedding")).isEmpty,
         "DROP INDEX must unregister the hnsw entry")
+      val planAfterDrop = topK.queryExecution.optimizedPlan.toString
+      assert(!planAfterDrop.contains(" IN (") && !planAfterDrop.contains("INSET"),
+        s"DROP INDEX must restore the exact scan:\n$planAfterDrop")
 
       // a non-cosine hnsw opclass is rejected with engine guidance (assert
       // on text only the custom path emits, not 'hnsw' which the native

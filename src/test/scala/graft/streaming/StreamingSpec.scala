@@ -97,11 +97,21 @@ class StreamingSpec extends SparkSpec {
     val q1 = StreamingIngest.startSessionize(spark, srcDir, raw.schema, out)
     q1.awaitTermination(120000)
     // phase 2: one far-future sentinel event per user — forces every open
-    // session closed via the gap rule on the checkpointed state
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    // session closed via the gap rule on the checkpointed state. The
+    // sentinel's ts literal adapts to the fixture's ts schema (ns-long or
+    // micros timestamp — the Tables.events duality).
+    val sentinelTs: org.apache.spark.sql.Column =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+        lit(maxTs + 10L * 86400 * 1000000000L)
+      } else {
+        val m = raw.select(max(col("ts")).cast("timestamp")).head().getTimestamp(0)
+        lit(new java.sql.Timestamp(m.getTime + 10L * 86400 * 1000))
+          .cast(raw.schema("ts").dataType)
+      }
     raw.groupBy("user_id").agg(max(col("event_id")).as("eid"))
       .select(col("user_id"), (col("eid") + 1000000L).as("event_id"),
-        lit(maxTs + 10L * 86400 * 1000000000L).as("ts"),
+        sentinelTs.as("ts"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
       .select(raw.columns.map(col): _*) // align column order with the source
@@ -163,21 +173,70 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming hourly rollup matches the batch aggregation (parity)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the streaming file source requires a DIRECTORY of files
+    // re-write the fixture through Spark so every stream file shares one
+    // parquet timestamp encoding (the raw fixture's type has shifted
+    // between TIMESTAMP(NANOS) and µs across driver generations)
     val srcDir = tmp("events_stream")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
-    val schema = spark.read.parquet(s"$Sf0001/events.parquet").schema
-    val q = StreamingIngest.startHourlyRollup(spark, srcDir, schema, "rollup_test")
+    val out = tmp("events_rollup_out")
+    val ev = graft.Tables.events(spark, Sf0001)
+    ev.coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    // append mode only emits watermark-finalized windows: a far-future
+    // sentinel in a LATER micro-batch closes every fixture window
+    Thread.sleep(1100) // distinct mtimes: the file source orders by mtime
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    ev.limit(1)
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 10L * 86400 * 1000)))
+      .withColumn("event_type", lit("sentinel"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingIngest.startHourlyRollup(spark, srcDir, schema, out,
+      maxFilesPerTrigger = 1)
     q.awaitTermination(120000)
-    val stream = spark.sql("SELECT event_type, hour, n FROM rollup_test")
+    val stream = spark.read.parquet(out)
+      .filter(col("event_type") =!= "sentinel")
+      .select("event_type", "hour", "n")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val batch = StarSchemaQueries.eventsHourly(spark, Sf0001)
       .select("event_type", "hour", "n")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(stream === batch, "stream result must equal the batch rollup")
+  }
+
+  test("streaming hourly rollup drops rows later than the watermark from finalized windows") {
+    import spark.implicits._
+    val srcDir = tmp("events_late_stream")
+    val out = tmp("events_late_out")
+    def rows(ts: (String, String)*) = ts.toSeq.toDF("s", "event_type")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"))
+    // batch 1 (on time): hour 00 ×2, hour 01 ×1, max ts 02:00 → watermark
+    // advances to 02:00 − 30 min = 01:30, past the end of window
+    // [00:00,01:00). Spark propagates the watermark into the late-data
+    // filter with a one-trigger delay (empirically pinned here), so the
+    // late arrival goes in a THIRD batch — the realistic shape anyway: on
+    // a live stream triggers fire continuously between an event's window
+    // closing and a straggler arriving.
+    rows(("2026-01-01 00:10:00", "a"), ("2026-01-01 00:20:00", "a"),
+      ("2026-01-01 01:10:00", "a"), ("2026-01-01 02:00:00", "a"))
+      .coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    Thread.sleep(1100) // distinct mtimes: the file source orders by mtime
+    rows(("2026-01-01 02:10:00", "b")) // intermediate trigger
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    // batch 3: a LATE row into the finalized hour-00 window (must be
+    // dropped) + a sentinel far enough ahead to close every open window
+    Thread.sleep(1100)
+    rows(("2026-01-01 00:30:00", "a"), ("2026-03-01 00:00:00", "z"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingIngest.startHourlyRollup(spark, srcDir, schema, out,
+      watermarkDelay = "30 minutes", maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).filter(col("event_type") === "a")
+      .select("hour", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // hour 00 keeps the on-time count 2 — the late 00:30 row did NOT land
+    assert(got === Set(
+      ("2026-01-01 00:00:00", 2L),
+      ("2026-01-01 01:00:00", 1L),
+      ("2026-01-01 02:00:00", 1L)), s"got $got")
   }
 }

@@ -24,47 +24,53 @@ object Tables {
     spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
-  /** events.ts has shipped in two fixture schemas: parquet TIMESTAMP(NANOS)
-    * (Spark's vectorized reader rejects it — read nanos as long under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, then truncate to micros)
-    * and plain TIMESTAMP_NTZ micros (read directly). This loader adapts to
-    * whichever the directory holds and always returns `ts` as TIMESTAMP
-    * (UTC session — the NTZ→TZ cast is wall-clock identity there, matching
-    * DuckDB's naive read). Queries must not emit sub-µs values.
-    *
-    * A loader must not mutate session conf as a side effect, so the nanos
-    * path only verifies the flag Verify/Bench/SparkSpec already set. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ONE implementation of the events `ts` schema duality, shared by
+    * the batch loaders below and the streaming sources
+    * ([[graft.streaming.StreamingIngest]]): fixtures have shipped `ts` as
+    * parquet TIMESTAMP(NANOS) (Spark's vectorized reader rejects it --
+    * read nanos as long under `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * truncate to micros) and as a plain micros timestamp (NTZ or TZ --
+    * cast; wall-clock identity under the UTC session, matching DuckDB's
+    * naive read). Returns a TIMESTAMP-typed column for the given source
+    * schema. Queries must not emit sub-microsecond values. */
+  private[graft] def tsAsTimestamp(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
-      case LongType => // TIMESTAMP(NANOS) fixture read as nanos-long
-        require(
-          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-          "events requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => // micros timestamp fixture (NTZ or TZ)
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
     }
   }
-  /** events with `ts` as a MICROSECOND epoch long — for operators whose
+
+  /** Read events.parquet, translating the raw "Illegal Parquet type"
+    * schema-inference failure on a TIMESTAMP(NANOS) fixture into the
+    * actionable message (the flag must be set at SESSION construction --
+    * a loader must not mutate conf as a side effect, so it can only
+    * instruct). */
+  private def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    try spark.read.parquet(s"$sfDir/events.parquet")
+    catch {
+      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        throw new IllegalStateException(
+          "events.parquet carries TIMESTAMP(NANOS): set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true at session construction",
+          e)
+    }
+
+  /** events with `ts` normalized to TIMESTAMP -- see [[tsAsTimestamp]]. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = readEvents(spark, sfDir)
+    raw.withColumn("ts", tsAsTimestamp(raw.schema))
+  }
+  /** events with `ts` as a MICROSECOND epoch long -- for operators whose
     * semantics compare timestamps between rows (as-of / range joins): long
     * comparisons are exact and the DuckDB oracle mirrors them with
     * `epoch_us(ts)`. Adapts to both fixture schemas like [[events]]. */
   def eventsUs(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, unix_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        require(
-          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-          "eventsUs requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
-        raw.withColumn("ts_us", expr("ts div 1000L")).drop("ts")
-      case _ =>
-        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType))).drop("ts")
-    }
+    import org.apache.spark.sql.functions.unix_micros
+    val raw = readEvents(spark, sfDir)
+    raw.withColumn("ts_us", unix_micros(tsAsTimestamp(raw.schema))).drop("ts")
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/lineitem.parquet")

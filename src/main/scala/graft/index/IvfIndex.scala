@@ -282,7 +282,8 @@ object IvfIndex {
     * coalesced per partition into a staging dir and atomically swaps
     * (stash → publish → delete, rolling back on failure). Sidecars
     * (centroids/radii/meta) are untouched — compaction moves rows, never
-    * changes assignment or geometry. Returns (files before, files after). */
+    * changes assignment or geometry. Returns (files before, files after).
+    * Single-maintenance-writer contract — see [[rebalance]]. */
   def compact(spark: SparkSession, indexPath: String): (Int, Int) =
     timeIt("ivf_compact") {
       import graft.util.FsOps
@@ -325,6 +326,14 @@ object IvfIndex {
     * generation or the new one, never a mix of frozen-stale centroids and
     * re-assigned lists. Below the threshold it is a no-op (appends stay
     * cheap; rebuilds amortize). Returns whether a rebuild ran.
+    *
+    * WRITER contract (same as [[compact]]): maintenance assumes ONE
+    * maintenance writer — the shape streaming ingest provides (serial
+    * foreachBatch micro-batches interleave append/compact/rebalance, never
+    * overlap them). An append racing the rebuild would land in the old
+    * generation after the lists snapshot was taken and be dropped by the
+    * swap — the analog of rows inserted during a Postgres REINDEX without
+    * its lock. Readers stay safe throughout (swap atomicity).
     *
     * Scale shape: the trigger is one count-agg job over index metadata-
     * sized groups; the rebuild itself is exactly one [[build]] — KMeans

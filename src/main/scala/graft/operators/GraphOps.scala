@@ -32,29 +32,49 @@ object GraphOps {
   /** PageRank over `edges(src, dst, w)` for the node set `nodes(node)`.
     * Picks the driver kernel when the edge list is sidecar-sized, the
     * iterate-join kernel above [[DriverMaxEdges]]; `forceDistributed`
-    * exists so specs can pin cross-kernel equality on one fixture. */
+    * exists so specs can pin cross-kernel equality on one fixture.
+    *
+    * Output contract, identical across kernels (spec-pinned):
+    * `(node STRING, pagerank DOUBLE)` — node ids are canonicalized to
+    * string so the schema cannot silently change the day a growing graph
+    * crosses the size threshold; edges whose `src` is not in `nodes`
+    * (stale/filtered snapshots) are DROPPED by both kernels. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int,
                damping: Double, driverMaxEdges: Long = DriverMaxEdges,
                forceDistributed: Boolean = false): DataFrame = {
-    val nEdges = edges.count()
-    if (!forceDistributed && nEdges <= driverMaxEdges) {
-      val e = edges.select(col("src").cast("string"), col("dst").cast("string"),
-        col("w").cast("long"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val n = nodes.select(col("node").cast("string"))
-        .collect().map(_.getString(0)).sorted
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      driverPageRank(n, e, iterations, damping).toSeq.toDF("node", "pagerank")
-    } else distributedPageRank(nodes, edges, iterations, damping)
+    val nodesS = nodes.select(col("node").cast("string").as("node"))
+    // persist across dispatch-count + kernel consumption: the caller's
+    // edge relation is typically a corpus-sized aggregation that must not
+    // recompute once for count() and again for collect()/iteration
+    val edgesS = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
+      .persist()
+    try {
+      val nEdges = edgesS.count()
+      if (!forceDistributed && nEdges <= driverMaxEdges) {
+        val e = edgesS.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val n = nodesS.collect().map(_.getString(0)).sorted
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        driverPageRank(n, e, iterations, damping).toSeq.toDF("node", "pagerank")
+      } else distributedPageRank(nodesS, edgesS, iterations, damping)
+      // (the distributed kernel materializes every generation inside its
+      // loop, so releasing the edge persist below cannot trigger a
+      // recompute of the returned, already-cached rank relation)
+    } finally edgesS.unpersist()
   }
 
   /** Exact local kernel — ≤ [[DriverMaxEdges]] edges (index-metadata
-    * scale). One BigDecimal fold per destination per iteration. */
+    * scale). One BigDecimal fold per destination per iteration. Edges
+    * with an unknown src are dropped, matching the distributed kernel's
+    * inner rank join (a throw here would make the two kernels diverge on
+    * stale snapshots). */
   private[operators] def driverPageRank(
-      nodes: Array[String], edges: Array[(String, String, Long)],
+      nodes: Array[String], allEdges: Array[(String, String, Long)],
       iterations: Int, damping: Double): Seq[(String, Double)] = {
     import java.math.{BigDecimal => JBD, RoundingMode}
+    val known = nodes.toSet
+    val edges = allEdges.filter(e => known(e._1))
     val nN = nodes.length.toDouble
     val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
     def round9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
@@ -87,6 +107,7 @@ object GraphOps {
     ew.count()
     var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank")).persist()
     ranks.count()
+    var ok = false
     try {
       for (_ <- 1 to iterations) {
         val contrib = ew
@@ -107,7 +128,14 @@ object GraphOps {
         ranks.unpersist()
         ranks = next
       }
+      ok = true
+      // the returned generation stays cached for the caller; once the
+      // caller drops the frame, ContextCleaner reclaims the blocks (the
+      // standard fate of a returned persisted relation)
       ranks.withColumnRenamed("rank", "pagerank")
-    } finally ew.unpersist()
+    } finally {
+      ew.unpersist()
+      if (!ok) ranks.unpersist() // mid-loop failure: don't leak the live gen
+    }
   }
 }

@@ -1024,7 +1024,10 @@ object TextAnalysis {
       s"  SELECT CAST($i AS BIGINT) AS rank, (SELECT ep FROM win$i) AS merge_pair, " +
         s"(SELECT n_total FROM win$i) AS n_total"
     }.mkString(" UNION ALL\n")
-    sb ++= "\n) ORDER BY rank"
+    // pair exhaustion before k merges (degenerate corpora): an empty win_i
+    // yields NULL scalar subqueries — drop those rows to mirror the Spark
+    // loop's early stop, instead of emitting phantom (i, NULL, NULL) rows
+    sb ++= "\n) WHERE merge_pair IS NOT NULL ORDER BY rank"
     sb.toString
   }
 

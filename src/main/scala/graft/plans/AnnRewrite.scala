@@ -68,13 +68,16 @@ object AnnIndexRegistry {
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  /** Centroids-dir mtime — changes whenever the sidecar is rewritten
-    * (Spark's overwrite mode recreates the directory). */
-  private def fingerprint(spark: SparkSession, indexPath: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+  private def dirMtime(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     fs.getFileStatus(path).getModificationTime
   }
+
+  /** Centroids-dir mtime — changes whenever the sidecar is rewritten
+    * (Spark's overwrite mode recreates the directory). */
+  private def fingerprint(spark: SparkSession, indexPath: String): Long =
+    dirMtime(spark, s"$indexPath/centroids")
 
   def register(tablePath: String, indexPath: String, nprobe: Int): Unit =
     register(tablePath, indexPath, nprobe, column = None)
@@ -229,6 +232,40 @@ object AnnIndexRegistry {
       v
     }
   }
+
+  private val hnswMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (String, Long, Int, Int, collection.immutable.ArraySeq[Float]), Seq[Long]](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (String, Long, Int, Int, collection.immutable.ArraySeq[Float]), Seq[Long]]) =
+        size() > MemoMax
+    })
+
+  /** Memoized plan-time hnsw beam search — the graph counterpart of
+    * [[probedLists]], and for the same reason: the optimizer re-fires per
+    * QueryExecution, and an unmemoized probe would run a full graph-shard
+    * Spark job on EVERY plan of the same kNN. Keyed on the graph dir's
+    * mtime (append/compact swaps recreate it), k, the RESOLVED ef (the
+    * `hnsw.ef_search` session knob must not serve a stale beam width),
+    * and the query vector. Same no-lock-during-job discipline. */
+  def hnswCandidates(spark: SparkSession, entry: Entry, q: Array[Float],
+                     k: Int): Seq[Long] = {
+    val ef = spark.conf.getOption("hnsw.ef_search")
+      .flatMap(_.trim.toIntOption).filter(_ > 0)
+      .getOrElse(graft.index.NswIndex.EfSearch)
+    val key = (entry.indexPath, dirMtime(spark, s"${entry.indexPath}/graph"),
+      k, ef, collection.immutable.ArraySeq.unsafeWrapArray(q.clone()))
+    val cached = hnswMemo.get(key)
+    if (cached != null) cached
+    else {
+      val v = graft.index.NswIndex.search(spark, entry.indexPath, q, k, ef)
+        .collect().map(_.getLong(0)).toSeq
+      hnswMemo.put(key, v)
+      v
+    }
+  }
 }
 
 case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -315,14 +352,17 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           fsRel.location.rootPaths.map(_.toString).toSeq)
         .filter(_.kind == "hnsw")
         .find(e => e.column.forall(_ == vecAttr.name))
-      // the graph stores (vec_id, embedding): the relation must expose the
-      // id column the graph was keyed on
-      idAttr <- rel.output.find(_.name == "vec_id")
-      // plan-time probe: ≤ k ids. A broken/missing graph must not fail
-      // every kNN query inside the optimizer — warn and stay exact.
+      // the graph stores (vec_id LONG, embedding): the relation must
+      // expose the id column the graph was keyed on, AS a long — an
+      // In(int-attr, long-literals) predicate would fail type check at
+      // execution instead of falling back to exact
+      idAttr <- rel.output.find(a =>
+        a.name == "vec_id" && a.dataType == org.apache.spark.sql.types.LongType)
+      // memoized plan-time probe (hnswCandidates): ≤ k ids. A broken or
+      // missing graph must not fail every kNN query inside the optimizer
+      // — warn and stay exact.
       ids <- scala.util.Try(
-          graft.index.NswIndex.search(spark, entry.indexPath, q, kLimit)
-            .collect().map(_.getLong(0))).toOption
+          AnnIndexRegistry.hnswCandidates(spark, entry, q, kLimit)).toOption
         .orElse {
           logWarning(s"hnsw graph at ${entry.indexPath} unreadable; " +
             "leaving plan unrewritten")

@@ -209,15 +209,10 @@ object StreamingIngest {
     * fire while in-gap events may still legally arrive. Closed sessions
     * append to `resultPath` (file sink, exactly-once via checkpoint).
     * Batch/stream parity is asserted in StreamingSpec. */
-  /** `ts` column normalized to TIMESTAMP, whichever fixture schema the
-    * source carries — nanos-as-long (legacy TIMESTAMP(NANOS) read) or a
-    * plain micros timestamp — mirroring [[graft.Tables.events]]. */
-  private def tsAsTimestamp(schema: StructType) =
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
-    }
+  /** `ts` normalized to TIMESTAMP — the shared fixture-schema duality
+    * lives in [[graft.Tables.tsAsTimestamp]]; this is just the streaming
+    * sources' entry to it. */
+  private def tsAsTimestamp(schema: StructType) = graft.Tables.tsAsTimestamp(schema)
 
   def startSessionize(spark: SparkSession, srcDir: String, schema: StructType,
                       resultPath: String,

@@ -45,6 +45,22 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("kernel contract: long node ids canonicalize to string and unknown-src edges drop, both kernels") {
+    // long-keyed graph with one edge from a node outside the node set
+    // (stale snapshot shape): both kernels must return the same
+    // string-typed schema and drop the unknown edge rather than throw
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (99L, 1L, 5L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val results = Seq(false, true).map { force =>
+      val df = GraphOps.pageRank(nodes, edges, iterations = 2, damping = 0.85,
+        forceDistributed = force)
+      assert(df.schema("node").dataType === org.apache.spark.sql.types.StringType,
+        s"forceDistributed=$force must canonicalize node ids to string")
+      df.orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    assert(results(0) === results(1), "kernels must agree after dropping the stale edge")
+  }
+
   test("1M-edge smoke: distributed kernel iterates a graph no driver edge list should hold") {
     // deterministic synthetic graph: 50k nodes, 1M edges (20 out-edges per
     // node via affine maps — no RNG, reproducible)

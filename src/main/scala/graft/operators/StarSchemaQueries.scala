@@ -252,6 +252,22 @@ object StarSchemaQueries {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** HyperLogLog++ twin of [[eventsDistinctUsers]] — the cardinality
+    * sketch every 100 TB pipeline reaches for when exact countDistinct's
+    * per-group hash set stops fitting: Spark's codegen'd
+    * `approx_count_distinct` (HLL++, Heule et al. 2013) keeps a
+    * CONSTANT-size sketch per (group × partition) and merges sketches at
+    * the shuffle, so memory is O(groups · sketch), independent of
+    * cardinality. rsd=2% (the 0.01 default costs 4× the sketch).
+    * Approximate by construction → no DuckDB oracle (rows-only gate);
+    * tolerance vs the exact twin is spec-pinned. */
+  def eventsDistinctUsersApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Semi-structured: JSON props extraction + rollup. */
   def eventsPropsAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -510,6 +526,9 @@ object StarSchemaQueries {
     // approximate by construction (percentile sketch) → rows-only gate,
     // tolerance-pinned against the exact form in StarSchemaQueriesSpec
     "events_quartile_stats_approx" -> ((s, d) => eventsQuartileStatsApprox(s, d)),
+    // approximate by construction (HLL++ sketch) → rows-only gate,
+    // tolerance-pinned against the exact form in StarSchemaQueriesSpec
+    "events_distinct_users_approx" -> ((s, d) => eventsDistinctUsersApprox(s, d)),
     "events_cube" -> ((s, d) => eventsCube(s, d)),
     "q6_forecast_revenue" -> ((s, d) => q6ForecastRevenue(s, d)),
     "q10_returned_customers" -> ((s, d) => q10ReturnedCustomers(s, d)),

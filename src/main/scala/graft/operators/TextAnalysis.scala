@@ -845,6 +845,19 @@ object TextAnalysis {
     *
     * Exactness: integer counts and string ops end-to-end — float-free. */
   def bpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    learnMerges(spark, sfDir)
+      .map { case (rank, _, ep, n) => (rank.toLong, ep, n) }
+      .toDF("rank", "merge_pair", "n_total")
+  }
+
+  /** The trainer loop itself — one entry per learned merge:
+    * `(rank, markedPair, expandedPair, n_total)`, where `markedPair` is
+    * the 2-char pair in marker space (what `replace` applies) and
+    * `expandedPair` the human-readable "sa+sb". Shared by [[bpeLearn]]
+    * (reports the table) and [[bpeTokensPerDoc]] (applies it). */
+  private def learnMerges(spark: SparkSession, sfDir: String)
+      : IndexedSeq[(Int, String, String, Long)] = {
     var wc = wordCounts(spark, sfDir).persist()
     wc.count() // materialize before the loop so iteration lineage starts here
     // marker char -> fully-expanded symbol (expansions never contain
@@ -854,7 +867,7 @@ object TextAnalysis {
       symtab.foldLeft(c) { case (acc, (m, e)) => replace(acc, lit(m), lit(e)) }
     def expandStr(s: String): String =
       symtab.foldLeft(s) { case (acc, (m, e)) => acc.replace(m, e) }
-    val merges = Seq.newBuilder[(Long, String, Long)]
+    val merges = IndexedSeq.newBuilder[(Int, String, String, Long)]
     try {
       var i = 1
       var exhausted = false
@@ -875,7 +888,7 @@ object TextAnalysis {
         else {
           val win = winArr(0)
           val (pMarked, nTotal, ep) = (win.getString(0), win.getLong(1), win.getString(2))
-          merges += ((i.toLong, ep, nTotal))
+          merges += ((i, pMarked, ep, nTotal))
           val marker = i.toChar.toString // chr(i): this merge's symbol marker
           symtab ::= (marker, expandStr(pMarked))
           val next = wc.select(replace(col("w"), lit(pMarked), lit(marker)).as("w"),
@@ -887,8 +900,41 @@ object TextAnalysis {
         }
       }
     } finally wc.unpersist()
-    import spark.implicits._
-    merges.result().toDF("rank", "merge_pair", "n_total")
+    merges.result()
+  }
+
+  /** Apply the learned BPE tokenizer — the train→apply loop closed: run
+    * [[learnMerges]], then segment EVERY document's words with the k
+    * learned merges (the same greedy left-to-right `replace` contract the
+    * trainer used) and report per-doc token accounting: word count, BPE
+    * symbol count, and the compression the merges bought
+    * (chars per BPE token). This is the token-budget pass a pre-training
+    * pipeline runs with its real tokenizer before packing.
+    *
+    * Scale shape: training is vocab-sized per iteration ([[bpeLearn]]);
+    * application is map-only — k chained codegen'd `replace`s per word
+    * instance, zero joins — followed by one per-doc hash agg. No windows.
+    *
+    * Exactness: integer counts; one unrounded double division per doc
+    * (int/int quotients reach 6dp midpoints — the house rule). */
+  def bpeTokensPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = learnMerges(spark, sfDir)
+    val seg = merges.foldLeft(col("w")) { case (c, (i, pMarked, _, _)) =>
+      replace(c, lit(pMarked), lit(i.toChar.toString))
+    }
+    Tables.documents(spark, sfDir)
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), length(col("w")).cast("long").as("n_chars"),
+        length(seg).cast("long").as("n_sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
   }
 
   /** Training-sequence length for [[sequencePacking]] — the model context
@@ -937,6 +983,7 @@ object TextAnalysis {
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(s, d)),
     "bpe_merge_iter2" -> ((s, d) => bpeMergeIter2(s, d)),
     "bpe_learn" -> ((s, d) => bpeLearn(s, d)),
+    "bpe_tokens_per_doc" -> ((s, d) => bpeTokensPerDoc(s, d)),
     "vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
@@ -992,7 +1039,9 @@ object TextAnalysis {
     * pair ASC) → expansion entry exp_i → merge application wc_i via the
     * same greedy left-to-right `replace`. Markers are chr(1)..chr(k),
     * matching the Spark loop byte-for-byte. */
-  private def bpeLearnOracle(tok: String, k: Int): String = {
+  /** The trainer-loop CTE chain shared by the bpe_learn and
+    * bpe_tokens_per_doc oracles — everything up to the last `wc_k`. */
+  private def bpeLearnCtes(tok: String, k: Int): String = {
     // expand a marked-symbol fragment through the merge table learned so
     // far: chained replace over the (marker, expansion) entries < i
     def expFn(x: String, i: Int): String =
@@ -1019,6 +1068,11 @@ object TextAnalysis {
                 |exp$i AS MATERIALIZED (SELECT ${expFn("pair", i)} AS e FROM win$i),
                 |wc$i AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM win$i), chr($i)) AS w, c FROM wc${i - 1})""".stripMargin
     }
+    sb.toString
+  }
+
+  private def bpeLearnOracle(tok: String, k: Int): String = {
+    val sb = new StringBuilder(bpeLearnCtes(tok, k))
     sb ++= "\nSELECT * FROM (\n"
     sb ++= (1 to k).map { i =>
       s"  SELECT CAST($i AS BIGINT) AS rank, (SELECT ep FROM win$i) AS merge_pair, " +
@@ -1029,6 +1083,27 @@ object TextAnalysis {
     // loop's early stop, instead of emitting phantom (i, NULL, NULL) rows
     sb ++= "\n) WHERE merge_pair IS NOT NULL ORDER BY rank"
     sb.toString
+  }
+
+  /** DuckDB twin of [[bpeTokensPerDoc]]: learn the merges with the same
+    * CTE chain, then segment every word instance with the same k greedy
+    * replaces and aggregate per doc. An exhausted iteration's winner is
+    * NULL — COALESCE it to chr(31) (a needle no token contains) so the
+    * replace is a no-op, mirroring the Spark loop's early stop. */
+  private def bpeTokensOracle(tok: String, k: Int): String = {
+    val seg = (1 to k).foldLeft("w") { (acc, i) =>
+      s"replace($acc, COALESCE((SELECT pair FROM win$i), chr(31)), chr($i))"
+    }
+    s"""${bpeLearnCtes(tok, k)},
+       |docw AS (SELECT doc_id, unnest($tok) AS w FROM documents),
+       |seg AS (
+       |  SELECT doc_id, CAST(length(w) AS BIGINT) AS n_chars,
+       |    CAST(length($seg) AS BIGINT) AS n_sym
+       |  FROM docw)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE) AS chars_per_token
+       |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   def oracles: Map[String, String] = {
@@ -1141,6 +1216,7 @@ object TextAnalysis {
            |FROM s2 GROUP BY pair2
            |ORDER BY n_total DESC, pair2 LIMIT $BpeTopK""".stripMargin,
       "bpe_learn" -> bpeLearnOracle(tok, BpeLearnK),
+      "bpe_tokens_per_doc" -> bpeTokensOracle(tok, BpeLearnK),
       "text_stats" ->
         s"""WITH base AS (
            |  SELECT doc_id, text,

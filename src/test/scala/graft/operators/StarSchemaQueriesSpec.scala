@@ -134,21 +134,20 @@ class StarSchemaQueriesSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct (HLL++) tracks exact distinct users within 3%") {
-    import org.apache.spark.sql.functions._
+  test("events_distinct_users_approx (HLL++) tracks the exact twin within 5%") {
     val exact = StarSchemaQueries.eventsDistinctUsers(spark, Sf0001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     // the 100 TB path: a fixed-size mergeable sketch per group instead of
     // the exact distinct's expand+two-phase agg (no oracle — HLL++ has no
     // DuckDB twin; this error-bound gate is its correctness contract)
-    val approx = graft.Tables.events(spark, Sf0001)
-      .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = StarSchemaQueries.eventsDistinctUsersApprox(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx.keySet === exact.keySet)
-    exact.foreach { case (k, n) =>
-      val a = approx(k).toDouble
-      assert(math.abs(a - n) / n <= 0.03, s"$k: exact $n vs approx $a")
+    exact.foreach { case (k, (n, nEvents)) =>
+      val (a, aEvents) = approx(k)
+      assert(aEvents === nEvents, "row counts are exact either way")
+      // rsd=2% sketch: gate at 5% (≥2 sigma)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: exact $n vs approx $a")
     }
   }
 }

@@ -60,6 +60,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(learned(1) === ((iter2.getString(0), iter2.getLong(1))))
   }
 
+  test("bpe_tokens_per_doc: learned merges compress the corpus they were trained on") {
+    // same corpus as the trainer spec: merges are l+o, lo+w, e+r, low+er
+    // (then exhaustion). Segmentations: "low" → [low] (1 symbol),
+    // "lower" → [lower] (1 symbol: low+er fires after e+r)
+    val dir = corpusDir(0L -> "low low lower")
+    val rows = TextAnalysis.bpeTokensPerDoc(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === 3L, "three word instances")
+    assert(r.getLong(2) === 3L, "each word collapses to one learned symbol")
+    // 11 chars / 3 symbols
+    assert(r.getDouble(3) === 11.0 / 3.0)
+  }
+
+  test("bpe_tokens_per_doc: untrainable chars stay one symbol each") {
+    // "ab ab" trains merge a+b (then exhausts); "xyz" shares no pair with
+    // the vocab's learned merges... but x+y / y+z DO get learned (they are
+    // pairs of the corpus). Use disjoint docs to hand-check totals: vocab
+    // {ab:2, xyz:1}: merge1 ab:2 ("a+b"), merge2 over {␁:2, xyz:1}:
+    // xy:1 vs yz:1 tie → ep "x+y" < "y+z" → merge x+y; merge3 ␂z → "xy+z";
+    // then exhaustion. Final: ab→1 sym, xyz→1 sym.
+    val dir = corpusDir(0L -> "ab ab", 1L -> "xyz")
+    val rows = TextAnalysis.bpeTokensPerDoc(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) === ((2L, 2L)))
+    assert(rows(1L) === ((1L, 1L)))
+  }
+
   test("stupid_backoff_score: seen bigrams use c2/c1, unseen ride the α backoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sb").toString
     Seq((0L, "a b", "en"), (1L, "a b", "en"), (2L, "a c", "en"),

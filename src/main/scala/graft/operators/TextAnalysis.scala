@@ -576,6 +576,42 @@ object TextAnalysis {
     * engines, partitionings and shard counts, and composes with itself
     * (a 10% sample of a 10% sample re-salted is an unbiased 1%).
     * Shuffle-free: one scan, one codegen'd hash compare per row. */
+  /** Salt for [[corpusShuffle]]'s ordering key — a different epoch salt
+    * reshuffles the corpus reproducibly. */
+  val ShuffleSalt = "shuffle-epoch-0"
+
+  /** Reproducible global training order — the "shuffle your corpus"
+    * pass every pre-training dataloader build runs: each doc's position
+    * is its rank under a salted hash, so the order is uniform-random in
+    * distribution yet a pure function of (doc_id, salt) — re-runs and
+    * engines agree, and a new epoch salt is a fresh permutation.
+    *
+    * Scale shape: ONE distributed range sort on the 8-byte hash key (the
+    * thing Spark's orderBy is built to do at any size — sampled range
+    * partitioning, no single reducer), then contiguous positions via the
+    * per-partition offset pattern (`zipWithIndex`: one small count job
+    * over partition sizes, then a map — the ONLY corpus-wide contiguous
+    * numbering that avoids a global window funnel; this is the documented
+    * RDD-exception case, per-partition imperative logic). A global
+    * `row_number()` window here would funnel 100 TB through one reducer.
+    *
+    * Exactness: positions are integers from a total order with a doc_id
+    * tie-break — bit-exact by construction. */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.md5_long
+    val sorted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5_long(concat(col("doc_id").cast("string"), lit(":" + ShuffleSalt)))
+          .as("k"))
+      .orderBy("k", "doc_id")
+    val spark2 = sorted.sparkSession
+    import spark2.implicits._
+    sorted.select(col("doc_id")).as[Long].rdd
+      .zipWithIndex() // partition-offset numbering, preserves sort order
+      .toDF("doc_id", "shuffle_pos")
+      .orderBy("shuffle_pos")
+  }
+
   def corpusSample(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = graft.functions.salted_bucket(col("doc_id"), SampleSalt, 100L)
     Tables.documents(spark, sfDir)
@@ -1035,6 +1071,7 @@ object TextAnalysis {
     "doc_chunks" -> ((s, d) => docChunks(s, d)),
     "corpus_mix" -> ((s, d) => corpusMix(s, d)),
     "corpus_sample" -> ((s, d) => corpusSample(s, d)),
+    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "source_stats" -> ((s, d) => sourceStats(s, d)),
     "table_profile" -> ((s, d) => tableProfile(s, d)),
   )
@@ -1249,6 +1286,16 @@ object TextAnalysis {
            |ORDER BY n_total DESC, pair2 LIMIT $BpeTopK""".stripMargin,
       "bpe_learn" -> bpeLearnOracle(tok, BpeLearnK),
       "bpe_tokens_per_doc" -> bpeTokensOracle(tok, BpeLearnK),
+      // total order under the salted hash (+doc_id tie-break) → integer
+      // ranks; DuckDB's window replays the same order the range sort +
+      // zipWithIndex numbering produces
+      "corpus_shuffle" ->
+        s"""SELECT doc_id,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS shuffle_pos
+           |FROM (SELECT doc_id,
+           |    ${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$ShuffleSalt')")} AS k
+           |  FROM documents)
+           |ORDER BY shuffle_pos""".stripMargin,
       "text_stats" ->
         s"""WITH base AS (
            |  SELECT doc_id, text,

@@ -88,6 +88,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1L) === ((1L, 1L)))
   }
 
+  test("corpus_shuffle: contiguous positions, deterministic permutation, salt-sensitive") {
+    val dir = corpusDir((0L to 19L).map(i => i -> s"doc number $i"): _*)
+    val a = TextAnalysis.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // positions are exactly 0..n-1 (zipWithIndex offsets line up)
+    assert(a.map(_._2).sorted.toSeq === (0L to 19L))
+    // a permutation, not the identity (hash ordering actually shuffles)
+    assert(a.sortBy(_._2).map(_._1).toSeq !== (0L to 19L))
+    // rerun is bit-identical (pure function of doc_id + salt)
+    val b = TextAnalysis.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("stupid_backoff_score: seen bigrams use c2/c1, unseen ride the α backoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sb").toString
     Seq((0L, "a b", "en"), (1L, "a b", "en"), (2L, "a c", "en"),

@@ -576,6 +576,14 @@ object TextAnalysis {
     * engines, partitionings and shard counts, and composes with itself
     * (a 10% sample of a 10% sample re-salted is an unbiased 1%).
     * Shuffle-free: one scan, one codegen'd hash compare per row. */
+  def corpusSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = graft.functions.salted_bucket(col("doc_id"), SampleSalt, 100L)
+    Tables.documents(spark, sfDir)
+      .filter(bucket < SampleBuckets)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Salt for [[corpusShuffle]]'s ordering key — a different epoch salt
     * reshuffles the corpus reproducibly. */
   val ShuffleSalt = "shuffle-epoch-0"
@@ -594,30 +602,23 @@ object TextAnalysis {
     * numbering that avoids a global window funnel; this is the documented
     * RDD-exception case, per-partition imperative logic). A global
     * `row_number()` window here would funnel 100 TB through one reducer.
+    * The returned rows INHERIT the range sort's global shuffle_pos order
+    * (zipWithIndex preserves partition order) — a trailing orderBy would
+    * just re-sort already-sorted data.
     *
     * Exactness: positions are integers from a total order with a doc_id
     * tie-break — bit-exact by construction. */
   def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.md5_long
-    val sorted = Tables.documents(spark, sfDir)
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         md5_long(concat(col("doc_id").cast("string"), lit(":" + ShuffleSalt)))
           .as("k"))
       .orderBy("k", "doc_id")
-    val spark2 = sorted.sparkSession
-    import spark2.implicits._
-    sorted.select(col("doc_id")).as[Long].rdd
+      .select(col("doc_id")).as[Long].rdd
       .zipWithIndex() // partition-offset numbering, preserves sort order
       .toDF("doc_id", "shuffle_pos")
-      .orderBy("shuffle_pos")
-  }
-
-  def corpusSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = graft.functions.salted_bucket(col("doc_id"), SampleSalt, 100L)
-    Tables.documents(spark, sfDir)
-      .filter(bucket < SampleBuckets)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy("doc_id")
   }
 
   /** Per-source dataset card — the rollup published next to a training
@@ -1000,7 +1001,11 @@ object TextAnalysis {
         sum(col("n_sym")).as("n_bpe_tokens"),
         sum(col("n_chars")).as("n_chars"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
-        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+        // a whitespace-only doc tokenizes to one empty token → 0 symbols;
+        // guard the 0/0 (ANSI Divide throws; DuckDB yields NaN) with an
+        // explicit NULL, mirrored in the oracle's CASE
+        when(col("n_bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
           .as("chars_per_token"))
       .orderBy("doc_id")
   }
@@ -1171,7 +1176,9 @@ object TextAnalysis {
        |  FROM docw)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
-       |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE) AS chars_per_token
+       |  CASE WHEN SUM(n_sym) > 0
+       |    THEN CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
+       |    ELSE NULL END AS chars_per_token
        |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 

@@ -333,8 +333,12 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * plan-time-driver-work budget as `probedLists` (pgvector's planner
     * also probes at plan time); k ids is strictly less data than the
     * ivfflat path's pruned partitions. Cosine only (the NSW graph ranks
-    * in cosine); predicate kNN stays on the explicit `searchFiltered` API
-    * (adaptive-ef semantics do not fit a fixed candidate list). */
+    * in cosine). A Filter between sort and scan routes the probe through
+    * `NswIndex.searchFiltered` (adaptive-ef post-filtering — the graph
+    * analog of the ivfflat iterative expansion) with the predicate
+    * rebound onto the base table BY NAME; like the ivfflat path, a
+    * wrong-name rebinding can only cost recall, never correctness — the
+    * original Filter node is re-applied as-is above the candidate ids. */
   private def hnswRewrite(gl: GlobalLimit, ll: LocalLimit,
                           limChild: LogicalPlan, kLimit: Int): Option[LogicalPlan] =
     for {
@@ -342,7 +346,10 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (metric, dl, dr) <- sortDistance(srt)
       if metric == "cosine"
       (stack, rel) <- unwrap(srt.child)
-      if !stack.exists(_.isInstanceOf[Filter])
+      filterConds = stack.collect { case f: Filter => f.condition }
+      // predicate references must all be the relation's own attributes —
+      // the same by-name-rebinding validity guard the ivfflat path uses
+      if filterConds.forall(_.references.subsetOf(rel.outputSet))
       (vecAttr, q) <- queryVector(dl, dr)
       if rel.outputSet.contains(vecAttr)
       fsRel <- rel.relation match {
@@ -358,14 +365,29 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // execution instead of falling back to exact
       idAttr <- rel.output.find(a =>
         a.name == "vec_id" && a.dataType == org.apache.spark.sql.types.LongType)
-      // memoized plan-time probe (hnswCandidates): ≤ k ids. A broken or
-      // missing graph must not fail every kNN query inside the optimizer
-      // — warn and stay exact.
-      ids <- scala.util.Try(
-          AnnIndexRegistry.hnswCandidates(spark, entry, q, kLimit)).toOption
+      // plan-time probe: ≤ k ids — memoized for bare kNN, adaptive-ef
+      // filtered search when a predicate sits between sort and scan. A
+      // broken or missing graph must not fail every kNN query inside the
+      // optimizer — warn and stay exact.
+      ids <- scala.util.Try {
+          if (filterConds.isEmpty)
+            AnnIndexRegistry.hnswCandidates(spark, entry, q, kLimit)
+          else {
+            val base = spark.read.parquet(
+              fsRel.location.rootPaths.head.toString)
+            val byName = base.queryExecution.analyzed.output
+              .map(a => a.name -> a).toMap
+            val cond = filterConds.map(_.transform {
+              case a: AttributeReference => byName(a.name)
+            }).reduceLeft[Expression](And(_, _))
+            graft.index.NswIndex.searchFiltered(spark, entry.indexPath, q,
+                kLimit, base, ColumnBridge.column(cond))
+              .collect().map(_.getLong(0)).toSeq
+          }
+        }.toOption
         .orElse {
-          logWarning(s"hnsw graph at ${entry.indexPath} unreadable; " +
-            "leaving plan unrewritten")
+          logWarning(s"hnsw graph at ${entry.indexPath} unreadable or " +
+            "predicate unmappable; leaving plan unrewritten")
           None
         }
       if ids.nonEmpty

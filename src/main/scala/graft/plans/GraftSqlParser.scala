@@ -39,8 +39,8 @@ import graft.index.IvfIndex
   * transparently too (closing the round-3 divergence): the beam search
   * runs at plan time and its candidate ids re-enter as an id filter —
   * see [[AnnRewriteRule.hnswRewrite]]; `SET hnsw.ef_search = n` steers
-  * it, mirroring `ivfflat.probes`. Predicate kNN stays on the explicit
-  * `searchFiltered` API (adaptive-ef semantics). pgvector's `m` /
+  * it, mirroring `ivfflat.probes`. Predicate kNN routes through the
+  * adaptive-ef filtered graph search the same way. pgvector's `m` /
   * `ef_construction` storage options are accepted and ignored with a
   * warning (graph constants are fixed engine-side); `shards` — the knob
   * that actually governs this layout — is honored.

@@ -161,6 +161,34 @@ class GraftSqlDdlSpec extends SparkSpec {
       s2.sql("SET hnsw.ef_search = 500")
       assert(topK.collect().map(_.getLong(0)).toSeq === exact,
         "ef_search = corpus through the transparent path must equal exact")
+
+      // predicate kNN routes through the adaptive-ef filtered graph search
+      // (searchFiltered); at full beam it equals the exact filtered top-k
+      def filteredTopK = s2.table("items2")
+        .filter(col("vec_id") % 2 === 0)
+        .orderBy(cosine_distance(col("embedding"), vector_lit(q)), col("vec_id"))
+        .limit(10)
+      val fPlan = filteredTopK.queryExecution.optimizedPlan.toString
+      assert(fPlan.contains(" IN (") || fPlan.contains("INSET"),
+        s"filtered hnsw kNN must carry the candidate-id filter:\n$fPlan")
+      // exact reference computed driver-side — any Spark read of the
+      // registered path would itself be rewritten onto the graph
+      def cosDist(a: collection.Seq[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < b.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val exactFiltered = s2.read.parquet(tablePath)
+        .select("vec_id", "embedding").collect()
+        .filter(_.getLong(0) % 2 == 0)
+        .map(r => (r.getLong(0), cosDist(r.getAs[collection.Seq[Float]](1), q)))
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(filteredTopK.collect().map(_.getLong(0)).toSeq === exactFiltered,
+        "full-beam filtered graph search through SQL must equal exact filtered top-k")
       s2.conf.unset("hnsw.ef_search")
 
       // full-beam search ≡ exact over the DDL-built graph (ef = corpus)

@@ -51,6 +51,10 @@ object PlanGallery {
     "corpus_sample" -> ("Deterministic hash sample: the md5-bucket predicate is " +
       "one codegen'd row-local filter — no shuffle, no RNG state, same sample " +
       "on any engine/partitioning."),
+    "corpus_shuffle" -> ("Reproducible global training order: ONE distributed " +
+      "range sort on the salted 60-bit hash key (sampled range partitioning — " +
+      "no single reducer), then contiguous positions via zipWithIndex's " +
+      "per-partition offsets. No global row_number window anywhere."),
     "q6_forecast_revenue" -> ("Pushdown showcase: every predicate (date range, " +
       "discount band, quantity cap) appears in PushedFilters, so row groups " +
       "are skipped on parquet min/max stats; the rest is one partial+final " +

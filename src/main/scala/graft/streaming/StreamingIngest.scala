@@ -123,12 +123,32 @@ object StreamingIngest {
   def startIvfMaintenance(spark: SparkSession, srcDir: String, schema: StructType,
                           indexPath: String,
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startIvfMaintenance(spark, srcDir, schema, indexPath, trigger,
+      rebalanceEvery = 0, skewThreshold = 2.0)
+
+  /** [[startIvfMaintenance]] with periodic skew repair: appends assign to
+    * FROZEN centroids, so a drifting input distribution degrades probe
+    * pruning monotonically ([[graft.index.IvfIndex.rebalance]]); with
+    * `rebalanceEvery` = n > 0, every n-th micro-batch checks
+    * [[graft.index.IvfIndex.listSkew]] and re-clusters past
+    * `skewThreshold`. Safe here BY CONSTRUCTION: foreachBatch serializes
+    * batches, so the rebuild never races an append — exactly the
+    * single-maintenance-writer contract rebalance documents. */
+  def startIvfMaintenance(spark: SparkSession, srcDir: String, schema: StructType,
+                          indexPath: String, trigger: Trigger,
+                          rebalanceEvery: Int, skewThreshold: Double): StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"${indexPath}_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.index.IvfIndex.append(batch, indexPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.index.IvfIndex.append(batch, indexPath)
+          if (rebalanceEvery > 0 && (batchId + 1) % rebalanceEvery == 0) {
+            graft.index.IvfIndex.rebalance(batch.sparkSession, indexPath,
+              skewThreshold = skewThreshold)
+          }
+        }
         ()
       }
       .start()

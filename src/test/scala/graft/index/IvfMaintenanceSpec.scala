@@ -108,6 +108,55 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(cents.count() === 8L)
   }
 
+  test("streaming maintenance with periodic rebalance keeps list skew bounded") {
+    import graft.functions.{cosine_distance, vector_lit}
+    import graft.streaming.StreamingIngest
+    val path = Files.createTempDirectory("ivf_srebal").resolve("index").toString
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    IvfIndex.build(e.filter(col("vec_id") < 100), path, lists = 8)
+    // the drifting-ingest stream: a tight jittered blob the frozen
+    // centroids would pile into one list (the rebalance spec's shape)
+    val base = e.filter(col("vec_id") === 0)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val rnd = new scala.util.Random(11)
+    val blob = (0 until 300).map { i =>
+      (2000L + i, base.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq, 999)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val src = Files.createTempDirectory("ivf_srebal_src").resolve("d").toString
+    blob.coalesce(1).write.parquet(src)
+    // control: the same stream into a second index WITHOUT rebalance
+    val ctlPath = Files.createTempDirectory("ivf_srebal_ctl").resolve("index").toString
+    IvfIndex.build(e.filter(col("vec_id") < 100), ctlPath, lists = 8)
+    val qc = StreamingIngest.startIvfMaintenance(spark, src,
+      spark.read.parquet(src).schema, ctlPath,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      rebalanceEvery = 0, skewThreshold = 1.5)
+    qc.awaitTermination(120000)
+    val q = StreamingIngest.startIvfMaintenance(spark, src,
+      spark.read.parquet(src).schema, path,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      rebalanceEvery = 1, skewThreshold = 1.5)
+    q.awaitTermination(120000)
+    val ctlSkew = IvfIndex.listSkew(spark, ctlPath).head.getAs[Double]("skew")
+    val stat = IvfIndex.listSkew(spark, path).head
+    val skew = stat.getAs[Double]("skew")
+    info(f"post-stream list skew: rebalanced=$skew%.3f vs control=$ctlSkew%.3f")
+    assert(stat.getAs[Long]("n_rows") === 400L)
+    assert(skew < ctlSkew,
+      s"periodic rebalance must beat the frozen-centroid control ($skew vs $ctlSkew)")
+    // the rebuilt index still answers exactly at probe-all
+    val qv = e.filter(col("vec_id") === 7)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val probeAll = IvfIndex.probe(spark, path, qv, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id"), cosine_distance(col("embedding"), vector_lit(qv)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAll === exact)
+  }
+
   test("streaming knn serving resolves query batches against the index") {
     import graft.streaming.StreamingIngest
     val indexPath = IndexQueries.indexFor(spark, Sf0001)

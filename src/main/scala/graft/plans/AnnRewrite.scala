@@ -370,9 +370,11 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // broken or missing graph must not fail every kNN query inside the
       // optimizer — warn and stay exact.
       ids <- scala.util.Try {
-          if (filterConds.isEmpty)
+          if (filterConds.isEmpty) {
+            println(s"### REVIEWPROBE hnswRewrite fire: BARE path")
             AnnIndexRegistry.hnswCandidates(spark, entry, q, kLimit)
-          else {
+          } else {
+            println(s"### REVIEWPROBE hnswRewrite fire: FILTERED path conds=${filterConds.size}")
             val base = spark.read.parquet(
               fsRel.location.rootPaths.head.toString)
             val byName = base.queryExecution.analyzed.output

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   * (24+24 mantissa bits < 53), which is what makes the downstream
   * decimal-sum oracle recipe bit-exact.
   */
-case class TriProducts(child: Expression) extends UnaryExpression {
+case class TriProducts(child: Expression, withMoments: Boolean = false)
+    extends UnaryExpression {
 
   override def prettyName: String = "tri_products"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -32,22 +33,29 @@ case class TriProducts(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    TriProducts.build(input.asInstanceOf[ArrayData])
+    TriProducts.build(input.asInstanceOf[ArrayData], withMoments)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TriProducts.build($c);")
+      s"${ev.value} = graft.functions.TriProducts.build($c, $withMoments);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object TriProducts {
-  /** Shared by interpreted eval and generated code. */
-  def build(vec: ArrayData): ArrayData = {
+  /** Shared by interpreted eval and generated code. With `withMoments` the
+    * d raw components (widened to double) are appended after the d(d+1)/2
+    * products, so ONE explode+aggregate pass yields both the second-moment
+    * product sums and the first-moment component sums — the fused form
+    * that lets covariance+means run in a single corpus scan. */
+  def build(vec: ArrayData): ArrayData = build(vec, withMoments = false)
+
+  def build(vec: ArrayData, withMoments: Boolean): ArrayData = {
     val x = vec.toFloatArray()
     val d = x.length
-    val out = new Array[Double](d * (d + 1) / 2)
+    val t = d * (d + 1) / 2
+    val out = new Array[Double](if (withMoments) t + d else t)
     var idx = 0
     var i = 0
     while (i < d) {
@@ -59,6 +67,13 @@ object TriProducts {
         j += 1
       }
       i += 1
+    }
+    if (withMoments) {
+      var k = 0
+      while (k < d) {
+        out(t + k) = x(k).toDouble
+        k += 1
+      }
     }
     new GenericArrayData(out)
   }

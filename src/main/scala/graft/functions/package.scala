@@ -148,6 +148,12 @@ package object functions {
     * — the codegen'd per-row covariance contribution ([[TriProducts]]). */
   def tri_products(v: Column): Column = col(TriProducts(expr(v)))
 
+  /** [[tri_products]] with the d raw components (as double) appended after
+    * the d(d+1)/2 products — one explode feeds both covariance product sums
+    * and per-dim first-moment sums in a single corpus pass. */
+  def tri_products_moments(v: Column): Column =
+    col(TriProducts(expr(v), withMoments = true))
+
   /** Single-pass MinHash signature aggregate (input: pmod'ed hash ∈ [0,P)). */
   def minhash_signature(h: Column, numPerms: Int, prime: Long): Column =
     col(MinhashSignature(expr(h), numPerms, prime).toAggregateExpression())

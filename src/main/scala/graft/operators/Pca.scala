@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.util.JacobiEigen
 
 /** Driver-resident PCA model over an embedding column: per-dim means, the
@@ -31,23 +30,16 @@ case class PcaModel(
   * codegen'd arithmetic — embarrassingly parallel, no shuffle, no UDF. */
 object Pca {
 
-  /** Fit a PCA model: one distributed covariance + means pass, then a
-    * driver-side Jacobi eigensolve. The collect is d(d+1)/2 + d rows —
-    * model-sized, bounded by dimensionality, never by corpus size. */
+  /** Fit a PCA model in ONE corpus pass: the fused covariance+moments
+    * aggregation ([[SimilarityQueries.collectMoments]] — a d(d+1)/2 + d row
+    * collect, model-sized, bounded by dimensionality, never by corpus
+    * size), means derived driver-side from the exact first-moment decimal
+    * sums (order-free, unlike a raw double avg), then a driver-side Jacobi
+    * eigensolve. */
   def fit(spark: SparkSession, sfDir: String): PcaModel = {
-    val covRows = SimilarityQueries.embeddingCovariance(spark, sfDir)
-      .collect() // d(d+1)/2 rows (2080 at d=64) — bounded by dims, not corpus
-    val d = SimilarityQueries.CovDims
-    val cov = Array.ofDim[Double](d, d)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
-      cov(i)(j) = c
-      cov(j)(i) = c
-    }
-    val means = Tables.embeddings(spark, sfDir)
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
-      .orderBy("i").collect().map(_.getDouble(1)) // d rows
+    val (sij, si, n) = SimilarityQueries.collectMoments(spark, sfDir)
+    val cov = SimilarityQueries.covFromMoments(sij, si, n)
+    val means = si.map(_.doubleValue / n.toDouble)
     val (vals, vecs) = JacobiEigen.decompose(cov)
     PcaModel(means, vals, vecs)
   }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.math.{BigDecimal => JBD}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -551,38 +553,82 @@ object SimilarityQueries {
     * generated array and feed a hash agg with map-side combine — the
     * shuffle carries ≤2080 partial rows per partition regardless of corpus
     * size. CPU is O(d²/2) per row, inherent to covariance. */
+  /** ONE-pass moment collection: the fused explode
+    * ([[graft.functions.tri_products_moments]]) emits the d(d+1)/2 products
+    * AND the d raw components per row, so a single hash agg (map-side
+    * combined, ≤2144 partial rows per partition at d=64) yields the exact
+    * DECIMAL(28,9) second-moment sums sᵢⱼ, first-moment sums sᵢ and row
+    * count n. The collect is d(d+1)/2 + d rows — model-sized, bounded by
+    * dimensionality, never by corpus size (the centroid-sidecar pattern).
+    * Returns (sij upper-triangle row-major, si, n). */
+  private[operators] def collectMoments(
+      spark: SparkSession, sfDir: String): (Array[JBD], Array[JBD], Long) = {
+    val d = CovDims
+    val t = d * (d + 1) / 2
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = Tables.embeddings(spark, sfDir)
+      // pre-explode fan-out: each row becomes d(d+1)/2 + d terms —
+      // parallelism must come from rows, not input splits
+      .repartition(shuffleParts)
+      .select(posexplode(graft.functions.tri_products_moments(col("embedding")))
+        .as(Seq("pos", "p")))
+      .groupBy("pos")
+      .agg(sum(round(col("p"), 9).cast("decimal(28,9)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(rows.length == t + d,
+      s"collectMoments: expected ${t + d} moment groups, got ${rows.length}")
+    val sij = new Array[JBD](t)
+    val si = new Array[JBD](d)
+    var n = 0L
+    rows.foreach { r =>
+      val pos = r.getInt(0)
+      val s = r.getDecimal(1)
+      if (pos < t) sij(pos) = s else si(pos - t) = s
+      n = r.getLong(2)
+    }
+    (sij, si, n)
+  }
+
+  /** Driver-side covariance matrix from the collected moments, mirroring
+    * the oracle arithmetic bit for bit: decimal sums → double (exact
+    * BigDecimal.doubleValue, same as Spark's decimal→double cast), one
+    * deterministic double expression per cell, HALF_UP 6dp round
+    * (doubles can never tie at a decimal midpoint), and + 0.0 folding IEEE
+    * −0.0 — DuckDB and Spark disagree on the sign bit otherwise. O(d²)
+    * driver work, like the Jacobi eigensolve that consumes it. */
+  private[operators] def covFromMoments(
+      sij: Array[JBD], si: Array[JBD], n: Long): Array[Array[Double]] = {
+    val d = CovDims
+    val nd = n.toDouble
+    val c = Array.ofDim[Double](d, d)
+    var pos = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      val siD = si(i).doubleValue
+      while (j < d) {
+        val raw = (sij(pos).doubleValue - siD * si(j).doubleValue / nd) / nd
+        val v = JBD.valueOf(raw).setScale(6, java.math.RoundingMode.HALF_UP)
+          .doubleValue + 0.0
+        c(i)(j) = v
+        c(j)(i) = v
+        pos += 1
+        j += 1
+      }
+      i += 1
+    }
+    c
+  }
+
   def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
     val d = CovDims
     import spark.implicits._
-    // row-major upper-triangle position → (i, j), broadcast-joined after
-    // the 2080-group aggregation (d²-sized, never corpus-sized)
-    val mapping = (for { i <- 0 until d; j <- i until d } yield (i, j))
-      .zipWithIndex.map { case ((i, j), pos) => (pos, i.toLong, j.toLong) }
-      .toDF("pos", "i", "j")
-    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sij = Tables.embeddings(spark, sfDir)
-      // pre-explode fan-out: each row becomes d(d+1)/2 product terms —
-      // parallelism must come from rows, not input splits
-      .repartition(shuffleParts)
-      .select(posexplode(graft.functions.tri_products(col("embedding"))).as(Seq("pos", "p")))
-      .groupBy("pos")
-      .agg(sum(round(col("p"), 9).cast("decimal(28,9)")).as("sij"))
-      .join(broadcast(mapping), "pos")
-    val si = Tables.embeddings(spark, sfDir)
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i").cast("long").as("i"))
-      .agg(sum(round(col("x").cast("double"), 9).cast("decimal(28,9)")).as("s"),
-        count(lit(1)).as("n"))
-    sij
-      .join(broadcast(si.select(col("i"), col("s").as("s_i"), col("n"))), "i")
-      .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))), "j")
-      .select(col("i"), col("j"),
-        // + 0.0 folds IEEE −0.0 (a tiny negative cov rounded away) to +0.0
-        // — DuckDB and Spark disagree on the sign bit otherwise
-        (round((col("sij").cast("double") -
-          col("s_i").cast("double") * col("s_j").cast("double") / col("n").cast("double")) /
-          col("n").cast("double"), 6) + lit(0.0)).as("cov"))
-      .orderBy("i", "j")
+    val (sij, si, n) = collectMoments(spark, sfDir)
+    val c = covFromMoments(sij, si, n)
+    val rows = for { i <- 0 until d; j <- i until d }
+      yield (i.toLong, j.toLong, c(i)(j))
+    spark.createDataFrame(rows).toDF("i", "j", "cov").orderBy("i", "j")
   }
 
   /** Power-iteration rounds for [[pcaProject]] — unrolled, like the Lloyd
@@ -613,20 +659,16 @@ object SimilarityQueries {
     * never tie at a decimal midpoint, so HALF_UP vs engine-native rounding
     * cannot diverge. Sign is pinned by the fixed all-ones start vector. */
   def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
+    import java.math.RoundingMode
     def round9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
     def round6(x: Double): Double =
       JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
     val d = CovDims
-    // bounded d(d+1)/2-row collect — the covariance relation is index-
-    // sidecar sized, never corpus-sized
-    val c = Array.ofDim[Double](d, d)
-    embeddingCovariance(spark, sfDir).collect().foreach { r =>
-      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-      val v = r.getDouble(2)
-      c(i)(j) = v
-      c(j)(i) = v
-    }
+    // ONE corpus pass: the fused moment aggregation (bounded d²-sized
+    // collect), covariance derived driver-side — bit-identical to the
+    // embedding_covariance relation (covFromMoments mirrors the oracle).
+    val (sijM, siM, nM) = collectMoments(spark, sfDir)
+    val c = covFromMoments(sijM, siM, nM)
     var v = Array.fill(d)(1.0f)
     var eig = 0.0
     for (_ <- 0 until PcaIters) {

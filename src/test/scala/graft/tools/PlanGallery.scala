@@ -133,16 +133,18 @@ object PlanGallery {
       "per cluster × partition, never a row_number window funnelling " +
       "corpus/K rows through one reducer."),
     "embedding_covariance" -> ("Single-pass covariance: the codegen'd " +
-      "tri_products explode feeds a 2080-group hash agg with map-side " +
-      "combine — the shuffle carries ≤ d(d+1)/2 partial rows per partition " +
-      "regardless of corpus size; (i,j) labels join from a broadcast " +
-      "d²-sized mapping."),
-    "pca_project" -> ("Spectral projection: the d²-sized covariance " +
-      "relation collects to the driver (sidecar-scale, like centroids), " +
-      "the power-iteration matvecs run in exact decimal there, and the " +
-      "64-float eigenvector returns as a LITERAL — so the per-row score " +
-      "is one codegen'd inner_product inside the scan's WholeStageCodegen " +
-      "span, shuffle-free."),
+      "fused tri_products_moments explode (products + raw components) " +
+      "feeds ONE 2144-group hash agg with map-side combine — the shuffle " +
+      "carries ≤ d(d+1)/2 + d partial rows per partition regardless of " +
+      "corpus size; the bounded moment relation collects and the 6dp cov " +
+      "cells derive driver-side (O(d²), the eigensolve's scale class), so " +
+      "means cost no second corpus scan."),
+    "pca_project" -> ("Spectral projection: ONE corpus pass (the fused " +
+      "covariance+moments agg), sidecar-sized collect, power-iteration " +
+      "matvecs in exact decimal on the driver, and the 64-float " +
+      "eigenvector returns as a LITERAL — so the per-row score is one " +
+      "codegen'd inner_product inside the scan's WholeStageCodegen span, " +
+      "shuffle-free."),
     "heavy_hitters" -> ("Sketch-then-verify top-k tokens: per-partition " +
       "Misra-Gries summaries emit ≤ capacity candidate rows each " +
       "(mapPartitions — genuinely imperative per-partition state), the " +

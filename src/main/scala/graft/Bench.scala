@@ -8,8 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Method: one untimed warm-up execution per query (absorbs JVM/JIT,
   * whole-stage-codegen compilation and parquet footer reads — one-time
   * session costs that would otherwise dwarf the ~sub-second steady-state
-  * query times at local scale), then the best of 2 timed runs; `total` is
-  * the sum of per-query times.
+  * query times at local scale), then the best of 3 timed runs — noise on
+  * an otherwise-idle machine only ever ADDS time (GC, scheduling), so the
+  * min is the stable estimator and a third sample halves the odds of two
+  * noisy draws; `total` is the sum of per-query times.
+  *
+  * Durability: besides the stdout lines (whose log tail the driver
+  * truncates), the COMPLETE per-query map is written as pretty-printed
+  * JSON to `bench/bench_<sf>.json` in the repo so cross-round per-query
+  * comparison survives in git (override dir: SPARK_GRAFT_BENCH_OUT).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,7 +74,7 @@ object Bench {
 
     val results = queries.filterNot(q => errors.contains(q._1)).map { case (name, fn) =>
       var shuffleBytes = 0L
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         System.gc() // steady-state: GC debt from prior queries stays untimed
         val s0 = shuffleSnapshot()
         val t0 = System.nanoTime()
@@ -104,6 +111,33 @@ object Bench {
     // HEAD of that window. Emit a second, much smaller summary line LAST —
     // totals plus the 15 slowest queries — so the expensive tail and the
     // grand total always survive whatever prefix the log tail cuts off.
+    // Committed artifact: the FULL per-query map, pretty-printed one query
+    // per line (sorted, so git diffs align across rounds). The stdout log
+    // tail truncates; this file is the durable cross-round record.
+    try {
+      val outDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
+      java.nio.file.Files.createDirectories(outDir)
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val lines = new StringBuilder
+      lines.append("{\n")
+      lines.append(s"""  "sf": ${jstr(sfDir)},\n""")
+      lines.append(s"""  "total_s": ${f3(total)},\n""")
+      lines.append(s"""  "n": ${results.size},\n""")
+      lines.append(s"""  "n_errors": ${errors.size},\n""")
+      lines.append("  \"queries\": {\n")
+      lines.append(results.map { case (k, v, b) =>
+        s"""    ${jstr(k)}: {"sec": ${f3(v)}, "shuffle_mb": ${
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e6))}}"""
+      }.mkString(",\n"))
+      lines.append("\n  },\n")
+      lines.append(s"""  "errors": $errs\n""")
+      lines.append("}\n")
+      java.nio.file.Files.write(outDir.resolve(s"bench_$sfName.json"),
+        lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v, _) => "[" + jstr(k) + "," + f3(v) + "]" }
       .mkString("[", ",", "]")

@@ -447,21 +447,55 @@ object TextAnalysis {
     * that table) and to the vocab-sized unigram table twice by broadcast
     * (at open-vocab scale swap those for shuffle joins), then one per-doc
     * agg. No windows. The bigram join key is Zipfian at scale — head
-    * bigrams ("of the") would pile one reducer — so it runs through
-    * [[graft.util.Skew.saltedEquiJoin]] with [[SbJoinSalt]] salts: the
-    * corpus stream salts uniformly, the LM table replicates ×salt
-    * (LM-table-sized, bounded), and each hot key spreads over salt
-    * reducers. Row-identical to the plain join (spec-pinned).
+    * bigrams ("of the") would pile one reducer — so when the probe finds a
+    * hot head it runs through [[graft.util.Skew.saltedEquiJoin]] with
+    * [[SbJoinSalt]] salts: the corpus stream salts uniformly, the LM table
+    * replicates ×salt (LM-table-sized, bounded), and each hot key spreads
+    * over salt reducers. Row-identical to the plain join (spec-pinned).
+    *
+    * The salt is ADAPTIVE (default salt=0 sentinel): replication is
+    * insurance whose ×[[SbJoinSalt]] LM-copy premium is pure waste on a
+    * well-behaved corpus, so a deterministic ~[[SbProbePct]]% salted-bucket
+    * doc sample is probed first ([[graft.util.Skew.hotKeyShare]] over its
+    * bigram stream — a bounded fraction of the insured work) and salting
+    * engages only when the hottest bigram would load its one reducer more
+    * than [[SbHotFactor]]× the fair 1/parts share. Either branch is
+    * row-identical, so the probe can only trade performance, never
+    * correctness.
     *
     * Exactness: counts are exact integers; each s is 1-2 deterministic
     * double ops; −ln rounds 6dp into DECIMAL(18,6) order-free sums (the
     * [[lmScore]] recipe); the final mean is one division rounded 6dp. */
-  /** Salt fan-out for the [[stupidBackoffScore]] bigram join (spec runs
-    * salt=1 as the plain-join twin). */
+  /** Salt fan-out for the [[stupidBackoffScore]] bigram join when skew is
+    * detected (spec runs salt=1 as the plain-join twin). */
   val SbJoinSalt = 8
 
+  /** Percent of docs (by salted bucket) the skew probe reads. */
+  val SbProbePct = 5
+
+  /** Hot-key threshold: salt when the head bigram's stream share exceeds
+    * this multiple of a reducer's fair share (1/shuffle-partitions). */
+  val SbHotFactor = 2.0
+
+  /** The [[stupidBackoffScore]] skew-probe decision (exposed for specs):
+    * hottest-bigram share over a deterministic ~[[SbProbePct]]% salted-
+    * bucket doc sample (filter pushes to the scan — the probe reads a
+    * bounded fraction of the work it insures), salting only when that key
+    * would load its one reducer past [[SbHotFactor]]× the fair share. */
+  def adaptiveSbSalt(spark: SparkSession, sfDir: String): Int = {
+    val t = tokens(col("text"))
+    val sampleBg = Tables.documents(spark, sfDir)
+      .filter(graft.functions.salted_bucket(col("doc_id"), "sbprobe", 100L) < SbProbePct)
+      .select(explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val share = graft.util.Skew.hotKeyShare(sampleBg, Seq("w1", "w2"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (share * parts > SbHotFactor) SbJoinSalt else 1
+  }
+
   def stupidBackoffScore(spark: SparkSession, sfDir: String,
-                         salt: Int = SbJoinSalt): DataFrame = {
+                         salt: Int = 0): DataFrame = {
     val t = tokens(col("text"))
     val base = Tables.documents(spark, sfDir)
       .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
@@ -478,7 +512,8 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val scal = c1.agg(sum(col("c1")).cast("double").as("tt"),
       count(lit(1)).cast("double").as("v"))
-    graft.util.Skew.saltedEquiJoin(docBg, c2, Seq("w1", "w2"), salt, "left")
+    val effectiveSalt = if (salt >= 1) salt else adaptiveSbSalt(spark, sfDir)
+    graft.util.Skew.saltedEquiJoin(docBg, c2, Seq("w1", "w2"), effectiveSalt, "left")
       .join(broadcast(c1.select(col("token").as("w1"), col("c1").as("c1w1"))),
         Seq("w1"), "left")
       .join(broadcast(c1.select(col("token").as("w2"), col("c1").as("c1w2"))),

@@ -45,4 +45,18 @@ object Skew {
     df.groupBy(key).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(key))
       .limit(topN)
+
+  /** Share of the hottest composite key in `df` — the probe that decides
+    * whether [[saltedEquiJoin]] pays for itself: a single key always lands
+    * on ONE reducer, so a key holding share s of the stream loads that
+    * reducer s·parts× its fair share. Caller samples `df` first (the probe
+    * must stay a fraction of the work it is insuring). Returns 0.0 on an
+    * empty relation (no evidence → no salt). */
+  def hotKeyShare(df: DataFrame, keys: Seq[String]): Double = {
+    val top = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("tot"))
+      .collect()(0)
+    if (top.isNullAt(1) || top.getLong(1) == 0L) 0.0
+    else top.getLong(0).toDouble / top.getLong(1).toDouble
+  }
 }

@@ -146,6 +146,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("stupid_backoff_score: adaptive probe engages on a hot head, stays plain when uniform") {
+    // 200 docs so the deterministic ~5% salted-bucket sample is non-empty
+    // (fixed doc_ids + fixed salt → a fixed sampled subset)
+    val skewDir = java.nio.file.Files.createTempDirectory("graft_sb_hot").toString
+    (0L until 200L).map(i => (i, "of the of the of the of the", "en"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    assert(TextAnalysis.adaptiveSbSalt(spark, skewDir) === TextAnalysis.SbJoinSalt,
+      "every doc is the head bigram — the probe must engage the salt")
+    val uniDir = java.nio.file.Files.createTempDirectory("graft_sb_uni").toString
+    (0L until 200L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "en"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
+    assert(TextAnalysis.adaptiveSbSalt(spark, uniDir) === 1,
+      "all bigrams distinct — replication insurance is pure waste")
+  }
+
   test("repetition_signals separates degenerate from diverse text") {
     val dir = corpusDir(
       0L -> "spam spam spam spam spam spam spam spam",      // one bigram repeated

@@ -519,8 +519,45 @@ object StarSchemaQueries {
       .orderBy("event_type")
   }
 
+  /** PageRank over the user→user handoff graph — the distributed-kernel
+    * contract query: consecutive users on the same (event_type, hour)
+    * stream (ordered by ts with event_id tie-break — a total order both
+    * engines agree on) define weighted src→dst edges; two PageRank
+    * iterations rank the users. This is the graph that does NOT fit a
+    * driver edge list at scale, so the query FORCES the iterate-join
+    * kernel ([[GraphOps.distributedPageRank]]) — the driver kernel is its
+    * bit-equal twin (cross-kernel equality spec-pinned on this very query
+    * in GraphOpsSpec).
+    *
+    * Scale shape: the corpus-sized work is ONE lag window whose partitions
+    * are (event_type × hour) — partition COUNT grows with the time span
+    * and per-partition size with the event rate (sub-bucket to minutes if
+    * a stream runs hot), never a whole-table funnel — collapsing into a
+    * user²-bounded (in practice corpus-sized) edge relation; each PR
+    * iteration is one rank⋈edges equi-join shuffle plus one decimal hash
+    * agg ([[GraphOps]] scaladoc). Numeric contract identical to
+    * [[eventTypePagerank]]; dangling mass dropped, mirrored in the
+    * oracle. */
+  def userPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("user_id").as("dst"), lag(col("user_id"), 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val nodes = ev.select(col("user_id").as("node")).distinct()
+    GraphOps.pageRank(nodes, edges, iterations = 2, damping = PrDamping,
+      forceDistributed = true)
+      .select(col("node").cast("long").as("user_id"), col("pagerank"))
+      .orderBy("user_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_type_pagerank" -> ((s, d) => eventTypePagerank(s, d)),
+    "user_pagerank" -> ((s, d) => userPagerank(s, d)),
     "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
     "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
     "events_quartile_stats" -> ((s, d) => eventsQuartileStats(s, d)),
@@ -553,26 +590,34 @@ object StarSchemaQueries {
     "orders_semi_high_value" -> ((s, d) => ordersSemiHighValue(s, d)),
   )
 
+  /** One unrolled PageRank iteration as a CTE pair — shared by the
+    * event_type_pagerank and user_pagerank oracles so both mirror
+    * [[GraphOps]]'s numeric contract from the same text: per-edge
+    * contributions 9dp-rounded into DECIMAL(28,9) order-free sums, rank
+    * arithmetic op for op — with (1−d) computed as an explicit DOUBLE
+    * subtraction, since DuckDB folds bare `(1.0 - 0.85)` in exact DECIMAL,
+    * 2 ulp away from the JVM's double. Expects CTEs `e(src, dst, w)`,
+    * `outw(src, wout)` and `n(n)` in scope. */
+  private def prStep(prev: String, contribName: String, outName: String): String =
+    s"""$contribName AS (
+       |  SELECT e.dst AS node,
+       |    CAST(SUM(CAST(ROUND(p.pr * e.w / o.wout, 9) AS DECIMAL(28,9)))
+       |      AS DOUBLE) AS s
+       |  FROM e JOIN $prev p ON e.src = p.node JOIN outw o ON e.src = o.src
+       |  GROUP BY 1),
+       |$outName AS (
+       |  SELECT p.node,
+       |    (CAST(1.0 AS DOUBLE) - CAST($PrDamping AS DOUBLE)) / n.n
+       |      + $PrDamping * COALESCE(c.s, 0.0) AS pr
+       |  FROM $prev p LEFT JOIN $contribName c ON p.node = c.node, n)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
     // transitions in event_id arrival order (engine-identical, unlike ns
-    // ts); per-edge contributions 9dp-rounded into DECIMAL sums; rank
-    // arithmetic mirrored op for op — with (1−d) computed as an explicit
-    // DOUBLE subtraction, since DuckDB folds bare (1.0 - 0.85) in exact
-    // DECIMAL, 2 ulp away from the JVM's double
+    // ts); numeric recipe in prStep's scaladoc
     "event_type_pagerank" -> {
       def step(prev: String, contribName: String, outName: String): String =
-        s"""$contribName AS (
-           |  SELECT e.dst AS node,
-           |    CAST(SUM(CAST(ROUND(p.pr * e.w / o.wout, 9) AS DECIMAL(28,9)))
-           |      AS DOUBLE) AS s
-           |  FROM e JOIN $prev p ON e.src = p.node JOIN outw o ON e.src = o.src
-           |  GROUP BY 1),
-           |$outName AS (
-           |  SELECT p.node,
-           |    (CAST(1.0 AS DOUBLE) - CAST($PrDamping AS DOUBLE)) / n.n
-           |      + $PrDamping * COALESCE(c.s, 0.0) AS pr
-           |  FROM $prev p LEFT JOIN $contribName c ON p.node = c.node, n)"""
-          .stripMargin
+        prStep(prev, contribName, outName)
       s"""WITH ev AS (SELECT user_id, event_id, event_type FROM events),
          |e AS (
          |  SELECT src, dst, count(*) AS w FROM (
@@ -589,6 +634,27 @@ object StarSchemaQueries {
          |SELECT node AS event_type, pr AS pagerank FROM p2
          |ORDER BY event_type""".stripMargin
     },
+    // user→user handoff edges: consecutive users on the same
+    // (event_type, hour) stream, (ts, event_id) total order; same
+    // prStep numeric recipe as event_type_pagerank
+    "user_pagerank" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events),
+         |e AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT user_id AS dst,
+         |      lag(user_id) OVER (
+         |        PARTITION BY event_type, date_trunc('hour', ts)
+         |        ORDER BY epoch_us(ts), event_id) AS src
+         |    FROM ev)
+         |  WHERE src IS NOT NULL GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM e GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM ev),
+         |p0 AS (SELECT user_id AS node, 1.0 / n.n AS pr
+         |  FROM (SELECT DISTINCT user_id FROM ev), n),
+         |${prStep("p0", "c1", "p1")},
+         |${prStep("p1", "c2", "p2")}
+         |SELECT node AS user_id, pr AS pagerank FROM p2
+         |ORDER BY user_id""".stripMargin,
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,

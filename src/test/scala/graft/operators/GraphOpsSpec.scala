@@ -61,6 +61,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(results(0) === results(1), "kernels must agree after dropping the stale edge")
   }
 
+  test("user_pagerank: the forced-distributed contract query equals its driver-kernel twin") {
+    // same edge construction as StarSchemaQueries.userPagerank, but routed
+    // through the driver kernel — pins that the contract query's forced
+    // iterate-join path is bit-equal to exact local arithmetic
+    val ev = graft.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("user_id").as("dst"), lag(col("user_id"), 1).over(w).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val nodes = ev.select(col("user_id").as("node")).distinct()
+    val driverTwin = GraphOps.pageRank(nodes, edges, iterations = 2,
+        damping = StarSchemaQueries.PrDamping)
+      .select(col("node").cast("long").as("user_id"), col("pagerank"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val contract = StarSchemaQueries.userPagerank(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(contract.nonEmpty)
+    assert(contract === driverTwin, "forced-distributed contract ≡ driver kernel")
+  }
+
   test("1M-edge smoke: distributed kernel iterates a graph no driver edge list should hold") {
     // deterministic synthetic graph: 50k nodes, 1M edges (20 out-edges per
     // node via affine maps — no RNG, reproducible)

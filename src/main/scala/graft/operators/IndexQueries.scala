@@ -65,6 +65,71 @@ object IndexQueries {
       path
     })
 
+  /** pgvector 0.8 builds ivfflat/hnsw indexes ON halfvec columns: the IVF
+    * machinery over the RNE-quantized (binary16 round-trip) vectors — the
+    * quantized-index path that halves index scan bandwidth. Search reranks
+    * candidates with EXACT float32 cosine (the standard quantized-index
+    * recipe), so probe-all is oracle-checkable as a two-stage SQL query. */
+  private val halfCache = new ConcurrentHashMap[String, String]()
+
+  def halfIndexFor(spark: SparkSession, sfDir: String): String =
+    halfCache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_ivf_half").resolve("index").toString
+      import graft.functions.{half_pack, half_unpack}
+      val halfEmb = Tables.embeddings(spark, sfDir)
+        .withColumn("embedding", half_unpack(half_pack(col("embedding"))))
+      IvfIndex.build(halfEmb, path, lists = Lists)
+      path
+    })
+
+  /** Candidate pool the halfvec probe hands to the float rerank. */
+  val HalfIvfCandidates = 50
+
+  /** Two-stage halfvec IVF search: probe the half-quantized index for the
+    * top-[[HalfIvfCandidates]] by HALF cosine distance (nprobe lists),
+    * then rerank those ids with exact float32 cosine against the base
+    * table. The candidate relation is k-rows — broadcast into the fetch
+    * join; only [[HalfIvfCandidates]] rows ever see float math.
+    * `nprobe = Lists` makes the candidate stage a deterministic full
+    * half-distance scan, so the whole pipeline is oracle-exact. */
+  private def halfIvfSearch(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
+    import graft.functions.{cosine_distance, half_pack, half_unpack}
+    val path = halfIndexFor(spark, sfDir)
+    // the query vector is quantized too (pgvector casts the query to
+    // halfvec for the index scan)
+    val qHalf = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(half_unpack(half_pack(col("embedding"))).as("hq"))
+      .head().getAs[collection.Seq[Float]]("hq").toArray
+    val cands = IvfIndex.probe(spark, path, qHalf, HalfIvfCandidates, nprobe)
+      .select(col("vec_id"))
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    Tables.embeddings(spark, sfDir)
+      .join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  /** Approximate halfvec-IVF default (public API, recall-gated in
+    * IvfIndexSpec — only the exact probe-all twin joins the contract). */
+  def halfvecIvfKnn(spark: SparkSession, sfDir: String): DataFrame =
+    halfIvfSearch(spark, sfDir, NProbe)
+
+  /** EXACT probe-all twin of [[halfvecIvfKnn]] — see [[ivfKnnProbeAll]]. */
+  def halfvecIvfKnnProbeAll(spark: SparkSession, sfDir: String): DataFrame =
+    halfIvfSearch(spark, sfDir, nprobe = Lists)
+
+  /** Build (cached) + cardinality contract for the halfvec IVF index. */
+  def halfvecIvfBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = halfIndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/lists")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
   private val pqCache = new ConcurrentHashMap[String, String]()
 
   def pqIndexFor(spark: SparkSession, sfDir: String): String =
@@ -300,6 +365,8 @@ object IndexQueries {
     "pq_knn_reranked_full" -> ((s, d) => pqKnnRerankedFull(s, d)),
     "ivfpq_build" -> ((s, d) => ivfPqBuild(s, d)),
     "ivfpq_knn_probeall" -> ((s, d) => ivfPqKnnProbeAll(s, d)),
+    "halfvec_ivf_build" -> ((s, d) => halfvecIvfBuild(s, d)),
+    "halfvec_ivf_knn_probeall" -> ((s, d) => halfvecIvfKnnProbeAll(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -364,6 +431,24 @@ object IndexQueries {
          |FROM embeddings e, q
          |ORDER BY dist, e.vec_id
          |LIMIT 10""".stripMargin,
+    "halfvec_ivf_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // probe-all makes the candidate stage a full half-distance scan, so
+    // the two-stage pipeline (top-candidates by RNE-quantized cosine,
+    // exact float32 rerank) is deterministic end to end — the halfList
+    // fragment IS the RNE round-trip (pinned by halfvec_knn)
+    "halfvec_ivf_knn_probeall" ->
+      s"""WITH h AS (SELECT vec_id, ${graft.OracleSql.halfList("embedding")} AS hv FROM embeddings),
+         |hq AS (SELECT hv AS qv FROM h WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT h.vec_id FROM h, hq
+         |  ORDER BY ${graft.OracleSql.cosDist("h.hv", "hq.qv")}, h.vec_id
+         |  LIMIT $HalfIvfCandidates),
+         |fq AS (SELECT embedding AS fv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${graft.OracleSql.cosDist("e.embedding", "fq.fv")} AS dist
+         |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, fq
+         |ORDER BY dist, e.vec_id
+         |LIMIT $K""".stripMargin,
     // ivf_knn: the ONE deliberate no-oracle exception kept in the
     // contract — its answer depends on engine-side structures DuckDB
     // cannot reproduce (Spark-ML KMeans assignments). Gated instead by

@@ -55,6 +55,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(r1.head === 0L)
   }
 
+  test("halfvec ivf: two-stage probe-all deterministic and near-exact; approximate default holds the recall floor") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val all1 = IndexQueries.halfvecIvfKnnProbeAll(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    val all2 = IndexQueries.halfvecIvfKnnProbeAll(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all1 === all2, "two-stage probe-all must be deterministic")
+    assert(all1.head === 0L, "the query vector is its own nearest neighbor")
+    // RNE binary16 rounding perturbs cosine ranks only at boundary ties;
+    // the 50-candidate half-distance pool absorbs those swaps, so the
+    // float-reranked top-10 tracks exact float search nearly perfectly
+    val recallAll = all1.toSet.intersect(exact.toSet).size / 10.0
+    assert(recallAll >= 0.9, s"probe-all halfvec recall@10 was $recallAll")
+    // approximate default: nprobe/lists floor, same law as the float index
+    val approx = IndexQueries.halfvecIvfKnn(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val recall = approx.intersect(exact.toSet).size / 10.0
+    assert(recall >= IndexQueries.NProbe.toDouble / IndexQueries.Lists,
+      s"halfvec recall@10 $recall below the nprobe/lists floor")
+  }
+
   test("probe plan prunes partitions (reads nprobe lists, not all)") {
     val df = IvfIndex.probe(spark, indexPath, queryVec, 10, 2)
     val scan = df.queryExecution.executedPlan.toString

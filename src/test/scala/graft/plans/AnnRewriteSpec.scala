@@ -346,6 +346,59 @@ class AnnRewriteSpec extends SparkSpec {
     SimilarityQueries.clearSparseRegistrations()
   }
 
+  test("rebalance swap invalidates the probe memo: the next SQL kNN probes fresh lists") {
+    import spark.implicits._
+    // own table + index: rebalance mutates state, so the shared cached
+    // fixtures must stay untouched
+    val dir = java.nio.file.Files.createTempDirectory("ann_rebal").toString
+    val tbl = s"$dir/embeddings.parquet"
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    e.filter(col("vec_id") < 100).write.parquet(tbl)
+    val idx = s"$dir/index"
+    graft.index.IvfIndex.build(spark.read.parquet(tbl), idx, lists = 8)
+    // drifting ingest: a tight blob OPPOSITE every built centroid — frozen
+    // append piles it into one hot list, the shape rebalance exists for
+    val base = e.filter(col("vec_id") === 0)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val rnd = new scala.util.Random(11)
+    val blob = (0 until 200).map { i =>
+      (1000L + i, base.map(x => -x + 0.05f * rnd.nextGaussian().toFloat).toSeq, 999)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    blob.write.mode("append").parquet(tbl)
+    graft.index.IvfIndex.append(blob, idx)
+    AnnIndexRegistry.register(tbl, idx, nprobe = 2)
+    try {
+      val qB = base.map(x => -x)
+      def knn(k: Int) = spark.read.parquet(tbl)
+        .orderBy(cosine_distance(col("embedding"), vector_lit(qB)), col("vec_id"))
+        .limit(k)
+      // warm the memo at the post-append fingerprint
+      val entry = AnnIndexRegistry.Entry(idx, 2)
+      val preLists = AnnIndexRegistry.probedLists(spark, entry, qB)
+      assert(knn(5).count() === 5)
+      assert(graft.index.IvfIndex.rebalance(spark, idx, skewThreshold = 1.0),
+        "the piled-up blob must trigger the rebuild")
+      // fresh expectation: rank the NEW generation's centroids directly
+      val dist = graft.index.IvfIndex.metricDistance("cosine") _
+      val fresh = spark.read.parquet(s"$idx/centroids")
+        .select(col("list_id"), dist(col("centroid"), vector_lit(qB)).as("d"))
+        .orderBy(col("d"), col("list_id")).limit(2)
+        .collect().map(_.getInt(0)).toSeq
+      // discriminating fixture: stale and fresh rankings must differ, or
+      // this spec could not catch a served stale memo
+      assert(preLists !== fresh,
+        s"fixture must discriminate (stale $preLists vs fresh $fresh)")
+      val postLists = AnnIndexRegistry.probedLists(spark, entry, qB)
+      assert(postLists === fresh,
+        "post-rebalance probe must rank the NEW centroids, not serve the memo")
+      // e2e: the rewritten SQL kNN equals the unmemoized direct probe
+      val direct = graft.index.IvfIndex.probe(spark, idx, qB, 5, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(knn(5).collect().map(_.getLong(0)).toSeq === direct)
+    } finally AnnIndexRegistry.unregister(tbl)
+  }
+
   test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rebuild_idx").resolve("idx").toString

@@ -555,9 +555,45 @@ object StarSchemaQueries {
       .orderBy("user_id")
   }
 
+  /** Attribution window for [[eventsIntervalJoin]] (4 hours — wide enough
+    * that the sparse fixture produces a checkable pair set). */
+  val IntervalJoinSeconds = 14400L
+
+  /** Bounded-interval attribution join: every purchase within
+    * [[IntervalJoinSeconds]] AFTER a same-user click — the classic
+    * click→purchase attribution shape, and the batch twin of the
+    * stream-stream interval join
+    * ([[graft.streaming.StreamingIngest.startIntervalJoin]], parity
+    * spec-pinned in StreamingSpec).
+    *
+    * Scale shape: ONE equi-join shuffle on user_id with the time-range
+    * predicate evaluated inside the join (never a cross join); output is
+    * bounded by the per-user click×purchase fanout within the window. Hot
+    * users are AQE skew-join territory (the per-key volume is bounded by
+    * rate × window, unlike the Zipf-unbounded LM join that warranted
+    * explicit salting). Exactness: pure integer microsecond arithmetic,
+    * identical cross-engine. */
+  def eventsIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_us") >= col("click_us") &&
+        col("purchase_us") <= col("click_us") + lit(IntervalJoinSeconds * 1000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_type_pagerank" -> ((s, d) => eventTypePagerank(s, d)),
     "user_pagerank" -> ((s, d) => userPagerank(s, d)),
+    "events_interval_join" -> ((s, d) => eventsIntervalJoin(s, d)),
     "top_suppliers" -> ((s, d) => topSuppliers(s, d)),
     "events_distinct_users" -> ((s, d) => eventsDistinctUsers(s, d)),
     "events_quartile_stats" -> ((s, d) => eventsQuartileStats(s, d)),
@@ -658,6 +694,14 @@ object StarSchemaQueries {
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "events_interval_join" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         |FROM events c JOIN events p ON c.user_id = p.user_id
+         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + ${IntervalJoinSeconds * 1000000L}
+         |ORDER BY click_id, purchase_id""".stripMargin,
     "nation_balance" ->
       """WITH cust AS (
         |  SELECT c_nationkey AS nationkey,

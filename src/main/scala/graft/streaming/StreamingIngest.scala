@@ -306,6 +306,56 @@ object StreamingIngest {
     * schemas like [[graft.Tables.events]]. Note append mode emits nothing
     * for windows the final watermark has not passed — replayers close the
     * tail with a sentinel row or accept the open tail missing. */
+  /** Stream-stream interval join — the live form of
+    * [[graft.operators.StarSchemaQueries.eventsIntervalJoin]]: clicks and
+    * purchases are read as TWO event streams (each with its own
+    * watermark), inner-joined on user_id under the bounded time-range
+    * condition `purchase_ts ∈ [click_ts, click_ts + interval]`. Inner-join
+    * matches emit as soon as both rows have arrived (no watermark
+    * holdback); the watermarks exist for the other half of the contract —
+    * STATE CLEANUP and late-row drop: Spark derives from the range
+    * condition that a click can stop waiting once the watermark passes
+    * `click_ts + interval` and a purchase once it passes `purchase_ts`, so
+    * per-side state is bounded by rate × (delay + interval), never the
+    * stream's history; rows arriving later than `watermarkDelay` behind
+    * the slower stream's max event time are dropped before the join (both
+    * pinned in StreamingSpec, including the one-trigger watermark
+    * propagation lag).
+    *
+    * Batch parity: identical pair set and integer-µs `gap_us` arithmetic
+    * to the oracle-gated batch twin. */
+  def startIntervalJoin(spark: SparkSession, srcDir: String, schema: StructType,
+                        resultPath: String,
+                        intervalSeconds: Long =
+                          graft.operators.StarSchemaQueries.IntervalJoinSeconds,
+                        watermarkDelay: String = "30 minutes",
+                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    def side(tpe: String, p: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").cast("long").as(s"${p}_user"),
+          col("event_id").cast("long").as(s"${p}_id"),
+          tsAsTimestamp(schema).as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", watermarkDelay)
+    side("click", "click")
+      .join(side("purchase", "purchase"),
+        col("click_user") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .writeStream
+      .format("parquet")
+      .option("path", resultPath)
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def startHourlyRollup(spark: SparkSession, srcDir: String, schema: StructType,
                         resultPath: String, watermarkDelay: String = "30 minutes",
                         maxFilesPerTrigger: Int = 1): StreamingQuery = {

@@ -202,6 +202,66 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch, "stream result must equal the batch rollup")
   }
 
+  test("stream-stream interval join matches the batch attribution join (parity)") {
+    // one file → one micro-batch → every row is on time, so the inner
+    // join must emit exactly the batch twin's pair set
+    val srcDir = tmp("events_ssj_stream")
+    val out = tmp("events_ssj_out")
+    val ev = graft.Tables.events(spark, Sf0001)
+    ev.coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = StreamingIngest.startIntervalJoin(spark, srcDir, schema, out)
+    q.awaitTermination(120000)
+    val stream = spark.read.parquet(out)
+      .select("user_id", "click_id", "purchase_id", "gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = StarSchemaQueries.eventsIntervalJoin(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream === batch, "stream pairs must equal the batch attribution join")
+    assert(stream.nonEmpty)
+  }
+
+  test("stream-stream interval join drops a click later than the watermark; on-time state still matches") {
+    import spark.implicits._
+    val srcDir = tmp("events_ssj_late")
+    val out = tmp("events_ssj_late_out")
+    def rows(r: (Long, Long, String, String)*) = r.toSeq
+      .toDF("event_id", "user_id", "s", "event_type")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("s")).as("ts"),
+        col("event_type"))
+    // batch 1: both sides' max event time reaches 02:00, so the global
+    // min-watermark advances to 01:30 (30 min delay)
+    rows(
+      (1L, 1L, "2026-01-01 00:00:00", "click"),
+      (2L, 1L, "2026-01-01 00:05:00", "purchase"),
+      (3L, 8L, "2026-01-01 02:00:00", "click"),
+      (4L, 8L, "2026-01-01 02:00:00", "purchase"))
+      .coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    Thread.sleep(1100) // distinct mtimes: the file source orders by mtime
+    // batch 2: intermediate trigger — the watermark reaches the late-data
+    // filter with a one-trigger delay
+    rows(
+      (5L, 7L, "2026-01-01 02:10:00", "click"),
+      (6L, 7L, "2026-01-01 02:15:00", "purchase"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1100)
+    // batch 3: a LATE click (00:10 < watermark 01:30 — must be dropped
+    // before the join) plus an on-time purchase that still pairs with the
+    // ON-TIME click 1 held in state (gap 2h20m < the 4h window)
+    rows(
+      (7L, 1L, "2026-01-01 00:10:00", "click"),
+      (8L, 1L, "2026-01-01 02:20:00", "purchase"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = StreamingIngest.startIntervalJoin(spark, srcDir, schema, out)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 4L), (5L, 6L), (1L, 8L)),
+      s"late click 7 must make NO pair; on-time click 1 still pairs: $got")
+  }
+
   test("streaming hourly rollup drops rows later than the watermark from finalized windows") {
     import spark.implicits._
     val srcDir = tmp("events_late_stream")

@@ -124,7 +124,7 @@ object StreamingIngest {
                           indexPath: String,
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     startIvfMaintenance(spark, srcDir, schema, indexPath, trigger,
-      rebalanceEvery = 0, skewThreshold = 2.0)
+      rebalanceEvery = 0, skewThreshold = 2.0, maxFilesPerTrigger = None)
 
   /** [[startIvfMaintenance]] with periodic skew repair: appends assign to
     * FROZEN centroids, so a drifting input distribution degrades probe
@@ -136,8 +136,14 @@ object StreamingIngest {
     * single-maintenance-writer contract rebalance documents. */
   def startIvfMaintenance(spark: SparkSession, srcDir: String, schema: StructType,
                           indexPath: String, trigger: Trigger,
-                          rebalanceEvery: Int, skewThreshold: Double): StreamingQuery =
-    spark.readStream.schema(schema).parquet(srcDir)
+                          rebalanceEvery: Int, skewThreshold: Double,
+                          maxFilesPerTrigger: Option[Int]): StreamingQuery = {
+    // maxFilesPerTrigger bounds each micro-batch's append size — at high
+    // ingest volume one AvailableNow batch over the whole backlog would
+    // defer the first skew check until the entire history was appended
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"${indexPath}_checkpoint")
@@ -152,6 +158,7 @@ object StreamingIngest {
         ()
       }
       .start()
+  }
 
   /** Continuous lexical index maintenance: new documents appended to the
     * BM25 posting-list sidecar per micro-batch
@@ -169,6 +176,35 @@ object StreamingIngest {
         ()
       }
       .start()
+
+  /** Continuous graph-index maintenance — pgvector's hnsw-on-INSERT analog
+    * (hnsw, unlike ivfflat, extends its graph incrementally for every
+    * inserted row): each micro-batch greedy-inserts its vectors into the
+    * existing sharded graph ([[graft.index.NswIndex.append]] — per-shard
+    * topology extension, atomic `graph` swap), so streamed vectors are
+    * searchable after their batch commits with no rebuild. The swap bumps
+    * the graph fingerprint, so the transparent rewrite's plan-time probe
+    * memo re-reads the fresh generation (the rebalance-invalidation
+    * contract, spec-pinned). Same at-least-once caveat as [[startIngest]];
+    * duplicate vec_ids from a replayed batch violate append's id contract,
+    * so exactly-once sources (file streams, as here) are the intended
+    * input. Single-maintenance-writer, serialized by foreachBatch. */
+  def startNswMaintenance(spark: SparkSession, srcDir: String, schema: StructType,
+                          indexPath: String,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"${indexPath}_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.index.NswIndex.append(batch.sparkSession, indexPath, batch)
+        ()
+      }
+      .start()
+  }
 
   /** The open (not-yet-emitted) session a user's state holds. */
   final case class OpenSession(start: Long, last: Long, n: Long)

@@ -359,6 +359,67 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120.0)
   }
 
+  test("streaming IVF maintenance soaks at 1M vectors: skew-triggered rebalance, probe-all exact") {
+    import graft.index.IvfIndex
+    import graft.streaming.StreamingIngest
+    import org.apache.spark.sql.streaming.Trigger
+    // Drifting-ingest at soak scale: the index is built on a 10k uniform
+    // sample, then the stream delivers 1M vectors from a DIFFERENT (tight
+    // directional blob) distribution across 4 micro-batches. Frozen
+    // centroids pile the blob into one list (the control proves it); the
+    // every-2nd-batch skew check must fire a mid-stream re-cluster and
+    // leave occupancy bounded — with probe-all still exactly brute force.
+    val dim = 64
+    val initial = spark.range(2000000L, 2010000L).select(
+      col("id").as("vec_id"), hashNoise(col("id"), dim).as("embedding"))
+    val base = hashNoise(lit(9999999L), dim)
+    val blob = spark.range(1000000L).select(
+      col("id").as("vec_id"),
+      zip_with(base, hashNoise(col("id"), dim),
+        (b, n) => (b + lit(0.15f) * n).cast("float")).as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_soak")
+    val src = tmp.resolve("src").toString
+    // 4 source files → with maxFilesPerTrigger=1, 4 micro-batches
+    blob.repartitionByRange(4, col("vec_id")).write.parquet(src)
+    val path = tmp.resolve("index").toString
+    val ctlPath = tmp.resolve("ctl").toString
+    IvfIndex.build(initial, path, lists = 32)
+    IvfIndex.build(initial, ctlPath, lists = 32)
+    val schema = spark.read.parquet(src).schema
+    // control: same stream, no rebalance — the frozen-centroid baseline
+    val qc = StreamingIngest.startIvfMaintenance(spark, src, schema, ctlPath,
+      Trigger.AvailableNow(), rebalanceEvery = 0, skewThreshold = 3.0,
+      maxFilesPerTrigger = Some(2))
+    qc.awaitTermination(600000)
+    val t0 = System.nanoTime()
+    val q = StreamingIngest.startIvfMaintenance(spark, src, schema, path,
+      Trigger.AvailableNow(), rebalanceEvery = 2, skewThreshold = 3.0,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(600000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val ctl = IvfIndex.listSkew(spark, ctlPath).head
+    val stat = IvfIndex.listSkew(spark, path).head
+    val (skew, ctlSkew) = (stat.getAs[Double]("skew"), ctl.getAs[Double]("skew"))
+    info(f"1M soak: $secs%.1f s, skew rebalanced=$skew%.2f vs frozen=$ctlSkew%.2f")
+    assert(stat.getAs[Long]("n_rows") === 1010000L, "every streamed row must land")
+    assert(ctl.getAs[Long]("n_rows") === 1010000L)
+    assert(ctlSkew > 3.0, s"the drift fixture must actually skew the frozen control ($ctlSkew)")
+    assert(skew < ctlSkew / 2, s"rebalance must beat frozen centroids ($skew vs $ctlSkew)")
+    assert(skew < 8.0, s"post-rebalance occupancy must stay bounded ($skew)")
+    // the rebuilt, re-appended index still answers probe-all EXACTLY
+    val qvec = blob.filter(col("vec_id") === 12345L)
+      .head().getAs[collection.Seq[Float]]("embedding").toArray
+    val probeAll = IvfIndex.probe(spark, path, qvec, k = 10, nprobe = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id"), cosine_distance(col("embedding"),
+        graft.functions.vector_lit(qvec)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAll === exact, "probe-all must equal brute force after the soak")
+    assert(secs < 420.0, s"soak unreasonably slow: $secs s")
+  }
+
   test("heavy-hitters sketch+verify holds at 1M docs / 4M tokens; equals exact") {
     // zipf-ish: two universal tokens, 100 mid-frequency (10k each — above
     // the N/capacity bar so the guarded sketch path is the one exercised),

@@ -131,12 +131,12 @@ class IvfMaintenanceSpec extends SparkSpec {
     val qc = StreamingIngest.startIvfMaintenance(spark, src,
       spark.read.parquet(src).schema, ctlPath,
       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      rebalanceEvery = 0, skewThreshold = 1.5)
+      rebalanceEvery = 0, skewThreshold = 1.5, maxFilesPerTrigger = None)
     qc.awaitTermination(120000)
     val q = StreamingIngest.startIvfMaintenance(spark, src,
       spark.read.parquet(src).schema, path,
       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      rebalanceEvery = 1, skewThreshold = 1.5)
+      rebalanceEvery = 1, skewThreshold = 1.5, maxFilesPerTrigger = None)
     q.awaitTermination(120000)
     val ctlSkew = IvfIndex.listSkew(spark, ctlPath).head.getAs[Double]("skew")
     val stat = IvfIndex.listSkew(spark, path).head

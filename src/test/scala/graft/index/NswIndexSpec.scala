@@ -108,6 +108,33 @@ class NswIndexSpec extends SparkSpec {
     assert(top.head.getLong(0) === 480L && top.head.getDouble(1) < 1e-12)
   }
 
+  test("streaming NSW maintenance extends the graph per micro-batch; streamed vectors searchable") {
+    import graft.streaming.StreamingIngest
+    val dir = java.nio.file.Files.createTempDirectory("nsw_maint").resolve("idx").toString
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    NswIndex.build(e.filter(col("vec_id") < 400), dir, shards = IndexQueries.NswShards)
+    // two source files + maxFilesPerTrigger=1 → two append micro-batches
+    val src = java.nio.file.Files.createTempDirectory("nsw_maint_src").resolve("v").toString
+    val newRows = e.filter(col("vec_id") >= 400)
+    newRows.filter(col("vec_id") < 450).coalesce(1).write.mode("append").parquet(src)
+    newRows.filter(col("vec_id") >= 450).coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingIngest.startNswMaintenance(spark, src,
+      spark.read.parquet(src).schema, dir, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val graph = spark.read.parquet(s"$dir/graph")
+    assert(graph.select("vec_id").distinct().count() === 500L)
+    assert(graph.filter(size(col("neighbors")) === 0).count() === 0L,
+      "streamed nodes must be wired into the existing topology")
+    // one vector from EACH micro-batch must be findable post-stream
+    Seq(420L, 480L).foreach { id =>
+      val qv = e.filter(col("vec_id") === id)
+        .head().getAs[collection.Seq[Float]]("embedding").toArray
+      val top = NswIndex.search(spark, dir, qv, 5).collect()
+      assert(top.head.getLong(0) === id && top.head.getDouble(1) < 1e-12,
+        s"streamed vector $id must rank first for its own query")
+    }
+  }
+
   test("streaming NSW serving resolves query batches against the graph") {
     import graft.streaming.StreamingIngest
     val src = java.nio.file.Files.createTempDirectory("nsw_srv_src").resolve("q").toString

@@ -183,6 +183,25 @@ object PlanGallery {
       "top_k_by_distance aggregate per cluster (max-heap by min-heap) — " +
       "the same ≤ N·|partitions| shuffle bound as cluster_sample, no " +
       "per-cluster window."),
+    "user_pagerank" -> ("PageRank through the DISTRIBUTED iterate-join " +
+      "kernel (forced — the user graph outgrows a driver edge list): " +
+      "edge extraction is one (event_type × hour)-partitioned lag " +
+      "window, then each iteration is a rank⋈edges equi-join shuffle " +
+      "plus one decimal hash agg. The edge relation is persisted once " +
+      "and reused across iterations; no corpus-sized collect anywhere."),
+    "events_interval_join" -> ("Bounded-interval attribution " +
+      "(click→purchase ≤ 4h): ONE user_id equi-join shuffle with the " +
+      "time-range predicate evaluated inside the equi-join (broadcast " +
+      "hash at fixture scale, shuffled sort-merge at corpus scale) — " +
+      "never a cross join; per-key output is bounded by rate × window, " +
+      "so AQE skew-split covers hot users. Integer-µs arithmetic end to " +
+      "end."),
+    "halfvec_ivf_knn_probeall" -> ("Quantized-index kNN, exact twin: " +
+      "the candidate stage ranks RNE-halfvec cosine over the " +
+      "list-partitioned index (half the scan bandwidth of float32); " +
+      "only the 50 survivor ids see exact float32 math, fetched by a " +
+      "broadcast semi-join back to the base table. TakeOrderedAndProject " +
+      "at both stages."),
   )
 
   def main(args: Array[String]): Unit = {

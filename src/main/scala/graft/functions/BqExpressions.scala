@@ -97,3 +97,61 @@ object BqHamming {
     h
   }
 }
+
+/** `bq_jaccard(a, b)`: Jaccard distance between two [[BqPack]] signatures —
+  * pgvector's `jaccard_distance(bit, bit)` / `<%>` operator
+  * (reference pgvector 0.7+ bit opclass), computed as
+  * 1 − popcount(a∧b)/popcount(a∨b) per 64-bit word. Padding bits are zero
+  * on both sides so they drop out of both counts. Two identical all-zero
+  * signatures have Jaccard distance 0 by the empty-sets-are-identical
+  * convention (union = 0 → 0.0). The intersection/union counts are exact
+  * integers and the one IEEE division is engine-identical, so the result
+  * is oracle-exact.
+  */
+case class BqJaccard(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "bq_jaccard"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"(${a.catalogString}, ${b.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BqJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BqJaccard.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+object BqJaccard {
+  /** Shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"signature length mismatch: $n vs ${b.numElements()}")
+    }
+    var inter = 0L
+    var union = 0L
+    var i = 0
+    while (i < n) {
+      val aw = a.getLong(i)
+      val bw = b.getLong(i)
+      inter += java.lang.Long.bitCount(aw & bw)
+      union += java.lang.Long.bitCount(aw | bw)
+      i += 1
+    }
+    if (union == 0L) 0.0 else 1.0 - inter.toDouble / union.toDouble
+  }
+}

@@ -119,6 +119,10 @@ package object functions {
   /** Hamming distance between two [[bq_pack]] signatures (XOR+popcount). */
   def bq_hamming(a: Column, b: Column): Column = col(BqHamming(expr(a), expr(b)))
 
+  /** Jaccard distance between two [[bq_pack]] signatures — pgvector's
+    * `jaccard_distance` / `<%>` bit operator ([[BqJaccard]]). */
+  def bq_jaccard(a: Column, b: Column): Column = col(BqJaccard(expr(a), expr(b)))
+
   /** All (a < b) pairs of a bigint array — posting-list pair expansion. */
   def sorted_pairs(ids: Column): Column = col(SortedPairs(expr(ids)))
 
@@ -238,6 +242,10 @@ package object functions {
       // pgvector binary_quantize returns bit(n); ours packs the same sign
       // bits into array<bigint> words (documented representation deviation)
       r.createOrReplaceTempFunction("binary_quantize", es => BqPack(es(0)), "scala_udf")
+      // pgvector's bit-opclass distances (`<~>` / `<%>`), over binary_quantize
+      // signatures rather than bit(n) — same representation deviation as above
+      r.createOrReplaceTempFunction("hamming_distance", es => BqHamming(es(0), es(1)), "scala_udf")
+      r.createOrReplaceTempFunction("jaccard_distance", es => BqJaccard(es(0), es(1)), "scala_udf")
     }
   }
 }

@@ -535,6 +535,33 @@ object SimilarityQueries {
       .limit(BqK)
   }
 
+  /** Bit-opclass top-k THROUGH the SQL surface — pgvector's
+    * `ORDER BY binary_quantize(v) <%> binary_quantize(q)` shape: Jaccard
+    * distance over packed sign bits (`jaccard_distance`, [[graft.functions.BqJaccard]]),
+    * Hamming alongside (`<~>`), both registered SQL functions exercised via
+    * spark.sql like [[ReferenceQueries.vectorNorms]].
+    *
+    * Scale shape: signature packing is a codegen'd map (at 100 TB the
+    * packed sidecar is precomputed); the 1-row query side broadcasts; the
+    * rank is TakeOrderedAndProject over d/64-word popcounts — 32× less
+    * bandwidth than float scans, the same candidate-stage economics as
+    * [[bqKnnTopK]]. Exactness: integer bit counts, one IEEE division. */
+  def bqKnnJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_bqj_embeddings")
+    spark.sql(
+      s"""WITH s AS (
+         |  SELECT vec_id, binary_quantize(embedding) AS sig
+         |  FROM graft_bqj_embeddings),
+         |q AS (SELECT sig AS qsig FROM s WHERE vec_id = 0)
+         |SELECT s.vec_id,
+         |  jaccard_distance(s.sig, q.qsig) AS jaccard,
+         |  hamming_distance(s.sig, q.qsig) AS hamming
+         |FROM s, q
+         |ORDER BY jaccard, vec_id
+         |LIMIT $BqK""".stripMargin)
+  }
+
   /** Fixture embedding dimensionality (TESTDATA.md); the operator reads it
     * from the data at runtime when it differs. */
   val CovDims = 64
@@ -697,6 +724,7 @@ object SimilarityQueries {
     "embedding_covariance" -> ((s, d) => embeddingCovariance(s, d)),
     "pca_project" -> ((s, d) => pcaProject(s, d)),
     "bq_knn_topk" -> ((s, d) => bqKnnTopK(s, d)),
+    "bq_knn_jaccard" -> ((s, d) => bqKnnJaccard(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
@@ -878,6 +906,28 @@ object SimilarityQueries {
          |SELECT c.vec_id, c.hamming, ${O.cosDist("e.embedding", "c.qv")} AS dist
          |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
          |ORDER BY dist, c.vec_id
+         |LIMIT $BqK""".stripMargin,
+    // sign-bit set algebra over the float arrays mirrors bq_pack exactly
+    // (bit i set iff v[i] >= 0, padding zero on both sides); the counts
+    // are exact integers and the one division is engine-identical
+    "bq_knn_jaccard" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |j AS (
+         |  SELECT e.vec_id,
+         |    len(list_filter(list_zip(e.embedding, q.qv),
+         |      s -> (s[1] >= 0) AND (s[2] >= 0))) AS inter,
+         |    len(list_filter(list_zip(e.embedding, q.qv),
+         |      s -> (s[1] >= 0) OR (s[2] >= 0))) AS unn,
+         |    CAST(len(list_filter(list_zip(e.embedding, q.qv),
+         |      s -> (s[1] >= 0) != (s[2] >= 0))) AS BIGINT) AS hamming
+         |  FROM embeddings e, q)
+         |SELECT vec_id,
+         |  CASE WHEN unn = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(unn AS DOUBLE)
+         |  END AS jaccard,
+         |  hamming
+         |FROM j
+         |ORDER BY jaccard, vec_id
          |LIMIT $BqK""".stripMargin,
     "knn_batch" ->
       s"""WITH q AS (

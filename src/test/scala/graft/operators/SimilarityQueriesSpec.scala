@@ -196,6 +196,48 @@ class SimilarityQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bq_jaccard equals naive sign-set jaccard; empty-union convention; SQL names registered") {
+    import graft.functions.{bq_jaccard, bq_pack}
+    val rnd = new scala.util.Random(7)
+    Seq(3, 64, 100, 384).foreach { dim =>
+      val a = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      val b = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      val inter = a.zip(b).count { case (x, y) => x >= 0 && y >= 0 }
+      val union = a.zip(b).count { case (x, y) => x >= 0 || y >= 0 }
+      val want = if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(bq_jaccard(bq_pack(col("a")), bq_pack(col("b"))).as("j"))
+        .head().getDouble(0)
+      assert(got === want, s"dim $dim")
+    }
+    // all-negative vectors → empty sign sets → distance 0, never NaN
+    val z = Array.fill(8)(-1.0f)
+    assert(Seq((z, z)).toDF("a", "b")
+      .select(bq_jaccard(bq_pack(col("a")), bq_pack(col("b"))).as("j"))
+      .head().getDouble(0) === 0.0)
+    // the pgvector names resolve through spark.sql
+    graft.functions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT jaccard_distance(binary_quantize(array(1.0f, -1.0f)), " +
+        "binary_quantize(array(1.0f, 1.0f))) AS j, " +
+        "hamming_distance(binary_quantize(array(1.0f, -1.0f)), " +
+        "binary_quantize(array(1.0f, 1.0f))) AS h").head()
+    assert(viaSql.getDouble(0) === 0.5 && viaSql.getLong(1) === 1L)
+  }
+
+  test("bq_knn_jaccard: self at distance 0; agrees with a hamming-ranked reorder on ties") {
+    val rows = SimilarityQueries.bqKnnJaccard(spark, Sf0001).collect()
+    assert(rows.length === SimilarityQueries.BqK)
+    assert(rows.head.getLong(0) === 0L && rows.head.getDouble(1) === 0.0,
+      "jaccard(q, q) = 0 must rank the query vector first")
+    // jaccard ascending with vec_id tie-break
+    assert(rows.map(r => (r.getDouble(1), r.getLong(0))).toSeq ===
+      rows.map(r => (r.getDouble(1), r.getLong(0))).sortBy(identity).toSeq)
+    val plan = SimilarityQueries.bqKnnJaccard(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+
   test("bq_knn_topk: self is rank 1; recall@10 vs exact holds; two-stage plan shape") {
     val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
       .collect().map(_.getLong(0)).toSet

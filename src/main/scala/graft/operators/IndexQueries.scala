@@ -95,18 +95,19 @@ object IndexQueries {
   private def halfIvfSearch(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     import graft.functions.{cosine_distance, half_pack, half_unpack}
     val path = halfIndexFor(spark, sfDir)
-    // the query vector is quantized too (pgvector casts the query to
-    // halfvec for the index scan)
-    val qHalf = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
-      .select(half_unpack(half_pack(col("embedding"))).as("hq"))
-      .head().getAs[collection.Seq[Float]]("hq").toArray
+    // ONE driver fetch of the query row serves both stages: the
+    // half-quantized probe vector (pgvector casts the query to halfvec
+    // for the index scan) and the float rerank literal
+    val qRow = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(half_unpack(half_pack(col("embedding"))).as("hq"), col("embedding"))
+      .head()
+    val qHalf = qRow.getAs[collection.Seq[Float]]("hq").toArray
+    val qFloat = qRow.getAs[collection.Seq[Float]]("embedding").toArray
     val cands = IvfIndex.probe(spark, path, qHalf, HalfIvfCandidates, nprobe)
       .select(col("vec_id"))
-    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
     Tables.embeddings(spark, sfDir)
       .join(broadcast(cands), "vec_id")
-      .crossJoin(broadcast(q))
+      .withColumn("qv", graft.functions.vector_lit(qFloat))
       .select(col("vec_id"), cosine_distance(col("embedding"), col("qv")).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(K)

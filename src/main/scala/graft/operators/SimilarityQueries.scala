@@ -607,12 +607,18 @@ object SimilarityQueries {
       s"collectMoments: expected ${t + d} moment groups, got ${rows.length}")
     val sij = new Array[JBD](t)
     val si = new Array[JBD](d)
-    var n = 0L
+    var n = -1L
     rows.foreach { r =>
       val pos = r.getInt(0)
       val s = r.getDecimal(1)
       if (pos < t) sij(pos) = s else si(pos - t) = s
-      n = r.getLong(2)
+      // every moment position must see every row: a mixed-dimensionality
+      // corpus would diverge the per-pos counts and make n depend on
+      // collect order — fail loud instead of returning a silently wrong
+      // covariance
+      if (n == -1L) n = r.getLong(2)
+      else require(n == r.getLong(2),
+        s"collectMoments: ragged embedding dims (pos $pos saw ${r.getLong(2)} rows, others $n)")
     }
     (sij, si, n)
   }

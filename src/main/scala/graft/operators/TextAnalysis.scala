@@ -477,21 +477,50 @@ object TextAnalysis {
     * this multiple of a reducer's fair share (1/shuffle-partitions). */
   val SbHotFactor = 2.0
 
+  /** The exploded (w1, w2) bigram-struct stream over `text` — ONE
+    * definition shared by [[stupidBackoffScore]]'s join stream and
+    * [[adaptiveSbSalt]]'s probe, so the probe always measures exactly the
+    * key distribution the join shuffles (a drifted copy would degrade the
+    * salt decision to noise with no test failing — either branch is
+    * row-identical). */
+  private def bigramCol: Column = {
+    val t = tokens(col("text"))
+    explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2"))))
+  }
+
+  /** Probe-decision memo: the sampled skew probe is a deterministic
+    * function of the corpus, and a bench run's repeated executions (or
+    * any query mix touching the LM) would re-pay its two probe jobs each
+    * time. Keyed on documents path + mtime (the [[mergeMemo]] pattern). */
+  private val sbSaltMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+
   /** The [[stupidBackoffScore]] skew-probe decision (exposed for specs):
     * hottest-bigram share over a deterministic ~[[SbProbePct]]% salted-
     * bucket doc sample (filter pushes to the scan — the probe reads a
     * bounded fraction of the work it insures), salting only when that key
-    * would load its one reducer past [[SbHotFactor]]× the fair share. */
+    * would load its one reducer past [[SbHotFactor]]× the fair share.
+    * Memoized per corpus generation ([[sbSaltMemo]]). */
   def adaptiveSbSalt(spark: SparkSession, sfDir: String): Int = {
-    val t = tokens(col("text"))
+    val key = {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (p.toString, fs.getFileStatus(p).getModificationTime)
+    }
+    // no lock held during the probe jobs; a racing duplicate compute is
+    // benign — same deterministic value
+    val cached = sbSaltMemo.get(key)
+    if (cached != null) return cached.intValue
     val sampleBg = Tables.documents(spark, sfDir)
       .filter(graft.functions.salted_bucket(col("doc_id"), "sbprobe", 100L) < SbProbePct)
-      .select(explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(bigramCol.as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val share = graft.util.Skew.hotKeyShare(sampleBg, Seq("w1", "w2"))
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    if (share * parts > SbHotFactor) SbJoinSalt else 1
+    val salt = if (share * parts > SbHotFactor) SbJoinSalt else 1
+    sbSaltMemo.put(key, salt)
+    salt
   }
 
   def stupidBackoffScore(spark: SparkSession, sfDir: String,
@@ -500,9 +529,7 @@ object TextAnalysis {
     val base = Tables.documents(spark, sfDir)
       .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
     val docBg = base
-      .select(col("doc_id"), col("lang"),
-        explode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"), bigramCol.as("bg"))
       .select(col("doc_id"), col("lang"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c1 = base.filter(col("lang") === DsirTargetLang)

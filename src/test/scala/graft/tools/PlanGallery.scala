@@ -138,13 +138,18 @@ object PlanGallery {
       "carries ≤ d(d+1)/2 + d partial rows per partition regardless of " +
       "corpus size; the bounded moment relation collects and the 6dp cov " +
       "cells derive driver-side (O(d²), the eigensolve's scale class), so " +
-      "means cost no second corpus scan."),
+      "means cost no second corpus scan. That corpus pass runs EAGERLY " +
+      "when the frame is built, so the plan below is only the d²-row " +
+      "driver-local result relation — the distributed shape is the " +
+      "moments agg described above (spec-pinned in " +
+      "SimilarityQueriesSpec/PlanGuardSpec, not visible here)."),
     "pca_project" -> ("Spectral projection: ONE corpus pass (the fused " +
-      "covariance+moments agg), sidecar-sized collect, power-iteration " +
-      "matvecs in exact decimal on the driver, and the 64-float " +
-      "eigenvector returns as a LITERAL — so the per-row score is one " +
-      "codegen'd inner_product inside the scan's WholeStageCodegen span, " +
-      "shuffle-free."),
+      "covariance+moments agg — runs eagerly at build, like " +
+      "embedding_covariance, so it is not in the plan below), " +
+      "sidecar-sized collect, power-iteration matvecs in exact decimal " +
+      "on the driver, and the 64-float eigenvector returns as a LITERAL " +
+      "— so the per-row score below is one codegen'd inner_product " +
+      "inside the scan's WholeStageCodegen span, shuffle-free."),
     "heavy_hitters" -> ("Sketch-then-verify top-k tokens: per-partition " +
       "Misra-Gries summaries emit ≤ capacity candidate rows each " +
       "(mapPartitions — genuinely imperative per-partition state), the " +
@@ -196,6 +201,11 @@ object PlanGallery {
       "never a cross join; per-key output is bounded by rate × window, " +
       "so AQE skew-split covers hot users. Integer-µs arithmetic end to " +
       "end."),
+    "bq_knn_jaccard" -> ("Bit-opclass top-k through the SQL surface " +
+      "(pgvector's `<%>`): jaccard_distance/hamming_distance resolve " +
+      "from the function registry over codegen'd sign-bit packing; the " +
+      "1-row query side broadcasts and TakeOrderedAndProject ranks " +
+      "d/64-word popcounts — 32× less bandwidth than a float scan."),
     "halfvec_ivf_knn_probeall" -> ("Quantized-index kNN, exact twin: " +
       "the candidate stage ranks RNE-halfvec cosine over the " +
       "list-partitioned index (half the scan bandwidth of float32); " +

@@ -426,6 +426,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Positive-class sources for [[qualityClassifier]] — the stand-in for
+    * a curated reference corpus (in production: Wikipedia/books/WebText
+    * vs raw crawl). */
+  val NbPositiveSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** Classifier-based quality scoring — the GPT-3/PaLM data-curation
+    * filter (Brown et al. 2020, App. A; Chowdhery et al. 2022 §3: train a
+    * classifier on a curated-positive vs crawl-negative split, keep crawl
+    * documents the classifier likes): a multinomial Naive Bayes
+    * token model trained on [[NbPositiveSources]] vs the rest, scoring
+    * every document by log-likelihood ratio
+    * `prior + Σ_t tf·(ln p(t|pos) − ln p(t|neg))` with add-one smoothing.
+    * NB rather than logistic regression KEEPS TRAINING A PURE COUNT
+    * AGGREGATION — no SGD order-dependence — so training is one shuffle
+    * and the whole operator is oracle-exact. Positive scores read
+    * "looks like the curated set"; the downstream gate is a filter on
+    * `nb_score` (or Pareto-noisy sampling, as GPT-3 did).
+    *
+    * Scale shape: training is ONE (token × class) hash agg with map-side
+    * combine (vocab-sized result); per-token weights derive from a 1-row
+    * scalar cross join; scoring is one (doc_id, token) tf agg joined to
+    * the weight table WITHOUT a broadcast hint — AQE broadcasts a small
+    * vocab and shuffles an open one (the bigram_novelty size-gating
+    * argument); one per-doc decimal agg closes it out. Unseen-at-inference
+    * tokens would take the smoothed floor weight via the left join +
+    * coalesce on both engines.
+    *
+    * Exactness: the [[lmScore]] recipe — weights are deterministic double
+    * expressions (ln of smoothed count ratios, same op order both
+    * engines), each tf·w term rounds 6dp into DECIMAL(18,6) order-free
+    * sums, and the class prior (one ln of a doc-count ratio) adds as a
+    * final double op. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .transform(Tables.rowParallel) // row-parallel fan-out (see Tables.rowParallel)
+    val isPos = col("source").isInCollection(NbPositiveSources)
+    val tok = docs.select(col("doc_id"), isPos.as("pos"),
+      explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cneg"))
+    val scal = vocab.agg(
+      sum(col("cpos")).cast("double").as("tpos"),
+      sum(col("cneg")).cast("double").as("tneg"),
+      count(lit(1)).cast("double").as("v"))
+    val weights = vocab.crossJoin(broadcast(scal))
+      .select(col("token"),
+        (log((col("cpos").cast("double") + lit(1.0)) / (col("tpos") + col("v")))
+          - log((col("cneg").cast("double") + lit(1.0)) / (col("tneg") + col("v"))))
+          .as("w"))
+    val prior = docs.agg(
+      log(sum(when(isPos, 1L).otherwise(0L)).cast("double")
+        / sum(when(isPos, 0L).otherwise(1L)).cast("double")).as("prior"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    tf.join(weights, "token")
+      .select(col("doc_id"), col("tf"),
+        round(col("tf").cast("double") * col("w"), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("term")).as("llr"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("llr").cast("double") + col("prior")).as("nb_score"),
+        when(col("llr").cast("double") + col("prior") > 0.0, 1L).otherwise(0L)
+          .as("predicted_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Stupid Backoff discount (Brants et al. 2007, §4 — the published
     * constant). */
   val SbAlpha = 0.4
@@ -1134,6 +1202,7 @@ object TextAnalysis {
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
     "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
     "lm_score" -> ((s, d) => lmScore(s, d)),
+    "quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "stupid_backoff_score" -> ((s, d) => stupidBackoffScore(s, d)),
     "doc_chunks" -> ((s, d) => docChunks(s, d)),
     "corpus_mix" -> ((s, d) => corpusMix(s, d)),
@@ -1464,6 +1533,39 @@ object TextAnalysis {
            |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            |  CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS lm_score
            |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // same decimal-sum recipe as lm_score; the weight and prior are
+      // deterministic double expressions mirrored op for op
+      "quality_classifier" -> {
+        val posList = NbPositiveSources.map(s => s"'$s'").mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, source IN ($posList) AS pos, unnest($tok) AS token
+           |  FROM documents),
+           |vocab AS (SELECT token,
+           |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+           |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cneg
+           |  FROM tok GROUP BY 1),
+           |scal AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+           |    CAST(sum(cneg) AS DOUBLE) AS tneg,
+           |    CAST(count(*) AS DOUBLE) AS v FROM vocab),
+           |w AS (SELECT token,
+           |    ln((CAST(cpos AS DOUBLE) + 1.0) / (tpos + v))
+           |      - ln((CAST(cneg AS DOUBLE) + 1.0) / (tneg + v)) AS w
+           |  FROM vocab, scal),
+           |pr AS (SELECT ln(
+           |    CAST(sum(CASE WHEN source IN ($posList) THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(CASE WHEN source IN ($posList) THEN 0 ELSE 1 END) AS DOUBLE))
+           |    AS prior FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |terms AS (SELECT doc_id, tf,
+           |    CAST(round(CAST(tf AS DOUBLE) * w, 6) AS DECIMAL(18,6)) AS term
+           |  FROM tf JOIN w USING (token))
+           |SELECT t.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |  CAST(sum(term) AS DOUBLE) + pr.prior AS nb_score,
+           |  CAST(CASE WHEN CAST(sum(term) AS DOUBLE) + pr.prior > 0.0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS predicted_pos
+           |FROM terms t, pr GROUP BY t.doc_id, pr.prior
+           |ORDER BY t.doc_id""".stripMargin
+      },
       // same decimal-sum recipe; the CASE mirrors the seen/backoff branch
       // arithmetic parenthesis-for-parenthesis
       "stupid_backoff_score" ->

@@ -308,6 +308,30 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
 
+  test("quality_classifier: NB filter separates planted classes and rescues curated-like crawl") {
+    // positive class = NbPositiveSources members; a crawl doc WITH
+    // curated-looking text must still score positive — that rescue is the
+    // entire point of the GPT-3-style classifier gate
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbq").toString
+    val curated = "fine curated encyclopedic prose paragraph"
+    val spam = "click casino win prize casino click"
+    val rows = ((0L to 4L).map(i => (i, curated, "src0")) ++
+      (10L to 14L).map(i => (i, spam, "crawl")) :+
+      ((20L, curated, "crawl"))).toDF("doc_id", "text", "source")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.qualityClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("nb_score"), r.getLong(3)))).toMap
+    assert(got.size === 11)
+    (0L to 4L).foreach(i => assert(got(i)._2 === 1L, s"curated doc $i must score positive"))
+    (10L to 14L).foreach(i => assert(got(i)._2 === 0L, s"spam doc $i must score negative"))
+    assert(got(20L)._2 === 1L && got(20L)._1 === got(0L)._1,
+      "curated-like crawl text gets the curated score (the model sees tokens, not labels)")
+    // deterministic end to end (decimal sums, no float accumulation order)
+    val again = TextAnalysis.qualityClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("nb_score"), r.getLong(3)))).toMap
+    assert(again === got)
+  }
+
   test("text_stats ratios bounded and token counts positive") {
     val rows = TextAnalysis.textStats(spark, Sf0001).collect()
     assert(rows.length === 500)

@@ -190,6 +190,98 @@ case class SparseCosineDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** `sparse_l2_distance(a, b)` — pgvector `sparsevec <-> sparsevec`.
+  * Bit-equal to [[L2Distance]] on the zero-filled dense forms: the
+  * merge-walk visits indices ascending like the dense loop; a both-zero
+  * position adds (0−0)² = +0.0 (IEEE identity), an only-a position adds
+  * (x−0)² = x·x and an only-b position (0−y)² = y·y — all bit-identical
+  * to the dense terms. */
+case class SparseL2Distance(left: Expression, right: Expression)
+  extends SparseBinaryExpression {
+  override def prettyName: String = "sparse_l2_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SparseL2Distance.compute(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SparseL2Distance.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object SparseL2Distance {
+  def compute(a: InternalRow, b: InternalRow): Double = {
+    SparseVec.checkDims(a, b)
+    val ai = a.getArray(1); val av = a.getArray(2)
+    val bi = b.getArray(1); val bv = b.getArray(2)
+    val na = ai.numElements(); val nb = bi.numElements()
+    var acc = 0.0
+    var p = 0; var q = 0
+    while (p < na || q < nb) {
+      val ia = if (p < na) ai.getInt(p) else Int.MaxValue
+      val ib = if (q < nb) bi.getInt(q) else Int.MaxValue
+      if (ia == ib) {
+        val d = av.getFloat(p).toDouble - bv.getFloat(q).toDouble
+        acc += d * d
+        p += 1; q += 1
+      } else if (ia < ib) {
+        val x = av.getFloat(p).toDouble
+        acc += x * x
+        p += 1
+      } else {
+        val y = bv.getFloat(q).toDouble
+        acc += y * y
+        q += 1
+      }
+    }
+    math.sqrt(acc)
+  }
+}
+
+/** `sparse_l1_distance(a, b)` — pgvector `sparsevec <+>` (taxicab, 0.8).
+  * Bit-equal to [[L1Distance]] on the zero-filled dense forms by the
+  * [[SparseL2Distance]] argument (|x−0| = |x|, |0−y| = |y|). */
+case class SparseL1Distance(left: Expression, right: Expression)
+  extends SparseBinaryExpression {
+  override def prettyName: String = "sparse_l1_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SparseL1Distance.compute(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SparseL1Distance.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object SparseL1Distance {
+  def compute(a: InternalRow, b: InternalRow): Double = {
+    SparseVec.checkDims(a, b)
+    val ai = a.getArray(1); val av = a.getArray(2)
+    val bi = b.getArray(1); val bv = b.getArray(2)
+    val na = ai.numElements(); val nb = bi.numElements()
+    var acc = 0.0
+    var p = 0; var q = 0
+    while (p < na || q < nb) {
+      val ia = if (p < na) ai.getInt(p) else Int.MaxValue
+      val ib = if (q < nb) bi.getInt(q) else Int.MaxValue
+      if (ia == ib) {
+        acc += math.abs(av.getFloat(p).toDouble - bv.getFloat(q).toDouble)
+        p += 1; q += 1
+      } else if (ia < ib) {
+        acc += math.abs(av.getFloat(p).toDouble)
+        p += 1
+      } else {
+        acc += math.abs(bv.getFloat(q).toDouble)
+        q += 1
+      }
+    }
+    acc
+  }
+}
+
 object SparseCosineDistance {
   def compute(a: InternalRow, b: InternalRow): Double = {
     SparseVec.checkDims(a, b)

@@ -188,6 +188,16 @@ package object functions {
   def sparse_inner_product(a: Column, b: Column): Column =
     col(SparseInnerProduct(expr(a), expr(b)))
 
+  /** pgvector `sparsevec <-> sparsevec` — bit-equal to [[l2_distance]] on
+    * the zero-filled dense forms ([[SparseL2Distance]]). */
+  def sparse_l2_distance(a: Column, b: Column): Column =
+    col(SparseL2Distance(expr(a), expr(b)))
+
+  /** pgvector `sparsevec <+> sparsevec` — bit-equal to [[l1_distance]] on
+    * the zero-filled dense forms ([[SparseL1Distance]]). */
+  def sparse_l1_distance(a: Column, b: Column): Column =
+    col(SparseL1Distance(expr(a), expr(b)))
+
   /** pgvector `sparsevec <=> sparsevec` — bit-equal to [[cosine_distance]]
     * on the zero-filled dense forms. */
   def sparse_cosine_distance(a: Column, b: Column): Column =

@@ -406,6 +406,27 @@ object SimilarityQueries {
       .limit(SparseK)
   }
 
+  /** [[sparseKnnTopK]]'s metric siblings in one query — pgvector 0.8's
+    * full sparsevec operator family beyond cosine: rank by
+    * `sparsevec <-> sparsevec` (L2, [[graft.functions.sparse_l2_distance]])
+    * with the `<+>` taxicab distance alongside. Both merge-walk O(nnz) per
+    * pair and are bit-equal to the dense distances on the zero-masked
+    * vectors (skipped both-zero positions contribute IEEE +0.0
+    * identities), so the oracle recomputes them as CASE-masked dense
+    * distances. */
+  def sparseL2TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{sparse_l1_distance, sparse_l2_distance, sparse_vectorize}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), sparse_vectorize(col("embedding"), SparseEps).as("sv"))
+    val seed = e.filter(col("vec_id") === 0).select(col("sv").as("qv"))
+    e.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        sparse_l2_distance(col("sv"), col("qv")).as("dist"),
+        sparse_l1_distance(col("sv"), col("qv")).as("l1"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(SparseK)
+  }
+
   // sfDir → (embeddings fingerprint, sidecar path): mtime staleness like
   // the BM25 cache — a changed corpus rebuilds instead of serving stale
   // postings (and a catalog-restored registration is checked the same way)
@@ -741,6 +762,7 @@ object SimilarityQueries {
     "avg_pairwise_sim_fast" -> ((s, d) => avgPairwiseSimFast(s, d)),
     "sq_knn_topk" -> ((s, d) => sqKnnTopK(s, d)),
     "sparse_knn_topk" -> ((s, d) => sparseKnnTopK(s, d)),
+    "sparse_l2_topk" -> ((s, d) => sparseL2TopK(s, d)),
     "sparse_knn_indexed" -> ((s, d) => sparseKnnIndexed(s, d)),
     "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
@@ -1027,6 +1049,22 @@ object SimilarityQueries {
          |GROUP BY 1
          |ORDER BY bucket""".stripMargin,
     "sparse_knn_topk" -> sparseKnnOracleSql,
+    // CASE-masked dense recompute like sparseKnnOracleSql; the l2/l1
+    // fragments are the l2_topk / l1_topk recipes over the masked arrays
+    "sparse_l2_topk" ->
+      s"""WITH sp AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CASE WHEN abs(CAST(x AS DOUBLE)) > CAST($SparseEps AS DOUBLE)
+         |           THEN x ELSE CAST(0.0 AS FLOAT) END) AS sv
+         |  FROM embeddings),
+         |q AS (SELECT sv AS qv FROM sp WHERE vec_id = 0)
+         |SELECT sp.vec_id, ${O.l2Dist("sp.sv", "q.qv")} AS dist,
+         |  list_sum(list_transform(list_zip(sp.sv, q.qv),
+         |    s -> abs(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))) AS l1
+         |FROM sp, q
+         |ORDER BY dist, vec_id
+         |LIMIT $SparseK""".stripMargin,
     // the indexed path is EXACT (see sparseKnnIndexed) → same oracle
     "sparse_knn_indexed" -> sparseKnnOracleSql,
     "sq_knn_topk" ->

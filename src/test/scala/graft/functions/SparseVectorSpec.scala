@@ -48,6 +48,31 @@ class SparseVectorSpec extends SparkSpec {
     }
   }
 
+  test("sparse l2/l1 are bit-equal to dense on zero-masked vectors") {
+    import graft.functions.{l1_distance, l2_distance, sparse_l1_distance, sparse_l2_distance}
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    val masked = transform(col("embedding"),
+      x => when(abs(x.cast("double")) > eps, x).otherwise(lit(0.0f)))
+    val sv = sparse_vectorize(col("embedding"), eps)
+    val pairs = e.select(col("vec_id"), masked.as("m"), sv.as("s"))
+      .crossJoin(broadcast(
+        e.filter(col("vec_id") === 0).select(masked.as("qm"), sv.as("qs"))))
+    val rows = pairs.select(
+      l2_distance(col("m"), col("qm")).as("dense_l2"),
+      sparse_l2_distance(col("s"), col("qs")).as("sparse_l2"),
+      l1_distance(col("m"), col("qm")).as("dense_l1"),
+      sparse_l1_distance(col("s"), col("qs")).as("sparse_l1")).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0))
+        === java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"l2 ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2))
+        === java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"l1 ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
   test("sparse distance on disjoint supports; dimension mismatch throws") {
     val df = Seq(
       (Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 2.0f)))

@@ -583,6 +583,50 @@ object SimilarityQueries {
          |LIMIT $BqK""".stripMargin)
   }
 
+  /** Adaptive-retrieval prefix length — dims 1..[[MrlPrefix]] rank the
+    * candidate stage (Matryoshka-style truncation: MRL-trained embeddings
+    * front-load information, so a short prefix preserves coarse order). */
+  val MrlPrefix = 16
+  /** Candidate pool the prefix stage hands to the full-vector rerank —
+    * 10× the final k: the fixture embeddings are NOT Matryoshka-trained
+    * (no front-loading), making them the adversarial case for prefix
+    * ranking; MRL-trained embeddings reach the same recall with far less
+    * over-fetch. */
+  val MrlCandidates = 100
+
+  /** Adaptive retrieval over truncated embeddings — the pgvector
+    * `subvector` recipe (pgvector 0.8 docs: index `subvector(v, 1, k)`,
+    * rank candidates by prefix distance, rerank with the full vector;
+    * Kusupati et al. 2022's Matryoshka funnel): stage 1 ranks cosine over
+    * the [[MrlPrefix]]-dim prefix — 4× less bandwidth than full vectors at
+    * d=64, the same candidate-stage economics as [[bqKnnTopK]] one rung up
+    * the precision ladder — stage 2 reranks only [[MrlCandidates]] ids
+    * with exact full-vector cosine via a broadcast fetch join.
+    *
+    * Scale shape: TakeOrderedAndProject at both stages; at 100 TB the
+    * prefix column is a precomputed sidecar (or the leading bytes of the
+    * row — truncation IS the layout win). Both stages deterministic
+    * (id tie-breaks), so the two-stage pipeline is oracle-exact. */
+  def mrlKnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.subvector
+    val e = Tables.embeddings(spark, sfDir)
+    val pref = e.select(col("vec_id"),
+      subvector(col("embedding"), 1, MrlPrefix).as("pv"))
+    val seed = e.filter(col("vec_id") === 0)
+      .select(subvector(col("embedding"), 1, MrlPrefix).as("qp"),
+        col("embedding").as("qv"))
+    val cand = pref.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("qv"),
+        cosine_distance(col("pv"), col("qp")).as("pdist"))
+      .orderBy(col("pdist"), col("vec_id"))
+      .limit(MrlCandidates)
+    cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("pdist"),
+        cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(BqK)
+  }
+
   /** Fixture embedding dimensionality (TESTDATA.md); the operator reads it
     * from the data at runtime when it differs. */
   val CovDims = 64
@@ -752,6 +796,7 @@ object SimilarityQueries {
     "pca_project" -> ((s, d) => pcaProject(s, d)),
     "bq_knn_topk" -> ((s, d) => bqKnnTopK(s, d)),
     "bq_knn_jaccard" -> ((s, d) => bqKnnJaccard(s, d)),
+    "mrl_knn_topk" -> ((s, d) => mrlKnnTopK(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
@@ -932,6 +977,22 @@ object SimilarityQueries {
          |  FROM embeddings e, q),
          |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT $BqCandidates)
          |SELECT c.vec_id, c.hamming, ${O.cosDist("e.embedding", "c.qv")} AS dist
+         |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+         |ORDER BY dist, c.vec_id
+         |LIMIT $BqK""".stripMargin,
+    // prefix slice is DuckDB 1-based-inclusive v[1:16]; both stages keep
+    // the engine tie-breaks (pdist/dist then vec_id)
+    "mrl_knn_topk" ->
+      s"""WITH q AS (
+         |  SELECT embedding[1:$MrlPrefix] AS qp, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, q.qv,
+         |    ${O.cosDist(s"e.embedding[1:$MrlPrefix]", "q.qp")} AS pdist
+         |  FROM embeddings e, q
+         |  ORDER BY pdist, e.vec_id
+         |  LIMIT $MrlCandidates)
+         |SELECT c.vec_id, c.pdist, ${O.cosDist("e.embedding", "c.qv")} AS dist
          |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
          |ORDER BY dist, c.vec_id
          |LIMIT $BqK""".stripMargin,

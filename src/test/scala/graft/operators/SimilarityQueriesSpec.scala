@@ -253,6 +253,22 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
 
+  test("mrl_knn_topk: prefix candidates + full rerank; self first; recall vs exact") {
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSet
+    val df = SimilarityQueries.mrlKnnTopK(spark, Sf0001)
+    val rows = df.collect()
+    assert(rows.head.getLong(0) === 0L, "query vector must rerank to the top")
+    assert(rows.head.getDouble(1) < 1e-12 && rows.head.getDouble(2) < 1e-12,
+      "prefix and full self-distance are both ~zero")
+    val recall = rows.map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    // a 16/64 prefix preserves coarse angular order on the hash fixture;
+    // the 5× over-fetch + exact rerank recovers most of the true top-10
+    assert(recall >= 0.6, s"MRL recall@10 was $recall")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+
   test("label_centroids_fast equals the explode form; plan has no pre-agg explode") {
     val slow = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
     val fast = SimilarityQueries.labelCentroidsFast(spark, Sf0001).collect()

@@ -450,8 +450,10 @@ object TextAnalysis {
     * the weight table WITHOUT a broadcast hint — AQE broadcasts a small
     * vocab and shuffles an open one (the bigram_novelty size-gating
     * argument); one per-doc decimal agg closes it out. Unseen-at-inference
-    * tokens would take the smoothed floor weight via the left join +
-    * coalesce on both engines.
+    * tokens take the smoothed floor weight (cpos=cneg=0 in the same
+    * formula) via the left join + coalesce on both engines — unreachable
+    * while train and score corpora coincide, live the moment a scorer
+    * runs over a corpus the trainer never saw.
     *
     * Exactness: the [[lmScore]] recipe — weights are deterministic double
     * expressions (ln of smoothed count ratios, same op order both
@@ -480,9 +482,12 @@ object TextAnalysis {
       log(sum(when(isPos, 1L).otherwise(0L)).cast("double")
         / sum(when(isPos, 0L).otherwise(1L)).cast("double")).as("prior"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    tf.join(weights, "token")
+    tf.join(weights, Seq("token"), "left")
+      .crossJoin(broadcast(scal))
       .select(col("doc_id"), col("tf"),
-        round(col("tf").cast("double") * col("w"), 6)
+        round(col("tf").cast("double") * coalesce(col("w"),
+          log(lit(1.0) / (col("tpos") + col("v")))
+            - log(lit(1.0) / (col("tneg") + col("v")))), 6)
           .cast("decimal(18,6)").as("term"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"), sum(col("term")).as("llr"))
@@ -1557,8 +1562,10 @@ object TextAnalysis {
            |    AS prior FROM documents),
            |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
            |terms AS (SELECT doc_id, tf,
-           |    CAST(round(CAST(tf AS DOUBLE) * w, 6) AS DECIMAL(18,6)) AS term
-           |  FROM tf JOIN w USING (token))
+           |    CAST(round(CAST(tf AS DOUBLE) * COALESCE(w,
+           |      ln(1.0 / (tpos + v)) - ln(1.0 / (tneg + v))), 6)
+           |      AS DECIMAL(18,6)) AS term
+           |  FROM tf LEFT JOIN w USING (token), scal)
            |SELECT t.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            |  CAST(sum(term) AS DOUBLE) + pr.prior AS nb_score,
            |  CAST(CASE WHEN CAST(sum(term) AS DOUBLE) + pr.prior > 0.0

@@ -263,7 +263,8 @@ class SimilarityQueriesSpec extends SparkSpec {
       "prefix and full self-distance are both ~zero")
     val recall = rows.map(_.getLong(0)).toSet.intersect(exact).size / 10.0
     // a 16/64 prefix preserves coarse angular order on the hash fixture;
-    // the 5× over-fetch + exact rerank recovers most of the true top-10
+    // the 10× over-fetch (MrlCandidates=100 for k=10) + exact rerank
+    // recovers most of the true top-10
     assert(recall >= 0.6, s"MRL recall@10 was $recall")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")

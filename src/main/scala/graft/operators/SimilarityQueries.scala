@@ -627,6 +627,67 @@ object SimilarityQueries {
       .limit(BqK)
   }
 
+  /** Candidate pool the MMR greedy pass diversifies over. */
+  val MmrCandidates = 20
+  /** Results [[mmrRerank]] returns. */
+  val MmrK = 10
+  /** Relevance↔diversity trade-off (λ=1 is pure relevance). */
+  val MmrLambda = 0.5
+
+  /** Maximal Marginal Relevance rerank — Carbonell & Goldstein 1998: greedy
+    * diversity selection over a relevance-ranked candidate pool, picking at
+    * each step argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). The RAG-serving
+    * and curation shape (diverse context windows, diverse few-shot pools)
+    * that a plain top-k can't express because each pick depends on the set
+    * chosen so far.
+    *
+    * Scale split: the DISTRIBUTED work is the candidate stage (exact cosine
+    * top-[[MmrCandidates]], TakeOrderedAndProject over the corpus) and the
+    * candidate×candidate sim matrix (computed IN SPARK with the same
+    * codegen'd [[graft.functions.cosine_similarity]] the relevance stage
+    * used, so the greedy pass sees identical doubles). The greedy selection
+    * itself is inherently sequential (pick i depends on picks 1..i−1) and
+    * runs driver-side over the collected C×C matrix — C² doubles, MODEL-
+    * sized (the repo's bounded-collect contract: centroids/codebooks class,
+    * never corpus-sized). Deterministic (max-mmr ties break on vec_id), so
+    * the whole operator is oracle-exact against an unrolled k-step CTE
+    * chain (the [[TextAnalysis.bpeLearn]] generated-chain pattern). */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.cosine_similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val seed = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cand = e.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("embedding"),
+        cosine_similarity(col("embedding"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrCandidates)
+      .persist() // two consumers (rel rows + pair matrix); C rows, model-sized
+    try {
+      val rels = cand.select(col("vec_id"), col("rel")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val b = cand.select(col("vec_id").as("ib"), col("embedding").as("b_emb"))
+      val sims = cand.crossJoin(b)
+        .select(col("vec_id").as("ia"), col("ib"),
+          cosine_similarity(col("embedding"), col("b_emb")).as("sim"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // greedy: same double ops as the oracle chain (λ·rel − (1−λ)·max sim)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+      val remaining = scala.collection.mutable.SortedMap(rels: _*)
+      for (step <- 1 to math.min(MmrK, rels.length)) {
+        val best = remaining.map { case (id, rel) =>
+          val pen = if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => sims((id, s._2))).max
+          (id, rel, MmrLambda * rel - (1.0 - MmrLambda) * pen)
+        }.minBy { case (id, _, m) => (-m, id) } // max mmr, ties to low id
+        selected += ((step.toLong, best._1, best._2, best._3))
+        remaining -= best._1
+      }
+      import spark.implicits._
+      selected.toSeq.toDF("mmr_rank", "vec_id", "relevance", "mmr_score")
+        .orderBy("mmr_rank")
+    } finally cand.unpersist()
+  }
+
   /** Fixture embedding dimensionality (TESTDATA.md); the operator reads it
     * from the data at runtime when it differs. */
   val CovDims = 64
@@ -797,6 +858,7 @@ object SimilarityQueries {
     "bq_knn_topk" -> ((s, d) => bqKnnTopK(s, d)),
     "bq_knn_jaccard" -> ((s, d) => bqKnnJaccard(s, d)),
     "mrl_knn_topk" -> ((s, d) => mrlKnnTopK(s, d)),
+    "mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
@@ -996,6 +1058,48 @@ object SimilarityQueries {
          |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
          |ORDER BY dist, c.vec_id
          |LIMIT $BqK""".stripMargin,
+    // greedy MMR unrolled as a generated k-step MATERIALIZED chain (the
+    // bpe_learn pattern): each step_i picks argmax λ·rel − (1−λ)·max-sim-
+    // to-selected with the same double ops and vec_id tie-break the driver
+    // greedy runs; MATERIALIZED stops DuckDB re-inlining sel_{i-1} per
+    // consumer (it feeds the NOT IN, the penalty subquery and the union)
+    "mmr_rerank" -> {
+      val lam = MmrLambda
+      val oneMinusLam = 1.0 - MmrLambda
+      val chain = (2 to MmrK).map { i =>
+        s""",
+           |step$i AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel,
+           |    $lam * c.rel - $oneMinusLam * (
+           |      SELECT max(p.sim) FROM pairs p
+           |      JOIN sel${i - 1} s ON p.ib = s.vec_id
+           |      WHERE p.ia = c.vec_id) AS mmr
+           |  FROM cand c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1}
+           |  UNION ALL SELECT CAST($i AS BIGINT) AS mmr_rank, vec_id, rel, mmr
+           |  FROM step$i)""".stripMargin
+      }.mkString
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, ${O.cosSim("e.embedding", "q.qv")} AS rel
+         |  FROM embeddings e, q
+         |  ORDER BY rel DESC, e.vec_id
+         |  LIMIT $MmrCandidates),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${O.cosSim("a.embedding", "b.embedding")} AS sim
+         |  FROM cand a, cand b),
+         |sel1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel,
+         |    $lam * rel - $oneMinusLam * 0.0 AS mmr
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)$chain
+         |SELECT mmr_rank, vec_id, rel AS relevance, mmr AS mmr_score
+         |FROM sel$MmrK ORDER BY mmr_rank""".stripMargin
+    },
     // sign-bit set algebra over the float arrays mirrors bq_pack exactly
     // (bit i set iff v[i] >= 0, padding zero on both sides); the counts
     // are exact integers and the one division is engine-identical

@@ -269,6 +269,57 @@ object TextAnalysis {
       .limit(RrfTopK)
   }
 
+  /** Query phrase for [[phraseSearch]]/[[phraseSearchIndexed]] — an exact
+    * token sequence, the retrieval shape BM25's bag-of-words scoring can't
+    * express (Postgres: `phraseto_tsquery` / `<->` tsquery adjacency). */
+  val PhraseTerms: Seq[String] = Seq("table", "scan")
+
+  /** Exact-phrase search, scan form: count the positions where the token
+    * stream matches [[PhraseTerms]] contiguously. The match counter is ONE
+    * codegen'd higher-order expression per row (`size(filter(sequence(1,
+    * n-len+1), i -> t[i]=w₁ ∧ t[i+1]=w₂ …))`) — map-only, zero shuffle,
+    * embarrassingly parallel: the 100 TB scan cost is bandwidth, not
+    * coordination. Overlapping matches count individually (start
+    * positions), matching the oracle's lambda over the same index list.
+    * [[phraseSearchIndexed]] is the index-path twin that skips the scan. */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = PhraseTerms.length
+    val t = tokens(col("text"))
+    val starts = sequence(lit(1), size(t) - lit(n - 1))
+    val hit = (i: Column) => PhraseTerms.zipWithIndex.map { case (w, j) =>
+      element_at(t, (i + lit(j)).cast("int")) === lit(w)
+    }.reduce(_ && _)
+    // guard: sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series
+    // yields []), so short docs must short-circuit to zero matches
+    val matches = when(size(t) >= n, size(filter(starts, hit)).cast("long"))
+      .otherwise(lit(0L))
+    Tables.documents(spark, sfDir).transform(Tables.rowParallel)
+      .select(col("doc_id"), matches.as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Exact-phrase search, positional-postings form — the INDEX path of
+    * [[phraseSearch]]: each term's postings (doc_id, pos) are filtered to
+    * the query's terms, re-based by the term's phrase offset, and
+    * intersected with equi-joins on (doc_id, base) — one surviving row per
+    * full match start. At 100 TB the postings live in the
+    * [[graft.index.Bm25Index]]-style bucketed sidecar with a position
+    * column, so the joins touch only the phrase terms' partitions
+    * (pruned directories, each Zipf-bounded) — never the corpus; inline
+    * here the posexplode feeds the same join tree. Row-identical to the
+    * scan form (shared oracle), plan-distinct (specs pin both). */
+  def phraseSearchIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.documents(spark, sfDir).transform(Tables.rowParallel)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "token")))
+    val parts = PhraseTerms.zipWithIndex.map { case (w, j) =>
+      pos.filter(col("token") === w).select(col("doc_id"), (col("p") - lit(j)).as("base"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
   // train/val/test cutoffs over 100 deterministic hash buckets
   val ValBuckets = 10L   // buckets [0,10) → val
   val TestBuckets = 10L  // buckets [10,20) → test; rest train
@@ -717,6 +768,38 @@ object TextAnalysis {
       .filter(bucket < SampleBuckets)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
+  }
+
+  /** Salt for [[weightedSample]]'s per-doc uniform draw. */
+  val WsSalt = "wsample-v1"
+  /** Sample size [[weightedSample]] returns. */
+  val WsK = 50
+  /** Modulus mapping the 60-bit doc hash onto [0, 2⁵³) — the largest range
+    * where every integer is exact in double, so `(h+1)/2⁵³` is an exact
+    * dyadic rational in (0, 1] on both engines. */
+  val WsMod: Long = 1L << 53
+
+  /** Weighted sampling without replacement — Efraimidis–Spirakis 2006
+    * (A-ES, the one-pass distributed weighted reservoir): each doc draws
+    * u ∈ (0, 1] and ranks by key = −ln(u)/w; the S smallest keys ARE a
+    * weighted sample without replacement. Weight here is `n_chars` — the
+    * "sample long docs proportionally more" curation pass (token-budget
+    * sampling). The RNG is the repo's deterministic salted-hash uniform
+    * instead of seeded randomness, so the sample is reproducible across
+    * runs/engines/shards like [[corpusSample]], and the whole operator is
+    * oracle-exact: hash, ln and divide are bit-identical IEEE ops both
+    * sides. Scale shape: map-only key computation + TakeOrderedAndProject
+    * (bounded heaps, no global sort, no shuffle beyond S rows/partition). */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = graft.functions.md5_long(
+      concat(col("doc_id").cast("string"), lit(":" + WsSalt))) % lit(WsMod)
+    val u = (h + lit(1L)).cast("double") / lit(WsMod.toDouble)
+    val key = -log(u) / col("n_chars").cast("double")
+    Tables.documents(spark, sfDir).transform(Tables.rowParallel)
+      .filter(col("n_chars") > 0) // zero-weight rows are unsampleable by definition
+      .select(col("doc_id"), col("n_chars"), key.as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(WsK)
   }
 
   /** Salt for [[corpusShuffle]]'s ordering key — a different epoch salt
@@ -1202,6 +1285,9 @@ object TextAnalysis {
     "bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "pii_scan" -> ((s, d) => piiScan(s, d)),
     "hybrid_search" -> ((s, d) => hybridSearch(s, d)),
+    "phrase_search" -> ((s, d) => phraseSearch(s, d)),
+    "phrase_search_indexed" -> ((s, d) => phraseSearchIndexed(s, d)),
+    "weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "corpus_splits" -> ((s, d) => corpusSplits(s, d)),
     "bigram_top" -> ((s, d) => bigramTop(s, d)),
     "quality_signals" -> ((s, d) => qualitySignals(s, d)),
@@ -1316,6 +1402,24 @@ object TextAnalysis {
        |    THEN CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
        |    ELSE NULL END AS chars_per_token
        |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The exact-phrase match-count oracle — DuckDB's lambda over the same
+    * start-position list both Spark phrase forms count (generate_series
+    * yields [] when the doc is shorter than the phrase, so no guard is
+    * needed on this side). */
+  private def phraseOracleSql(tok: String): String = {
+    val conds = PhraseTerms.zipWithIndex.map {
+      case (w, 0) => s"t[i] = '$w'"
+      case (w, j) => s"t[i+$j] = '$w'"
+    }.mkString(" AND ")
+    s"""WITH tk AS (SELECT doc_id, $tok AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(list_filter(generate_series(1, len(t) - ${PhraseTerms.length - 1}),
+       |      i -> $conds)) AS BIGINT) AS n_matches
+       |  FROM tk)
+       |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+       |ORDER BY doc_id""".stripMargin
   }
 
   def oracles: Map[String, String] = {
@@ -1733,6 +1837,18 @@ object TextAnalysis {
            |FROM vr FULL OUTER JOIN bmr ON vr.doc_id = bmr.doc_id
            |ORDER BY rrf_score DESC, doc_id
            |LIMIT $RrfTopK""".stripMargin,
+      // one shared phrase oracle: the scan and index forms are row-identical
+      "phrase_search" -> phraseOracleSql(tok),
+      "phrase_search_indexed" -> phraseOracleSql(tok),
+      "weighted_sample" ->
+        s"""WITH s AS (
+           |  SELECT doc_id, n_chars,
+           |    (-ln((CAST(${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$WsSalt')")} % $WsMod + 1 AS DOUBLE)) / ${WsMod.toDouble}))
+           |      / CAST(n_chars AS DOUBLE) AS sample_key
+           |  FROM documents WHERE n_chars > 0)
+           |SELECT doc_id, n_chars, sample_key FROM s
+           |ORDER BY sample_key, doc_id
+           |LIMIT $WsK""".stripMargin,
       "quality_filter" ->
         s"""WITH base AS (
            |  SELECT

@@ -270,6 +270,25 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
 
+  test("mmr_rerank: self first, unique picks, diverges from pure top-k") {
+    import SimilarityQueries.{MmrK, MmrLambda}
+    val rows = SimilarityQueries.mmrRerank(spark, Sf0001).collect()
+    assert(rows.length === MmrK)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to MmrK.toLong))
+    // the query vector is its own most-relevant result
+    assert(rows.head.getLong(1) === 0L)
+    assert(math.abs(rows.head.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(rows.head.getDouble(3) - MmrLambda) < 1e-12,
+      "first pick's mmr is λ·rel with zero diversity penalty")
+    assert(rows.map(_.getLong(1)).distinct.length === MmrK, "picks are unique")
+    // the diversity penalty must actually bite: the MMR pick sequence
+    // differs from the pure-relevance top-k on this fixture (verified
+    // against the DuckDB chain during development)
+    val topk = ReferenceQueries.knnTopK(spark, Sf0001, MmrK)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(1)).toSeq !== topk)
+  }
+
   test("label_centroids_fast equals the explode form; plan has no pre-agg explode") {
     val slow = SimilarityQueries.labelCentroids(spark, Sf0001).collect()
     val fast = SimilarityQueries.labelCentroidsFast(spark, Sf0001).collect()

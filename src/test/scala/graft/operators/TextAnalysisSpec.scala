@@ -381,6 +381,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("phrase_search counts adjacent repeats and guards sub-phrase docs") {
+    // PhraseTerms = ("table","scan"): doc 0 matches at positions 1 and 3;
+    // doc 1 is SHORTER than the phrase (the sequence(1,0)-descends guard);
+    // doc 2 has both terms but not adjacent in order; doc 3 matches once
+    // mid-stream
+    val dir = corpusDir(
+      0L -> "table scan table scan", 1L -> "table",
+      2L -> "scan table", 3L -> "x table scan y")
+    val got = TextAnalysis.phraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 2L), (3L, 1L)))
+  }
+
+  test("phrase_search_indexed is row-identical to the scan form") {
+    val scan = TextAnalysis.phraseSearch(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val idx = TextAnalysis.phraseSearchIndexed(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(scan.nonEmpty, "fixture must contain the phrase")
+    assert(idx === scan)
+  }
+
+  test("weighted_sample: reproducible, k rows, and length-biased as designed") {
+    val s1 = TextAnalysis.weightedSample(spark, Sf0001).collect()
+    val s2 = TextAnalysis.weightedSample(spark, Sf0001).collect()
+    assert(s1.map(_.getLong(0)).sameElements(s2.map(_.getLong(0))),
+      "hash-driven A-ES must be reproducible")
+    assert(s1.length === TextAnalysis.WsK)
+    val corpusMean = graft.Tables.documents(spark, Sf0001)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    val sampleMean = s1.map(_.getLong(1)).sum.toDouble / s1.length
+    assert(sampleMean > corpusMean,
+      s"n_chars-weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("corpus_sample: deterministic ~10% subset, stable across runs") {
     val s1 = TextAnalysis.corpusSample(spark, Sf0001).collect().map(_.getLong(0))
     val s2 = TextAnalysis.corpusSample(spark, Sf0001).collect().map(_.getLong(0))

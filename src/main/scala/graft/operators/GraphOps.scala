@@ -42,10 +42,12 @@ object GraphOps {
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int,
                damping: Double, driverMaxEdges: Long = DriverMaxEdges,
                forceDistributed: Boolean = false): DataFrame = {
-    val nodesS = nodes.select(col("node").cast("string").as("node"))
     // persist across dispatch-count + kernel consumption: the caller's
-    // edge relation is typically a corpus-sized aggregation that must not
-    // recompute once for count() and again for collect()/iteration
+    // node/edge relations are typically corpus-sized distinct/aggregation
+    // results that must not recompute once for count() and again per
+    // collect()/iteration (nodes is read 4x in a 2-iteration distributed
+    // run: count, rank init, one left join per iteration)
+    val nodesS = nodes.select(col("node").cast("string").as("node")).persist()
     val edgesS = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
       .persist()
@@ -59,9 +61,9 @@ object GraphOps {
         driverPageRank(n, e, iterations, damping).toSeq.toDF("node", "pagerank")
       } else distributedPageRank(nodesS, edgesS, iterations, damping)
       // (the distributed kernel materializes every generation inside its
-      // loop, so releasing the edge persist below cannot trigger a
-      // recompute of the returned, already-cached rank relation)
-    } finally edgesS.unpersist()
+      // loop, so releasing the persists below cannot trigger a recompute
+      // of the returned, already-cached rank relation)
+    } finally { edgesS.unpersist(); nodesS.unpersist() }
   }
 
   /** Exact local kernel — ≤ [[DriverMaxEdges]] edges (index-metadata

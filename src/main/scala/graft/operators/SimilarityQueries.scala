@@ -519,6 +519,27 @@ object SimilarityQueries {
       .limit(HalfK)
   }
 
+  /** pgvector's remaining halfvec operator family (`<->` `<#>` `<+>` on
+    * halfvec, pgvector 0.7+) in one ranked scan — compose-don't-rebuild:
+    * [[graft.functions.half_unpack]] widens binary16 EXACTLY to float32,
+    * so the standard codegen'd distance kernels ARE the halfvec kernels
+    * (bit-equal to dedicated half-loops by construction; the cosine twin
+    * [[halfKnnTopK]] keeps its fused kernel as the bandwidth-optimal
+    * form). Ranked by L2 with id tie-break → TakeOrderedAndProject. */
+  def halfDistancesTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{half_pack, half_unpack, inner_product, l1_distance, l2_distance}
+    val e = Tables.embeddings(spark, sfDir)
+    val packed = e.select(col("vec_id"), half_pack(col("embedding")).as("hv"))
+    val seed = packed.filter(col("vec_id") === 0).select(col("hv").as("qv"))
+    packed.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        l2_distance(half_unpack(col("hv")), half_unpack(col("qv"))).as("l2"),
+        inner_product(half_unpack(col("hv")), half_unpack(col("qv"))).as("ip"),
+        l1_distance(half_unpack(col("hv")), half_unpack(col("qv"))).as("l1"))
+      .orderBy(col("l2"), col("vec_id"))
+      .limit(HalfK)
+  }
+
   val BqCandidates = 50
   val BqK = 10
 
@@ -872,6 +893,7 @@ object SimilarityQueries {
     "sparse_l2_topk" -> ((s, d) => sparseL2TopK(s, d)),
     "sparse_knn_indexed" -> ((s, d) => sparseKnnIndexed(s, d)),
     "halfvec_knn" -> ((s, d) => halfKnnTopK(s, d)),
+    "halfvec_l2_topk" -> ((s, d) => halfDistancesTopK(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
     "prototype_prune" -> ((s, d) => prototypePrune(s, d)),
@@ -1013,6 +1035,17 @@ object SimilarityQueries {
          |SELECT h.vec_id, ${O.cosDist("h.hv", "q.qv")} AS dist
          |FROM h, q
          |ORDER BY dist, h.vec_id
+         |LIMIT $HalfK""".stripMargin,
+    "halfvec_l2_topk" ->
+      s"""WITH h AS (SELECT vec_id, ${O.halfList("embedding")} AS hv FROM embeddings),
+         |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
+         |SELECT h.vec_id,
+         |  ${O.l2Dist("h.hv", "q.qv")} AS l2,
+         |  ${O.innerProduct("h.hv", "q.qv")} AS ip,
+         |  list_sum(list_transform(list_zip(h.hv, q.qv),
+         |    s -> abs(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))) AS l1
+         |FROM h, q
+         |ORDER BY l2, h.vec_id
          |LIMIT $HalfK""".stripMargin,
     "range_search" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -270,6 +270,21 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
 
+  test("halfvec_l2_topk: self first with zero l2/l1; ip(self) = ||h||²") {
+    import graft.functions.{half_pack, half_unpack}
+    import org.apache.spark.sql.functions.col
+    val rows = SimilarityQueries.halfDistancesTopK(spark, Sf0001).collect()
+    assert(rows.length === SimilarityQueries.HalfK)
+    val self = rows.head
+    assert(self.getLong(0) === 0L)
+    assert(self.getDouble(1) === 0.0 && self.getDouble(3) === 0.0)
+    val h = graft.Tables.embeddings(spark, Sf0001).filter(col("vec_id") === 0)
+      .select(half_unpack(half_pack(col("embedding")))).head()
+      .getSeq[Float](0)
+    val normSq = h.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    assert(self.getDouble(2) === normSq, "ip of self is the exact squared norm")
+  }
+
   test("mmr_rerank: self first, unique picks, diverges from pure top-k") {
     import SimilarityQueries.{MmrK, MmrLambda}
     val rows = SimilarityQueries.mmrRerank(spark, Sf0001).collect()

@@ -48,13 +48,22 @@ object Bm25Index {
   private val DfSchema = StructType(Seq(
     StructField("token", StringType), StructField("df", DoubleType),
     StructField("bucket", IntegerType)))
+  private val PositionsSchema = StructType(Seq(
+    StructField("token", StringType), StructField("doc_id", LongType),
+    StructField("pos", LongType), StructField("bucket", IntegerType)))
 
-  /** One corpus scan → all four sidecars. */
+  /** One corpus scan → all five sidecars (positions included: phrase
+    * queries are index consumers too — see [[phraseSearch]]). */
   def build(docs: DataFrame, indexPath: String, idCol: String = "doc_id",
             textCol: String = "text"): Unit = timeIt("bm25_build") {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val tokP = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    tokP.select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("bucket", bucketOf(col("token")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/positions")
+    val tok = tokP.select(col("doc_id"), col("token"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$indexPath/doclen")
     val dlStored = spark.read.parquet(s"$indexPath/doclen")
@@ -105,8 +114,12 @@ object Bm25Index {
              textCol: String = "text"): Unit = timeIt("bm25_append") {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val tok = newDocs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("token"))
+    val tokP = newDocs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    tokP.select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("bucket", bucketOf(col("token")))
+      .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/positions")
+    val tok = tokP.select(col("doc_id"), col("token"))
     val dlNew = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .persist() // one execution across the two appends
     val addTok =
@@ -196,5 +209,38 @@ object Bm25Index {
       .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** True iff this index carries the positional sidecar (indexes restored
+    * from a pre-positions catalog may not; callers fall back to the scan
+    * path). */
+  def hasPositions(spark: SparkSession, indexPath: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/positions")
+    p.getFileSystem(conf).exists(p)
+  }
+
+  /** Exact-phrase match counts from the positional sidecar — the index
+    * path of [[graft.operators.TextAnalysis.phraseSearch]]: the read
+    * prunes to the phrase terms' bucket directories (same directory-
+    * pruning economics as [[topK]] — each term's postings are Zipf-
+    * bounded, never the corpus), each term's (doc_id, pos) stream is
+    * re-based by its offset in the phrase, and an equi-join chain on
+    * (doc_id, base) leaves exactly one row per full match start. */
+  def phraseSearch(spark: SparkSession, indexPath: String,
+                   phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.distinct
+    val buckets = terms.toDS()
+      .select(bucketOf(col("value"))).as[Int].collect().distinct.toIndexedSeq
+    val pos = spark.read.schema(PositionsSchema).parquet(s"$indexPath/positions")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val parts = phrase.zipWithIndex.map { case (w, j) =>
+      pos.filter(col("token") === w).select(col("doc_id"), (col("pos") - lit(j.toLong)).as("base"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
   }
 }

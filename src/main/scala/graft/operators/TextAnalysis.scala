@@ -300,24 +300,20 @@ object TextAnalysis {
   }
 
   /** Exact-phrase search, positional-postings form — the INDEX path of
-    * [[phraseSearch]]: each term's postings (doc_id, pos) are filtered to
-    * the query's terms, re-based by the term's phrase offset, and
-    * intersected with equi-joins on (doc_id, base) — one surviving row per
-    * full match start. At 100 TB the postings live in the
-    * [[graft.index.Bm25Index]]-style bucketed sidecar with a position
-    * column, so the joins touch only the phrase terms' partitions
-    * (pruned directories, each Zipf-bounded) — never the corpus; inline
-    * here the posexplode feeds the same join tree. Row-identical to the
-    * scan form (shared oracle), plan-distinct (specs pin both). */
+    * [[phraseSearch]]: reads the [[graft.index.Bm25Index]] positional
+    * sidecar (built once per corpus with the BM25 postings, memoized via
+    * [[bm25IndexFor]]), pruned to the phrase terms' bucket directories,
+    * re-based by phrase offset and intersected with (doc_id, base)
+    * equi-joins — the query never rescans the corpus, only each term's
+    * Zipf-bounded postings ([[graft.index.Bm25Index.phraseSearch]]).
+    * A catalog-restored index predating the positional sidecar falls back
+    * to the row-identical scan form. Shared oracle with [[phraseSearch]];
+    * plan-distinct (specs pin both). */
   def phraseSearchIndexed(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = Tables.documents(spark, sfDir).transform(Tables.rowParallel)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "token")))
-    val parts = PhraseTerms.zipWithIndex.map { case (w, j) =>
-      pos.filter(col("token") === w).select(col("doc_id"), (col("p") - lit(j)).as("base"))
-    }
-    parts.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
-      .orderBy("doc_id")
+    val idx = bm25IndexFor(spark, sfDir)
+    if (graft.index.Bm25Index.hasPositions(spark, idx))
+      graft.index.Bm25Index.phraseSearch(spark, idx, PhraseTerms)
+    else phraseSearch(spark, sfDir)
   }
 
   // train/val/test cutoffs over 100 deterministic hash buckets

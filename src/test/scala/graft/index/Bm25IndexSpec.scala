@@ -58,6 +58,26 @@ class Bm25IndexSpec extends SparkSpec {
         s"got ${parts.length}")
   }
 
+  test("positional phrase search: pruned to the phrase's buckets, equals scan form") {
+    val idxPath = TextAnalysis.bm25IndexFor(spark, Sf001)
+    assert(Bm25Index.hasPositions(spark, idxPath))
+    val df = Bm25Index.phraseSearch(spark, idxPath, TextAnalysis.PhraseTerms)
+    val scans = fileScans(df.queryExecution.executedPlan)
+    val posScans = scans.filter(_.relation.location.rootPaths.exists(
+      _.toString.contains("positions")))
+    assert(posScans.nonEmpty, "phrase search must read the positional sidecar")
+    posScans.foreach { s =>
+      val parts = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+      assert(parts.length <= TextAnalysis.PhraseTerms.distinct.length,
+        s"expected ≤${TextAnalysis.PhraseTerms.distinct.length} position buckets, " +
+          s"got ${parts.length}")
+    }
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scan = TextAnalysis.phraseSearch(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got === scan)
+  }
+
   test("append equals full rebuild bit-for-bit (postings, stats, scores)") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")

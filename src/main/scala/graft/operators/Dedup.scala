@@ -223,6 +223,23 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(hashedShingleRel(spark, sfDir))
 
+  /** LSH band rows `(doc_id, band, band_sig)` of a hashed-shingle relation
+    * — the banding stage shared by [[minhashPairs]] and the streaming
+    * near-dup gate ([[graft.streaming.StreamingIngest.startMinhashDedup]]),
+    * ONE definition so the stream collides against exactly the batch
+    * pipeline's buckets (a drifted copy would silently change the gate's
+    * recall with no test failing). */
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), pmod(col("h"), lit(MinhashPrime)).as("h"))
+    val sig = hashed.groupBy("doc_id")
+      .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))
+    sig
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumPerms / BandRows - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * BandRows + 1, lit(BandRows))
+          .cast("array<string>")).as("band_sig"))
+  }
+
   /** The MinHash-LSH pipeline over an arbitrary hashed-shingle relation
     * ((doc_id, h) rows, [[hashedShingleRelOf]]) — shared by the fixture
     * query and the 1M-doc scale smoke. */
@@ -235,14 +252,7 @@ object Dedup {
     // shuffle, while a checkpoint adds an eager barrier + block I/O that
     // cancels the saved recomputation (unlike dedupNgramCapped's posting
     // build, which is itself a shuffle and DOES pay to materialize).
-    val hashed = sh.select(col("doc_id"), pmod(col("h"), lit(MinhashPrime)).as("h"))
-    val sig = hashed.groupBy("doc_id")
-      .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))
-    val bands = sig
-      .select(col("doc_id"), explode(sequence(lit(0), lit(NumPerms / BandRows - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        concat_ws(",", slice(col("sig"), col("band") * BandRows + 1, lit(BandRows))
-          .cast("array<string>")).as("band_sig"))
+    val bands = bandsOf(sh)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))

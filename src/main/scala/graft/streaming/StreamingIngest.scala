@@ -328,6 +328,71 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming NEAR-dup gate — the continuous form of the MinHash-LSH
+    * pipeline (`Dedup.dedupClean`'s candidate stage), one rung up from
+    * [[startDedupIngest]]'s exact fingerprints: each micro-batch computes
+    * the SAME 64-perm/16-band LSH band signatures the batch pipeline uses
+    * ([[graft.operators.Dedup.bandsOf]] — one shared definition) and drops
+    * a doc when any band bucket collides with (a) the on-disk band store
+    * of previously accepted docs or (b) a lower-id doc in the same batch.
+    * Survivors append to the result sink and their bands to the store.
+    *
+    * State lives in the PARQUET STORE, not executor memory — unlike the
+    * watermark-bounded fingerprint state of [[startDedupIngest]], the band
+    * store scales as an on-disk relation (O(16 rows/doc), an index-class
+    * sidecar; at 100 TB it is bucketed by band_sig hash so the collision
+    * probe prunes like any posting join). The gate is the LSH candidate
+    * test WITHOUT the exact-Jaccard verification — collisions drop
+    * immediately (false-positive rate = the banding s-curve's, ~p⁶⁴ᐟ¹⁶ at
+    * low similarity), and the in-batch rule keeps local collision-graph
+    * minima rather than running full connected components; the periodic
+    * BATCH pass (`Dedup.dedupClean`) is the exact compaction, the same
+    * split documented on [[startDedupIngest]]. Replay of a failed batch
+    * can re-append (at-least-once, see object scaladoc); re-appended
+    * band rows only repeat collisions already recorded, so the gate's
+    * decisions stay stable under replay. */
+  def startMinhashDedup(spark: SparkSession, srcDir: String, schema: StructType,
+                        storePath: String, resultPath: String,
+                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    val bandStoreSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("band_sig", StringType)))
+    // pre-create so the first micro-batch's schema'd read sees an empty
+    // relation instead of a missing-path failure
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val bands = graft.operators.Dedup.bandsOf(
+          graft.operators.Dedup.hashedShingleRelOf(batch)).persist()
+        try {
+          val store = sp.read.schema(bandStoreSchema).parquet(storePath)
+          val dupOfStored = bands
+            .join(store, Seq("band", "band_sig"), "left_semi")
+            .select("doc_id").distinct()
+          val dupInBatch = bands.as("x")
+            .join(bands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.band_sig") === col("y.band_sig") &&
+                col("x.doc_id") > col("y.doc_id"), "left_semi")
+            .select("doc_id").distinct()
+          val drop = dupOfStored.union(dupInBatch).distinct()
+          val kept = batch.join(drop, Seq("doc_id"), "left_anti")
+          kept.write.mode("append").parquet(resultPath)
+          bands.join(drop, Seq("doc_id"), "left_anti")
+            .select("doc_id", "band", "band_sig")
+            .write.mode("append").parquet(storePath)
+        } finally bands.unpersist()
+      }
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Event-time tumbling-window rollup over the events feed — the stream
     * form of StarSchemaQueries.eventsHourly, run the way a production
     * stream would be: APPEND output, so a window row is emitted exactly

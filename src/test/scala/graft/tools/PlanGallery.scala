@@ -212,6 +212,31 @@ object PlanGallery {
       "only the 50 survivor ids see exact float32 math, fetched by a " +
       "broadcast semi-join back to the base table. TakeOrderedAndProject " +
       "at both stages."),
+    "phrase_search" -> ("Exact-phrase scan form: the match counter is ONE " +
+      "codegen'd higher-order expression (filter over the start-index " +
+      "sequence) inside the scan's WholeStageCodegen span — map-only; " +
+      "the only exchange is the output-determinism sort of the few " +
+      "matching docs."),
+    "phrase_search_indexed" -> ("Exact-phrase index form: reads the BM25 " +
+      "positional sidecar pruned to the phrase terms' bucket directories " +
+      "(PartitionFilters on bucket, pushed token filter), re-bases each " +
+      "term's (doc_id, pos) stream by its phrase offset and intersects " +
+      "with (doc_id, base) equi-joins — the corpus is never scanned at " +
+      "query time, only Zipf-bounded postings."),
+    "mmr_rerank" -> ("MMR diversity rerank: the distributed stages are " +
+      "the exact-cosine candidate TakeOrderedAndProject and the C×C " +
+      "pair-similarity matrix over the persisted candidate frame; the " +
+      "inherently sequential greedy pass runs driver-side over those " +
+      "model-sized doubles and the result returns as a LocalTableScan."),
+    "weighted_sample" -> ("A-ES weighted sampling: the −ln(u)/w key is " +
+      "row-local codegen'd arithmetic on the salted md5 hash (no RNG " +
+      "state), and the S smallest keys come out of " +
+      "TakeOrderedAndProject's bounded heaps — no shuffle beyond " +
+      "S rows per partition."),
+    "halfvec_l2_topk" -> ("The halfvec `<->`/`<#>`/`<+>` family by " +
+      "composition: half_unpack widens binary16 exactly to float32, so " +
+      "the three codegen'd distance kernels run in one projection over " +
+      "the packed column; TakeOrderedAndProject ranks on L2."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -284,23 +284,31 @@ object TextAnalysis {
     * [[phraseSearchIndexed]] is the index-path twin that skips the scan. */
   def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val n = PhraseTerms.length
-    // bind the token array to a COLUMN before the lambda references it:
-    // an inline `tokens(text)` subtree inside the lambda body re-runs the
-    // regex split per element_at per index — O(tokens²) splits per doc
-    // (measured 3.0 s at sf0.1; bound-attribute form is ~0.1 s)
+    // the "has ≥1 match" predicate as a token-boundary regex — EXACTLY
+    // "the phrase occurs" under \s+ tokenization, and cheap (one linear
+    // regex pass per row at the scan). A `n_matches > 0` column filter
+    // instead gets pushed below the projection with the token-array alias
+    // re-substituted INTO the lambda, re-running the split per element_at
+    // per index — O(tokens²) regex splits per doc over the WHOLE corpus
+    // (measured 3.0 s at sf0.1 vs ~0.2 s this way)
+    val rx = PhraseTerms.map(java.util.regex.Pattern.quote)
+      .mkString("(^|\\s)", "\\s+", "(\\s|$)")
+    // the counter's token array is a bound column, evaluated once per
+    // (already-matching) row
     val t = col("t")
     val starts = sequence(lit(1), size(t) - lit(n - 1))
     val hit = (i: Column) => PhraseTerms.zipWithIndex.map { case (w, j) =>
       element_at(t, (i + lit(j)).cast("int")) === lit(w)
     }.reduce(_ && _)
     // guard: sequence(1, 0) DESCENDS in Spark (DuckDB's generate_series
-    // yields []), so short docs must short-circuit to zero matches
+    // yields []); unreachable post-regex but kept for safety
     val matches = when(size(t) >= n, size(filter(starts, hit)).cast("long"))
       .otherwise(lit(0L))
-    Tables.documents(spark, sfDir).transform(Tables.rowParallel)
+    Tables.documents(spark, sfDir)
+      .filter(col("text").rlike(rx)) // n_matches ≥ 1 by construction
+      .transform(Tables.rowParallel)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), matches.as("n_matches"))
-      .filter(col("n_matches") > 0)
       .orderBy("doc_id")
   }
 

@@ -212,11 +212,13 @@ object PlanGallery {
       "only the 50 survivor ids see exact float32 math, fetched by a " +
       "broadcast semi-join back to the base table. TakeOrderedAndProject " +
       "at both stages."),
-    "phrase_search" -> ("Exact-phrase scan form: the match counter is ONE " +
-      "codegen'd higher-order expression (filter over the start-index " +
-      "sequence) inside the scan's WholeStageCodegen span — map-only; " +
-      "the only exchange is the output-determinism sort of the few " +
-      "matching docs."),
+    "phrase_search" -> ("Exact-phrase scan form: a token-boundary regex " +
+      "(exactly \"the phrase occurs\" under \\s+ tokenization) gates at " +
+      "the scan — one linear pass per row — and the start-position " +
+      "counter (a higher-order filter over a BOUND token-array column, " +
+      "split evaluated once per row) runs only on matching docs. " +
+      "Map-only; the only exchanges are the row-parallel fan-out and " +
+      "the output-determinism sort."),
     "phrase_search_indexed" -> ("Exact-phrase index form: reads the BM25 " +
       "positional sidecar pruned to the phrase terms' bucket directories " +
       "(PartitionFilters on bucket, pushed token filter), re-bases each " +

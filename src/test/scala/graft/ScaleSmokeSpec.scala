@@ -345,6 +345,52 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 240.0, s"unreasonably slow: $secs s")
   }
 
+  test("streaming MinHash near-dup gate soaks at 200k docs across two micro-batch rounds") {
+    import graft.streaming.StreamingIngest
+    // Cross-batch + in-batch duplicate mass at soak scale, all IDENTICAL
+    // texts (Jaccard 1.0 → every band collides → drops are deterministic):
+    //  batch 1: ids 0..99,999 unique           → all 100k accepted
+    //  batch 2: ids 100,000..109,999 copy (id − 100,000)  → cross-batch drop
+    //           ids 110,000..114,999 unique "pair base"    → accepted
+    //           ids 115,000..119,999 copy (id − 5,000)     → in-batch drop
+    //           ids 120,000..199,999 unique                → accepted
+    def uniq(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+      concat(lit("u"), idCol, lit("a")), concat(lit("u"), idCol, lit("b")),
+      concat(lit("u"), idCol, lit("cc")), concat(lit("u"), idCol, lit("d")),
+      concat(lit("u"), idCol, lit("e")), concat(lit("u"), idCol, lit("f")))
+    val batch1 = spark.range(100000L)
+      .select(col("id").as("doc_id"), uniq(col("id")).as("text"))
+    val batch2 = spark.range(100000L, 200000L).select(col("id").as("doc_id"),
+      when(col("id") < 110000L, uniq(col("id") - 100000L))
+        .when(col("id") >= 115000L && col("id") < 120000L, uniq(col("id") - 5000L))
+        .otherwise(uniq(col("id"))).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("mh_soak")
+    val src = tmp.resolve("src").toString
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val t0 = System.nanoTime()
+    batch1.coalesce(4).write.mode("append").parquet(src)
+    val q1 = StreamingIngest.startMinhashDedup(
+      spark, src, batch1.schema, store, out, maxFilesPerTrigger = 4)
+    q1.awaitTermination(300000)
+    assert(spark.read.parquet(out).count() === 100000L)
+    batch2.coalesce(4).write.mode("append").parquet(src)
+    val q2 = StreamingIngest.startMinhashDedup(
+      spark, src, batch2.schema, store, out, maxFilesPerTrigger = 4)
+    q2.awaitTermination(300000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val kept = spark.read.parquet(out)
+    assert(kept.count() === 185000L, s"got ${kept.count()}")
+    // every cross-batch copy and every higher-id in-batch copy dropped
+    assert(kept.filter(col("doc_id") >= 100000L && col("doc_id") < 110000L).count() === 0L)
+    assert(kept.filter(col("doc_id") >= 115000L && col("doc_id") < 120000L).count() === 0L)
+    // the store holds exactly the survivors' 16 band rows each
+    assert(spark.read.parquet(store).count() === 185000L * 16L)
+    info(f"200k-doc streaming near-dup gate: $secs%.2f s")
+    assert(secs < 240.0, s"unreasonably slow: $secs s")
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

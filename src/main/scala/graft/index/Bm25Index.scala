@@ -58,12 +58,16 @@ object Bm25Index {
             textCol: String = "text"): Unit = timeIt("bm25_build") {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tokP = docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-    tokP.select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
       .withColumn("bucket", bucketOf(col("token")))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/positions")
-    val tok = tokP.select(col("doc_id"), col("token"))
+    // ONE corpus tokenize: doclen and postings re-derive from the
+    // just-written positions sidecar (the dlStored read-back pattern)
+    // instead of re-running the explode+split per consumer
+    val tok = spark.read.schema(PositionsSchema).parquet(s"$indexPath/positions")
+      .select(col("doc_id"), col("token"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$indexPath/doclen")
     val dlStored = spark.read.parquet(s"$indexPath/doclen")
@@ -116,9 +120,16 @@ object Bm25Index {
     import spark.implicits._
     val tokP = newDocs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-    tokP.select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
-      .withColumn("bucket", bucketOf(col("token")))
-      .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/positions")
+    // only extend a positions sidecar that EXISTS: appending to a
+    // pre-positions (catalog-restored) index would create a partial
+    // positions/ that flips hasPositions and silently defeats the
+    // phrase-search scan fallback with match counts missing every
+    // pre-restore doc
+    if (hasPositions(spark, indexPath)) {
+      tokP.select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+        .withColumn("bucket", bucketOf(col("token")))
+        .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/positions")
+    }
     val tok = tokP.select(col("doc_id"), col("token"))
     val dlNew = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .persist() // one execution across the two appends
@@ -165,8 +176,11 @@ object Bm25Index {
       val conf = spark.sessionState.newHadoopConf()
       val postings = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
       val doclen = new org.apache.hadoop.fs.Path(s"$indexPath/doclen")
+      val positions = new org.apache.hadoop.fs.Path(s"$indexPath/positions")
+      val withPos = hasPositions(spark, indexPath)
       def files() = FsOps.countParquetFiles(conf, postings) +
-        FsOps.countParquetFiles(conf, doclen)
+        FsOps.countParquetFiles(conf, doclen) +
+        (if (withPos) FsOps.countParquetFiles(conf, positions) else 0)
       val nBefore = files()
       FsOps.swapDir(conf, postings) { (live, staging) =>
         spark.read.schema(PostingsSchema).parquet(live)
@@ -175,6 +189,14 @@ object Bm25Index {
       }
       FsOps.swapDir(conf, doclen) { (live, staging) =>
         spark.read.parquet(live).coalesce(4).write.parquet(staging)
+      }
+      // positions fragments FASTEST under streamed appends (one file-set
+      // per trigger per bucket) and is the largest sidecar — same
+      // one-file-per-bucket rewrite as postings
+      if (withPos) FsOps.swapDir(conf, positions) { (live, staging) =>
+        spark.read.schema(PositionsSchema).parquet(live)
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(staging)
       }
       (nBefore, files())
     }

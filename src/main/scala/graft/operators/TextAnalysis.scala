@@ -800,8 +800,9 @@ object TextAnalysis {
     * sides. Scale shape: map-only key computation + TakeOrderedAndProject
     * (bounded heaps, no global sort, no shuffle beyond S rows/partition). */
   def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = graft.functions.md5_long(
-      concat(col("doc_id").cast("string"), lit(":" + WsSalt))) % lit(WsMod)
+    // the ONE sampling primitive (graft.functions.salted_bucket) so the
+    // salt/cast/modulus contract cannot drift from its oracle twin
+    val h = graft.functions.salted_bucket(col("doc_id"), WsSalt, WsMod)
     val u = (h + lit(1L)).cast("double") / lit(WsMod.toDouble)
     val key = -log(u) / col("n_chars").cast("double")
     Tables.documents(spark, sfDir).transform(Tables.rowParallel)
@@ -1852,7 +1853,7 @@ object TextAnalysis {
       "weighted_sample" ->
         s"""WITH s AS (
            |  SELECT doc_id, n_chars,
-           |    (-ln((CAST(${graft.OracleSql.md5Long(s"(CAST(doc_id AS VARCHAR) || ':$WsSalt')")} % $WsMod + 1 AS DOUBLE)) / ${WsMod.toDouble}))
+           |    (-ln((CAST(${graft.OracleSql.saltedBucket("doc_id", WsSalt, WsMod)} + 1 AS DOUBLE)) / ${WsMod.toDouble}))
            |      / CAST(n_chars AS DOUBLE) AS sample_key
            |  FROM documents WHERE n_chars > 0)
            |SELECT doc_id, n_chars, sample_key FROM s

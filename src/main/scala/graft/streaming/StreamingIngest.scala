@@ -380,12 +380,16 @@ object StreamingIngest {
                 col("x.band_sig") === col("y.band_sig") &&
                 col("x.doc_id") > col("y.doc_id"), "left_semi")
             .select("doc_id").distinct()
-          val drop = dupOfStored.union(dupInBatch).distinct()
-          val kept = batch.join(drop, Seq("doc_id"), "left_anti")
-          kept.write.mode("append").parquet(resultPath)
-          bands.join(drop, Seq("doc_id"), "left_anti")
-            .select("doc_id", "band", "band_sig")
-            .write.mode("append").parquet(storePath)
+          // persist: drop feeds BOTH sink writes, and recomputing it
+          // would re-probe the full band store (corpus-scale) per action
+          val drop = dupOfStored.union(dupInBatch).distinct().persist()
+          try {
+            val kept = batch.join(drop, Seq("doc_id"), "left_anti")
+            kept.write.mode("append").parquet(resultPath)
+            bands.join(drop, Seq("doc_id"), "left_anti")
+              .select("doc_id", "band", "band_sig")
+              .write.mode("append").parquet(storePath)
+          } finally drop.unpersist()
         } finally bands.unpersist()
       }
       .option("checkpointLocation", s"${resultPath}_checkpoint")

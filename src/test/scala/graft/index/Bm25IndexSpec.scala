@@ -102,6 +102,34 @@ class Bm25IndexSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("tf"), r.getAs[Long]("dl"))).toSeq
     assert(postings(incremental) === postings(full))
+    // the fifth sidecar appends too: positional rows and the phrase
+    // query they serve must equal a full rebuild's
+    def positions(p: String) = spark.read.parquet(s"$p/positions")
+      .orderBy("token", "doc_id", "pos")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("pos"))).toSeq
+    assert(positions(incremental) === positions(full))
+    def phrase(p: String) = Bm25Index.phraseSearch(spark, p, TextAnalysis.PhraseTerms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ph = phrase(incremental)
+    assert(ph.nonEmpty && ph === phrase(full))
+  }
+
+  test("append onto a pre-positions index skips positions; phrase falls back to scan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_nopos").resolve("idx").toString
+    Bm25Index.build(docs.filter(col("doc_id") < 250), idx)
+    // simulate a catalog-restored pre-positions sidecar
+    val conf = spark.sessionState.newHadoopConf()
+    val posPath = new org.apache.hadoop.fs.Path(s"$idx/positions")
+    posPath.getFileSystem(conf).delete(posPath, true)
+    assert(!Bm25Index.hasPositions(spark, idx))
+    Bm25Index.append(docs.filter(col("doc_id") >= 250), idx)
+    // a partial positions dir would flip hasPositions and serve phrase
+    // counts missing every pre-restore doc — append must NOT create one
+    assert(!Bm25Index.hasPositions(spark, idx))
   }
 
   test("null-text docs: append still equals full rebuild (n counts ALL docs)") {

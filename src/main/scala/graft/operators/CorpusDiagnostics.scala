@@ -188,14 +188,81 @@ object CorpusDiagnostics {
       .orderBy("source")
   }
 
+  /** Per-source KL divergence against the whole-corpus unigram
+    * distribution — the domain-drift / mixture-health diagnostic run
+    * before re-weighting sources (the distribution-shift counterpart of
+    * [[graft.operators.TextAnalysis.dsirWeights]], and the monitoring pass
+    * that catches a crawl source going off-distribution between dumps):
+    * KL(P_src ‖ P_corpus) = Σ_b p_sb·ln(p_sb/q_b) over the same
+    * [[TextAnalysis.DsirBuckets]] hashed-unigram buckets DSIR uses, with
+    * add-one smoothing on both sides so empty buckets stay finite.
+    *
+    * Scale shape: corpus-sized work is ONE tokenize+bucket pass feeding
+    * three hash aggs (per-(source,bucket) / per-bucket / per-source —
+    * each ≤ |sources|·B rows, map-side combined); the KL terms evaluate on
+    * the |sources|×B grid (a few thousand rows) with the 1-row total
+    * broadcast. Exactness: integer counts, each term is p·ln(p/q) in
+    * fixed op order, 9dp-rounded into order-free DECIMAL sums. */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    import TextAnalysis.DsirBuckets
+    val bucketed = Tables.documents(spark, sfDir)
+      .transform(Tables.rowParallel)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .select(col("source"),
+        (graft.functions.md5_long(col("token")) % DsirBuckets).as("bucket"))
+    val perSrcB = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("csb"))
+    val perB = bucketed.groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val perSrc = bucketed.groupBy("source").agg(count(lit(1)).as("ts"))
+    val tot = bucketed.agg(count(lit(1)).cast("double").as("t"))
+    val grid = perSrc.crossJoin(
+      spark.range(DsirBuckets).select(col("id").as("bucket")))
+    val b = lit(DsirBuckets.toDouble)
+    val p = (col("csb") + lit(1L)).cast("double") / (col("ts").cast("double") + b)
+    val q = (col("cb") + lit(1L)).cast("double") / (col("t") + b)
+    grid
+      .join(perSrcB, Seq("source", "bucket"), "left").na.fill(0L, Seq("csb"))
+      .join(perB, Seq("bucket"), "left").na.fill(0L, Seq("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("ts"),
+        round(p * log(p / q), 9).cast("decimal(28,9)").as("term"))
+      .groupBy("source", "ts")
+      .agg(sum(col("term")).as("klsum"))
+      .select(col("source"), col("ts").as("n_tokens"),
+        col("klsum").cast("double").as("kl"))
+      .orderBy("source")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bigram_novelty" -> ((s, d) => bigramNovelty(s, d)),
     "heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "source_divergence" -> ((s, d) => sourceDivergence(s, d)),
     "temperature_mix" -> ((s, d) => temperatureMix(s, d)))
 
   def oracles: Map[String, String] = {
     val tok = """string_split_regex(trim(text), '\s+')"""
+    val B = TextAnalysis.DsirBuckets
+    val pExpr = s"((CAST(COALESCE(ps.csb, 0) + 1 AS DOUBLE)) / (CAST(g.ts AS DOUBLE) + $B.0))"
+    val qExpr = s"((CAST(COALESCE(pb.cb, 0) + 1 AS DOUBLE)) / (t.t + $B.0))"
     Map(
+      "source_divergence" ->
+        s"""WITH tk AS (
+           |  SELECT source, ${graft.OracleSql.md5Long("token")} % $B AS bucket
+           |  FROM (SELECT source, unnest($tok) AS token FROM documents)),
+           |ps AS (SELECT source, bucket, count(*) AS csb FROM tk GROUP BY 1, 2),
+           |pb AS (SELECT bucket, count(*) AS cb FROM tk GROUP BY 1),
+           |st AS (SELECT source, count(*) AS ts FROM tk GROUP BY 1),
+           |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tk),
+           |g AS (SELECT st.source, st.ts, gs.b AS bucket
+           |  FROM st, (SELECT unnest(generate_series(0, ${B - 1})) AS b) gs),
+           |terms AS (
+           |  SELECT g.source, g.ts,
+           |    CAST(round($pExpr * ln($pExpr / $qExpr), 9) AS DECIMAL(28,9)) AS term
+           |  FROM g
+           |  LEFT JOIN ps ON g.source = ps.source AND g.bucket = ps.bucket
+           |  LEFT JOIN pb ON g.bucket = pb.bucket, t)
+           |SELECT source, ts AS n_tokens, CAST(sum(term) AS DOUBLE) AS kl
+           |FROM terms GROUP BY source, ts
+           |ORDER BY source""".stripMargin,
       "bigram_novelty" ->
         s"""WITH tk AS (SELECT doc_id, $tok AS t FROM documents),
            |bg AS (

@@ -86,6 +86,30 @@ class CorpusDiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("source_divergence: KL ≥ 0, in-distribution source scores below a shifted one") {
+    val rows = CorpusDiagnostics.sourceDivergence(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // Gibbs: KL is non-negative up to the 9dp per-term rounding
+    // (≤ 128 · 0.5e-9 accumulated error)
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-6,
+      s"KL(${r.getString(0)}) = ${r.getDouble(2)}"))
+    // n_tokens partitions the corpus token stream
+    val total = graft.Tables.documents(spark, Sf0001)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    // a source drawn from the corpus vocabulary diverges less than one
+    // writing a disjoint vocabulary
+    val base = (1 to 40).map(i => s"w${i % 7}").mkString(" ")
+    val dir = corpusDir(
+      (0L, base, "same"), (1L, base, "same"),
+      (2L, (1 to 40).map(i => s"odd$i").mkString(" "), "shifted"),
+      (3L, base, "same"))
+    val kl = CorpusDiagnostics.sourceDivergence(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl("same") < kl("shifted"),
+      s"in-distribution ${kl("same")} must beat shifted ${kl("shifted")}")
+  }
+
   test("temperature_mix: sqrt weighting flattens the head; targets replay") {
     // source a: 2 docs × 50 chars = 100 char mass; source b: 2 docs × 200
     // chars = 400 → raw ratio 1:4 flattens to sqrt ratio 1:2

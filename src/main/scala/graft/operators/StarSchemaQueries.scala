@@ -213,6 +213,41 @@ object StarSchemaQueries {
         sum(dec2(col("value"))).cast("double").as("sum_value"))
       .orderBy("event_type", "hour")
 
+  /** |z| threshold for [[eventsHourlyAnomaly]]. */
+  val AnomalyZ = 2.0
+
+  /** Hourly volume anomalies per event type — the rate-spike/outage
+    * monitor every event pipeline runs over its rollup: z-score each
+    * (type, hour) count against that type's own hourly mean/σ (population
+    * moments over the type's observed hours) and keep |z| ≥ [[AnomalyZ]].
+    *
+    * Scale shape: the corpus collapses in the [[eventsHourly]]-style hash
+    * agg (type × hour cells); moments are a second |cells|-sized agg;
+    * the z computation is a broadcast-sized join back onto cells. No
+    * windows. Exactness: integer counts (sums of counts and squares exact
+    * in double), then a FIXED chain of IEEE ops — mean and m2 divisions,
+    * one subtraction, a ≤0 clamp, sqrt, one division — mirrored stage for
+    * stage in the oracle CTEs so both engines reuse the same intermediate
+    * values; σ=0 degenerates to z=0 via the same CASE both sides. */
+  def eventsHourlyAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val s1 = hourly.groupBy("event_type")
+      .agg((sum(col("n")).cast("double") / count(lit(1))).as("m"),
+        (sum(col("n") * col("n")).cast("double") / count(lit(1))).as("m2"))
+    val s2 = s1.select(col("event_type"), col("m"), (col("m2") - col("m") * col("m")).as("v"))
+    val s3 = s2.select(col("event_type"), col("m"),
+      sqrt(when(col("v") > 0.0, col("v")).otherwise(0.0)).as("sd"))
+    hourly.join(broadcast(s3), "event_type")
+      .select(col("event_type"), col("hour"), col("n"),
+        when(col("sd") === 0.0, 0.0)
+          .otherwise((col("n").cast("double") - col("m")) / col("sd")).as("z"))
+      .filter(abs(col("z")) >= AnomalyZ)
+      .orderBy("event_type", "hour")
+  }
+
   /** Sessionization: split each user's event stream at >30-min inactivity
     * gaps (lag + running sum of session starts — the standard two-window
     * formulation), then per-session rollup. All arithmetic on INTEGER epoch
@@ -620,6 +655,7 @@ object StarSchemaQueries {
     "events_top_per_user" -> ((s, d) => eventsTopPerUser(s, d)),
     "events_sessions" -> ((s, d) => eventsSessions(s, d)),
     "events_hourly" -> ((s, d) => eventsHourly(s, d)),
+    "events_hourly_anomaly" -> ((s, d) => eventsHourlyAnomaly(s, d)),
     "events_props_agg" -> ((s, d) => eventsPropsAgg(s, d)),
     "parts_by_brand" -> ((s, d) => partsByBrand(s, d)),
     "customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
@@ -901,6 +937,26 @@ object StarSchemaQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, hour""".stripMargin,
+    // moments staged in the SAME op chain as the Spark select pipeline
+    // (m and m2 divisions, one subtraction, clamp, sqrt, one division)
+    "events_hourly_anomaly" ->
+      s"""WITH h AS (
+         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |s1 AS (SELECT event_type,
+         |    CAST(sum(n) AS DOUBLE) / count(*) AS m,
+         |    CAST(sum(n * n) AS DOUBLE) / count(*) AS m2
+         |  FROM h GROUP BY 1),
+         |s2 AS (SELECT event_type, m, m2 - m * m AS v FROM s1),
+         |s3 AS (SELECT event_type, m,
+         |    sqrt(CASE WHEN v > 0.0 THEN v ELSE 0.0 END) AS sd FROM s2),
+         |z AS (SELECT h.event_type, h.hour, h.n,
+         |    CASE WHEN s3.sd = 0.0 THEN 0.0
+         |         ELSE (CAST(h.n AS DOUBLE) - s3.m) / s3.sd END AS z
+         |  FROM h JOIN s3 USING (event_type))
+         |SELECT event_type, hour, n, z FROM z WHERE abs(z) >= $AnomalyZ
+         |ORDER BY event_type, hour""".stripMargin,
     "events_props_agg" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -41,6 +41,24 @@ class StarSchemaQueriesSpec extends SparkSpec {
     assert(got("c") > got("p"))
   }
 
+  test("events_hourly_anomaly: flagged hours deviate ≥ z from their type's own mean") {
+    import org.apache.spark.sql.functions._
+    val rows = StarSchemaQueries.eventsHourlyAnomaly(spark, Sf0001).collect()
+    assert(rows.nonEmpty, "fixture should contain hourly volume spikes")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("z")) >= StarSchemaQueries.AnomalyZ))
+    // direction sanity against independently computed per-type means
+    val means = graft.Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(avg(col("n")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val above = r.getAs[Long]("n").toDouble > means(r.getAs[String]("event_type"))
+      assert((r.getAs[Double]("z") > 0) === above,
+        s"z sign must match deviation direction: $r")
+    }
+  }
+
   test("q1_agg: 6 flag/status groups with exact decimal sums") {
     val rows = StarSchemaQueries.q1Agg(spark, Sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 9)

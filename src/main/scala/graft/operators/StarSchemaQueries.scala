@@ -213,6 +213,36 @@ object StarSchemaQueries {
         sum(dec2(col("value"))).cast("double").as("sum_value"))
       .orderBy("event_type", "hour")
 
+  /** Rolling frame width (days) for [[eventsDailyMa]]. */
+  val MaDays = 7
+
+  /** 7-day rolling average of daily volume per event type — the smoothing
+    * pass dashboards and alerting baselines run over the daily rollup
+    * (the ROWS-frame rolling shape; [[eventsHourlyAnomaly]] is its
+    * global-moments cousin). Partial leading frames average what exists,
+    * the standard warm-up semantics both engines share.
+    *
+    * Scale shape: the corpus collapses in the daily hash agg first; the
+    * rolling window then runs over (type × day) CELLS — partitions
+    * bounded by the time span, never event volume (chunk by month if a
+    * deployment's day count ever outgrows a partition). Exactness: the
+    * frame sum is ≤ [[MaDays]] exact integer counts; ma7 is ONE double
+    * division written identically in both engines (never AVG, whose
+    * internal accumulation order is engine-private). */
+  def eventsDailyMa(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(MaDays - 1), Window.currentRow)
+    daily
+      .select(col("event_type"), col("day"), col("n"),
+        (sum(col("n")).over(w).cast("double") / count(col("n")).over(w)).as("ma7"))
+      .orderBy("event_type", "day")
+  }
+
   /** |z| threshold for [[eventsHourlyAnomaly]]. */
   val AnomalyZ = 2.0
 
@@ -656,6 +686,7 @@ object StarSchemaQueries {
     "events_sessions" -> ((s, d) => eventsSessions(s, d)),
     "events_hourly" -> ((s, d) => eventsHourly(s, d)),
     "events_hourly_anomaly" -> ((s, d) => eventsHourlyAnomaly(s, d)),
+    "events_daily_ma" -> ((s, d) => eventsDailyMa(s, d)),
     "events_props_agg" -> ((s, d) => eventsPropsAgg(s, d)),
     "parts_by_brand" -> ((s, d) => partsByBrand(s, d)),
     "customers_no_orders" -> ((s, d) => customersNoOrders(s, d)),
@@ -957,6 +988,17 @@ object StarSchemaQueries {
          |  FROM h JOIN s3 USING (event_type))
          |SELECT event_type, hour, n, z FROM z WHERE abs(z) >= $AnomalyZ
          |ORDER BY event_type, hour""".stripMargin,
+    "events_daily_ma" ->
+      s"""WITH d AS (
+         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, n,
+         |  CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w AS ma7
+         |FROM d
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |  ROWS BETWEEN ${MaDays - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, day""".stripMargin,
     "events_props_agg" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

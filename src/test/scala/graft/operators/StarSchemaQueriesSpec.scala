@@ -59,6 +59,22 @@ class StarSchemaQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_daily_ma: warm-up frames average what exists; steady frames average 7 days") {
+    import org.apache.spark.sql.functions._
+    val rows = StarSchemaQueries.eventsDailyMa(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[String]("day"))
+      // hand-roll the rolling mean per type and compare
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1).map(_.getAs[Long]("n"))
+        val expect = frame.sum.toDouble / frame.length
+        assert(r.getAs[Double]("ma7") === expect, s"row $r expected $expect")
+      }
+    }
+  }
+
   test("q1_agg: 6 flag/status groups with exact decimal sums") {
     val rows = StarSchemaQueries.q1Agg(spark, Sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 9)

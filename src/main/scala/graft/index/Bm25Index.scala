@@ -204,33 +204,67 @@ object Bm25Index {
   /** BM25 top-k over the sidecar: reads ONLY the query terms' posting
     * buckets + the one-row stats — never the corpus. Bit-exact with the
     * inline scan form (same counts, same expression tree). */
-  def topK(spark: SparkSession, indexPath: String, query: Seq[String],
-           k: Int, k1: Double, b: Double): DataFrame = {
+  /** The per-(doc, matched term) BM25 contribution relation for a term
+    * set — the stage [[topK]] and [[topKMany]] share: bucket-pruned
+    * postings + df reads, broadcast df, one codegen'd score expression. */
+  private def scoredTerms(spark: SparkSession, indexPath: String,
+                          terms: Seq[String], k1: Double, b: Double): DataFrame = {
     import spark.implicits._
     // bucket ids for the query terms — computed with the SAME xxhash64 the
     // build used, via a tiny local job (driver-side reimplementation would
     // risk drifting from Spark's seed/byte order)
-    val buckets = query.toDS()
+    val buckets = terms.toDS()
       .select(bucketOf(col("value"))).as[Int].collect().distinct.toIndexedSeq
     val stats = spark.read.parquet(s"$indexPath/stats").head()
     val n = stats.getAs[Double]("n")
     val avgdl = stats.getAs[Double]("avgdl")
     val dfTab = spark.read.schema(DfSchema).parquet(s"$indexPath/df")
-      .filter(col("bucket").isin(buckets: _*) && col("token").isin(query: _*))
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
       .select("token", "df")
     val postings = spark.read.schema(PostingsSchema).parquet(s"$indexPath/postings")
-      .filter(col("bucket").isin(buckets: _*) && col("token").isin(query: _*))
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
     val idf = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfD = col("tf").cast("double")
     val dlD = col("dl").cast("double")
     val termScore = idf * (tfD * (lit(k1) + lit(1.0))) /
       (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / lit(avgdl)))
     postings.join(broadcast(dfTab), "token")
-      .select(col("doc_id"), termScore.as("s"))
+      .select(col("doc_id"), col("token"), termScore.as("s"))
+  }
+
+  def topK(spark: SparkSession, indexPath: String, query: Seq[String],
+           k: Int, k1: Double, b: Double): DataFrame =
+    scoredTerms(spark, indexPath, query, k1, b)
       .groupBy("doc_id")
       .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  /** Many-query BM25 in one distributed pass — the serving form
+    * ([[graft.streaming.StreamingIngest.startBm25Serving]]): the batch's
+    * distinct term set prunes ONE postings read (batch-sized collect —
+    * query strings, never corpus), each query's terms join the shared
+    * contribution relation, and the per-query top-k comes out of the
+    * bounded-heap [[graft.functions.top_k_by_distance]] aggregate (score
+    * negated into the ascending heap) — ≤ k·|partitions| rows per query
+    * shuffle, never a corpus-sized window. Ranking matches [[topK]]:
+    * 6dp-rounded score DESC, doc_id tie-break. */
+  def topKMany(spark: SparkSession, indexPath: String, queries: DataFrame,
+               qidCol: String, textCol: String, k: Int,
+               k1: Double, b: Double): DataFrame = {
+    import spark.implicits._
+    val qt = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val terms = qt.select("token").distinct().as[String].collect().toSeq
+    qt.join(scoredTerms(spark, indexPath, terms, k1, b), "token")
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("s")), 6).as("score"))
+      .groupBy("qid")
+      .agg(graft.functions.top_k_by_distance(-col("score"), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.vec_id").as("doc_id"), (-col("t.dist")).as("score"))
+      .orderBy("qid", "rank")
   }
 
   /** True iff this index carries the positional sidecar (indexes restored

@@ -111,6 +111,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** Lexical serving — the BM25 member of the serving trio
+    * ([[startKnnServing]] / [[startNswServing]]): a stream of (qid, query
+    * text) rows resolves per micro-batch through
+    * [[graft.index.Bm25Index.topKMany]] — one bucket-pruned postings read
+    * per batch shared by every query in it, per-query top-k out of
+    * bounded heaps. Results land in `resultPath` keyed by
+    * (batch_id, qid, rank). */
+  def startBm25Serving(spark: SparkSession, querySrcDir: String, schema: StructType,
+                       indexPath: String, resultPath: String, k: Int,
+                       k1: Double, b: Double,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val queries = spark.readStream.schema(schema).parquet(querySrcDir)
+    queries.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.index.Bm25Index
+            .topKMany(spark, indexPath, batch, "qid", "qtext", k, k1, b)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(resultPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous ANN index maintenance: new vector rows appended to the
     * ivfflat lists per micro-batch. [[graft.index.IvfIndex.append]] assigns
     * to the EXISTING centroids — exactly pgvector's index-on-INSERT

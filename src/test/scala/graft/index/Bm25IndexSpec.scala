@@ -115,6 +115,38 @@ class Bm25IndexSpec extends SparkSpec {
     assert(ph.nonEmpty && ph === phrase(full))
   }
 
+  test("topKMany equals per-query topK; streaming BM25 serving resolves a query batch") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingIngest
+    val spark2 = spark; import spark2.implicits._
+    val idxPath = TextAnalysis.bm25IndexFor(spark, Sf001)
+    val queries = Seq(
+      (0L, TextAnalysis.Bm25Query.mkString(" ")),
+      (1L, "table scan fast")).toDF("qid", "qtext")
+    val many = Bm25Index.topKMany(spark, idxPath, queries, "qid", "qtext",
+        10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each qid's ranking equals the single-query form's (score, doc_id)
+    for ((qid, text) <- Seq((0L, TextAnalysis.Bm25Query), (1L, Seq("table", "scan", "fast")))) {
+      val single = Bm25Index.topK(spark, idxPath, text, 10,
+          TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = many.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got === single, s"qid $qid diverged")
+    }
+    // e2e: the same batch through the streaming serving path
+    val src = java.nio.file.Files.createTempDirectory("bm25_src").resolve("q").toString
+    val out = java.nio.file.Files.createTempDirectory("bm25_out").resolve("r").toString
+    queries.coalesce(1).write.parquet(src)
+    val q = StreamingIngest.startBm25Serving(spark, src, queries.schema,
+      idxPath, out, 10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+    q.awaitTermination(120000)
+    val served = spark.read.parquet(out)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(served.toSeq === many.sorted.toSeq)
+  }
+
   test("append onto a pre-positions index skips positions; phrase falls back to scan") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")

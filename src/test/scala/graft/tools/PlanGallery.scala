@@ -239,6 +239,18 @@ object PlanGallery {
       "composition: half_unpack widens binary16 exactly to float32, so " +
       "the three codegen'd distance kernels run in one projection over " +
       "the packed column; TakeOrderedAndProject ranks on L2."),
+    "source_divergence" -> ("Domain-drift monitor: ONE tokenize+bucket " +
+      "pass feeds three map-side-combined hash aggs (per-(source,bucket), " +
+      "per-bucket, per-source — each ≤ |sources|·128 rows); the KL terms " +
+      "evaluate on the few-thousand-row grid with the 1-row total " +
+      "broadcast. Nothing corpus-sized survives the first aggregation."),
+    "events_daily_ma" -> ("Rolling 7-day mean: the corpus collapses in " +
+      "the daily hash agg FIRST, so the ROWS-frame window runs over " +
+      "(type × day) cells — partitions bounded by the time span, never " +
+      "event volume."),
+    "events_hourly_anomaly" -> ("Rate-spike monitor: two hash aggs " +
+      "(cells, then per-type moments) and a broadcast join back onto the " +
+      "cells — no windows; the corpus is touched exactly once."),
   )
 
   def main(args: Array[String]): Unit = {

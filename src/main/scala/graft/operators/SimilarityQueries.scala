@@ -648,6 +648,76 @@ object SimilarityQueries {
       .limit(BqK)
   }
 
+  /** Neighbors per node in the kNN graph queries. */
+  val KnnGraphK = 3
+  /** Lists each vector probes in [[knnGraphIvf]]. */
+  val KnnGraphProbes = 4
+
+  /** Exact embedding kNN graph — top-[[KnnGraphK]] neighbors for EVERY
+    * vector: the curation primitive under SemDeDup, kNN-LM data
+    * selection and graph-based cluster pruning. This is the documented
+    * O(n²)-compute parity form (the third member of the
+    * avg_pairwise_sim / sim_histogram family, same contract: exact,
+    * oracle-gated, with a bucketed scale twin — [[knnGraphIvf]]): the
+    * distance matrix is inherent to an EXACT graph, but the SHUFFLE
+    * stays bounded — per-partition k-heaps mean ≤ k·|partitions| rows
+    * per node move, never the n² scored pairs (the knn_batch two-phase
+    * shape with the whole corpus as the query side). */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val b = e.select(col("vec_id").as("nbr"), col("embedding").as("bv"))
+    e.crossJoin(b).filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        cosine_distance(col("embedding"), col("bv")).as("dist"))
+      .groupBy("vec_id")
+      .agg(graft.functions.top_k_by_distance(col("dist"), col("nbr"), KnnGraphK).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("nbr"), col("s.dist").as("dist"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** IVF-bucketed kNN graph — [[knnGraph]]'s scale path (the production
+    * build for corpora where n² distances are off the table): every
+    * vector is assigned to its [[KnnGraphProbes]] nearest IVF lists
+    * (map-only against broadcast centroids), candidates are the vectors
+    * sharing a list — ONE distributed equi-join on list_id, no driver
+    * collect of anything corpus-sized (deliberately NOT
+    * [[graft.index.IvfIndex.probeMany]], whose per-batch driver-side
+    * probe-pair collect is right for query batches and wrong for a
+    * corpus-sized self-graph) — then the same bounded-heap top-k.
+    * Candidate volume is Σ_l |l|·(probes assigned to l): linear-ish in n
+    * at fixed list occupancy; hot lists are AQE skew-join territory.
+    * Approximate (a true neighbor outside every probed list is missed)
+    * → rows-only gate, recall vs the exact graph spec-pinned. */
+  def knnGraphIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.top_k_by_distance
+    val idx = IndexQueries.indexFor(spark, sfDir)
+    val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("long").as("lid"),
+        cosine_distance(col("centroid"), col("embedding")).as("cd"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("qv"),
+        top_k_by_distance(col("cd"), col("lid"), KnnGraphProbes).as("top"))
+      .select(col("vec_id").as("qid"), col("qv"),
+        explode(col("top.vec_id")).as("lid"))
+      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+    spark.read.parquet(s"$idx/lists")
+      .join(assigned, Seq("list_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosine_distance(col("embedding"), col("qv")).as("dist"))
+      .groupBy("qid")
+      .agg(top_k_by_distance(col("dist"), col("vec_id"), KnnGraphK).as("top"))
+      .select(col("qid").as("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("nbr"), col("s.dist").as("dist"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Candidate pool the MMR greedy pass diversifies over. */
   val MmrCandidates = 20
   /** Results [[mmrRerank]] returns. */
@@ -880,6 +950,8 @@ object SimilarityQueries {
     "bq_knn_jaccard" -> ((s, d) => bqKnnJaccard(s, d)),
     "mrl_knn_topk" -> ((s, d) => mrlKnnTopK(s, d)),
     "mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
+    "knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "knn_graph_ivf" -> ((s, d) => knnGraphIvf(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
@@ -1091,6 +1163,20 @@ object SimilarityQueries {
          |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
          |ORDER BY dist, c.vec_id
          |LIMIT $BqK""".stripMargin,
+    // knn_graph_ivf is deliberately ABSENT here: it is the approximate
+    // scale twin (rows-only gate); knn_graph below is its exact oracle
+    "knn_graph" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${O.cosDist("a.embedding", "b.embedding")} AS dist
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT src, dst, dist,
+         |    row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rank
+         |  FROM p)
+         |SELECT src AS vec_id, CAST(rank AS BIGINT) AS rank, dst AS nbr, dist
+         |FROM r WHERE rank <= $KnnGraphK
+         |ORDER BY vec_id, rank""".stripMargin,
     // greedy MMR unrolled as a generated k-step MATERIALIZED chain (the
     // bpe_learn pattern): each step_i picks argmax λ·rel − (1−λ)·max-sim-
     // to-selected with the same double ops and vec_id tie-break the driver

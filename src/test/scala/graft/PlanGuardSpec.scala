@@ -16,7 +16,8 @@ class PlanGuardSpec extends SparkSpec {
 
   /** Reference-parity O(n²) queries (SURVEY §7.1.8): kept as the oracle
     * twins of their linear/sampled scale paths. */
-  private val cartesianParityAllowed = Set("avg_pairwise_sim", "sim_histogram")
+  private val cartesianParityAllowed =
+    Set("avg_pairwise_sim", "sim_histogram", "knn_graph")
 
   test("no query plans a CartesianProduct (except documented parity forms)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -285,6 +285,27 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(self.getDouble(2) === normSq, "ip of self is the exact squared norm")
   }
 
+  test("knn_graph: k edges per node, no self loops; ivf twin holds recall") {
+    import SimilarityQueries.{KnnGraphK, knnGraph, knnGraphIvf}
+    val exact = knnGraph(spark, Sf0001).collect()
+    val n = graft.Tables.embeddings(spark, Sf0001).count()
+    assert(exact.length === n * KnnGraphK)
+    assert(exact.forall(r => r.getLong(0) != r.getLong(2)), "no self loops")
+    val exactSets = exact.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = knnGraphIvf(spark, Sf0001).collect()
+    assert(approx.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(approx.groupBy(_.getLong(0)).forall(_._2.length <= KnnGraphK))
+    val approxSets = approx.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = exactSets.map { case (q, t) =>
+      approxSets.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / exactSets.size
+    // hash-fixture embeddings are un-clustered (the adversarial case);
+    // 4/16 probed lists measured 0.62 during development
+    assert(recall >= 0.5, s"mean recall@$KnnGraphK was $recall")
+  }
+
   test("mmr_rerank: self first, unique picks, diverges from pure top-k") {
     import SimilarityQueries.{MmrK, MmrLambda}
     val rows = SimilarityQueries.mmrRerank(spark, Sf0001).collect()

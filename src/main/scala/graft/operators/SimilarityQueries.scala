@@ -718,6 +718,37 @@ object SimilarityQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** Semantic clusters over the MUTUAL-kNN graph — compose, don't
+    * rebuild: [[knnGraph]]'s edges, kept only where the relation is
+    * mutual (a ∈ top-k(b) AND b ∈ top-k(a) — the standard symmetric
+    * filter that kills hub-node chaining), fed into the SAME star
+    * connected-components kernel the dedup family runs
+    * ([[graft.operators.Dedup.connectedComponentsStar]]). The SemDeDup
+    * shape: each returned row is a node in a semantic duplicate/topic
+    * cluster (singletons — nodes with no mutual edge — are absent by
+    * construction, mirroring the dedup cluster queries).
+    *
+    * Scale shape: the edge stage is [[knnGraph]]'s (k-bounded shuffles;
+    * at scale swap in [[knnGraphIvf]]'s candidate join); the mutual
+    * filter is a self-equi-join of the n·k edge relation; CC is the
+    * adaptive driver/distributed star kernel. Exactness: edges are
+    * deterministic (heap tie-breaks), CC labels are order-free minima →
+    * oracle-exact against the recursive-CTE closure. */
+  def semanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val knn = knnGraph(spark, sfDir)
+      .select(col("vec_id").as("src"), col("nbr").as("dst"))
+    val mutual = knn.as("k1").join(knn.as("k2"),
+        col("k1.src") === col("k2.dst") && col("k1.dst") === col("k2.src"))
+      .filter(col("k1.src") < col("k1.dst"))
+      .select(col("k1.src").as("a"), col("k1.dst").as("b"))
+    val labels = graft.operators.Dedup.connectedComponentsStar(mutual)
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("node").as("vec_id"), col("lab").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   /** Candidate pool the MMR greedy pass diversifies over. */
   val MmrCandidates = 20
   /** Results [[mmrRerank]] returns. */
@@ -952,6 +983,7 @@ object SimilarityQueries {
     "mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "knn_graph_ivf" -> ((s, d) => knnGraphIvf(s, d)),
+    "semantic_clusters" -> ((s, d) => semanticClusters(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
@@ -1177,6 +1209,31 @@ object SimilarityQueries {
          |SELECT src AS vec_id, CAST(rank AS BIGINT) AS rank, dst AS nbr, dist
          |FROM r WHERE rank <= $KnnGraphK
          |ORDER BY vec_id, rank""".stripMargin,
+    // mutual-kNN edges → the dedup family's recursive-CTE closure shape
+    "semantic_clusters" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${O.cosDist("a.embedding", "b.embedding")} AS dist
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id),
+         |r0 AS (SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rank
+         |  FROM p),
+         |knn AS (SELECT src, dst FROM r0 WHERE rank <= $KnnGraphK),
+         |mutual AS (
+         |  SELECT k1.src AS a, k1.dst AS b FROM knn k1
+         |  JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+         |  WHERE k1.src < k1.dst),
+         |und AS (SELECT a AS x, b AS y FROM mutual UNION SELECT b, a FROM mutual),
+         |r(x, y) AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x),
+         |rep AS (SELECT x AS vec_id, least(min(y), x) AS cluster_rep FROM r GROUP BY x),
+         |sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+         |SELECT vec_id, rep.cluster_rep, sizes.cluster_size
+         |FROM rep JOIN sizes ON rep.cluster_rep = sizes.cluster_rep
+         |ORDER BY vec_id""".stripMargin,
     // greedy MMR unrolled as a generated k-step MATERIALIZED chain (the
     // bpe_learn pattern): each step_i picks argmax λ·rel − (1−λ)·max-sim-
     // to-selected with the same double ops and vec_id tie-break the driver

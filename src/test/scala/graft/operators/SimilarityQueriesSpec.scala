@@ -306,6 +306,18 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"mean recall@$KnnGraphK was $recall")
   }
 
+  test("semantic_clusters: reps are cluster minima, sizes consistent, no singletons") {
+    val rows = SimilarityQueries.semanticClusters(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the rep is the smallest member of its own cluster
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep, s"cluster $rep min mismatch")
+      assert(members.forall(_._3 == members.length), s"cluster $rep size mismatch")
+      assert(members.length >= 2, "mutual-kNN clusters have no singletons")
+    }
+  }
+
   test("mmr_rerank: self first, unique picks, diverges from pure top-k") {
     import SimilarityQueries.{MmrK, MmrLambda}
     val rows = SimilarityQueries.mmrRerank(spark, Sf0001).collect()

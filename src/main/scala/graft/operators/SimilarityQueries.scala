@@ -648,6 +648,35 @@ object SimilarityQueries {
       .limit(BqK)
   }
 
+  /** Clustering-quality evaluation over the Lloyd assignment — purity
+    * per cluster against the embeddings' ground-truth labels: the
+    * standard external metric (majority-label fraction) a curation
+    * pipeline reports when validating topic clusters before
+    * cluster-balanced sampling/pruning. Composes the SHARED 2-round
+    * [[kmeansCore]] (same oracle CTE block), so the metric grades
+    * exactly the assignment the other cluster queries use.
+    *
+    * Scale shape: one (cluster × label) hash agg over the assignment
+    * (≤ K·|labels| groups); the majority pick is a row_number window
+    * over those bounded COUNT rows (n DESC, label ASC tie-break), never
+    * the corpus; one division. Oracle-exact: integer counts, one double
+    * divide. */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val labeled = kmeansCore(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")), "vec_id")
+    val cl = labeled.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+    // the majority pick is a window over (cluster × label) COUNTS —
+    // ≤ K·|labels| rows, bounded regardless of corpus size
+    val w = Window.partitionBy("cluster").orderBy(col("n").desc, col("label").asc)
+    val sizes = cl.groupBy("cluster").agg(sum(col("n")).as("cluster_size"))
+    cl.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(sizes, "cluster")
+      .select(col("cluster"), col("label").cast("long").as("majority_label"),
+        col("cluster_size"),
+        (col("n").cast("double") / col("cluster_size").cast("double")).as("purity"))
+      .orderBy("cluster")
+  }
+
   /** Neighbors per node in the kNN graph queries. */
   val KnnGraphK = 3
   /** Lists each vector probes in [[knnGraphIvf]]. */
@@ -1000,6 +1029,7 @@ object SimilarityQueries {
     "halfvec_l2_topk" -> ((s, d) => halfDistancesTopK(s, d)),
     "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
     "kmeans_assign" -> ((s, d) => kmeansAssign(s, d)),
+    "cluster_purity" -> ((s, d) => clusterPurity(s, d)),
     "prototype_prune" -> ((s, d) => prototypePrune(s, d)),
     "cluster_sample" -> ((s, d) => clusterSample(s, d)),
   )
@@ -1335,6 +1365,24 @@ object SimilarityQueries {
       s"""$kmeansCoreSql
          |SELECT vec_id, cluster, round(d, 6) AS dist FROM a2
          |ORDER BY vec_id""".stripMargin,
+    // same Lloyd CTE block; the majority pick windows over the bounded
+    // (cluster × label) count rows with the same (n DESC, label) order
+    "cluster_purity" ->
+      s"""$kmeansCoreSql,
+         |lab AS (
+         |  SELECT a2.cluster, e.label, count(*) AS n
+         |  FROM a2 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |sz AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY 1),
+         |pick AS (SELECT cluster, label, n,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label ASC) AS rk
+         |  FROM lab)
+         |SELECT p.cluster, CAST(p.label AS BIGINT) AS majority_label,
+         |  sz.cluster_size,
+         |  CAST(p.n AS DOUBLE) / CAST(sz.cluster_size AS DOUBLE) AS purity
+         |FROM pick p JOIN sz USING (cluster)
+         |WHERE p.rk = 1
+         |ORDER BY p.cluster""".stripMargin,
     // same Lloyd CTE block; farthest-from-centroid keep mirrors the
     // negated-distance bounded heap as a row_number over (dist DESC, id)
     "prototype_prune" ->

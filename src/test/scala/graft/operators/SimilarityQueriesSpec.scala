@@ -306,6 +306,21 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"mean recall@$KnnGraphK was $recall")
   }
 
+  test("cluster_purity: sizes partition the corpus; purity bounded and consistent") {
+    val rows = SimilarityQueries.clusterPurity(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= SimilarityQueries.KmeansK)
+    val n = graft.Tables.embeddings(spark, Sf0001).count()
+    assert(rows.map(_.getLong(2)).sum === n, "cluster sizes must partition the corpus")
+    val nLabels = graft.Tables.embeddings(spark, Sf0001)
+      .select("label").distinct().count().toDouble
+    rows.foreach { r =>
+      val purity = r.getDouble(3)
+      assert(purity > 0.0 && purity <= 1.0, s"purity out of range: $r")
+      // the majority label's share can never dip below the uniform floor
+      assert(purity >= 1.0 / nLabels, s"below-uniform purity: $r")
+    }
+  }
+
   test("semantic_clusters: reps are cluster minima, sizes consistent, no singletons") {
     val rows = SimilarityQueries.semanticClusters(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

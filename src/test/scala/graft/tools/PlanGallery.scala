@@ -251,6 +251,16 @@ object PlanGallery {
     "events_hourly_anomaly" -> ("Rate-spike monitor: two hash aggs " +
       "(cells, then per-type moments) and a broadcast join back onto the " +
       "cells — no windows; the corpus is touched exactly once."),
+    "knn_graph_ivf" -> ("kNN-graph scale path: vectors assign to their 4 " +
+      "nearest IVF lists map-only (broadcast centroids + bounded heap), " +
+      "candidates come from ONE distributed list_id equi-join — no " +
+      "driver collect of anything corpus-sized — and the per-node top-k " +
+      "is the bounded-heap aggregate. The exact twin (knn_graph) is the " +
+      "documented O(n²) parity form with the same k-bounded shuffle."),
+    "cluster_purity" -> ("Clustering eval: the Lloyd assignment joins " +
+      "its ground-truth labels, collapses to ≤ K·|labels| count rows, " +
+      "and the majority pick windows over THOSE — bounded regardless of " +
+      "corpus size."),
   )
 
   def main(args: Array[String]): Unit = {

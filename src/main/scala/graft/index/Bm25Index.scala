@@ -253,8 +253,12 @@ object Bm25Index {
                qidCol: String, textCol: String, k: Int,
                k1: Double, b: Double): DataFrame = {
     import spark.implicits._
+    // distinct on (qid, token), not just per-row: a qid appearing on
+    // several input rows must score the UNION of its terms once each —
+    // duplicate pairs would silently double term contributions
     val qt = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .distinct()
     val terms = qt.select("token").distinct().as[String].collect().toSeq
     qt.join(scoredTerms(spark, indexPath, terms, k1, b), "token")
       .groupBy("qid", "doc_id")

@@ -205,15 +205,23 @@ object CorpusDiagnostics {
     * fixed op order, 9dp-rounded into order-free DECIMAL sums. */
   def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
     import TextAnalysis.DsirBuckets
+    import spark.implicits._
     val bucketed = Tables.documents(spark, sfDir)
       .transform(Tables.rowParallel)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .select(col("source"),
         (graft.functions.md5_long(col("token")) % DsirBuckets).as("bucket"))
+    // ONE corpus tokenize pass: the (source × bucket) counts are
+    // model-sized (≤ |sources|·B rows) — collect and rebuild locally so
+    // the three rollups and the grid read a LocalTableScan instead of
+    // each re-planning the corpus scan (measured: 4 tokenize subtrees
+    // in the naive plan, ReuseExchange can't merge distinct groupings)
     val perSrcB = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("csb"))
-    val perB = bucketed.groupBy("bucket").agg(count(lit(1)).as("cb"))
-    val perSrc = bucketed.groupBy("source").agg(count(lit(1)).as("ts"))
-    val tot = bucketed.agg(count(lit(1)).cast("double").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("source", "bucket", "csb")
+    val perB = perSrcB.groupBy("bucket").agg(sum(col("csb")).as("cb"))
+    val perSrc = perSrcB.groupBy("source").agg(sum(col("csb")).as("ts"))
+    val tot = perSrcB.agg(sum(col("csb")).cast("double").as("t"))
     val grid = perSrc.crossJoin(
       spark.range(DsirBuckets).select(col("id").as("bucket")))
     val b = lit(DsirBuckets.toDouble)

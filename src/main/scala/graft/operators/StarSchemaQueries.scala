@@ -219,8 +219,11 @@ object StarSchemaQueries {
   /** 7-day rolling average of daily volume per event type — the smoothing
     * pass dashboards and alerting baselines run over the daily rollup
     * (the ROWS-frame rolling shape; [[eventsHourlyAnomaly]] is its
-    * global-moments cousin). Partial leading frames average what exists,
-    * the standard warm-up semantics both engines share.
+    * global-moments cousin). The day axis is DENSIFIED over each type's
+    * [first, last] span, so interior zero-volume days pull the average
+    * down and post-gap frames never average weeks-old rows as adjacent;
+    * partial leading frames average what exists, the standard warm-up
+    * semantics both engines share.
     *
     * Scale shape: the corpus collapses in the daily hash agg first; the
     * rolling window then runs over (type × day) CELLS — partitions
@@ -232,13 +235,19 @@ object StarSchemaQueries {
   def eventsDailyMa(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"),
-        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("event_type").orderBy("day")
+    // densify each type's own [first, last] day span: an interior
+    // zero-volume day must PULL THE AVERAGE DOWN and a post-gap frame
+    // must not average rows from weeks earlier as if adjacent
+    val span = daily.groupBy("event_type").agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = span.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val dense = grid.join(daily, Seq("event_type", "d"), "left").na.fill(0L, Seq("n"))
+    val w = Window.partitionBy("event_type").orderBy("d")
       .rowsBetween(-(MaDays - 1), Window.currentRow)
-    daily
-      .select(col("event_type"), col("day"), col("n"),
+    dense
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"), col("n"),
         (sum(col("n")).over(w).cast("double") / count(col("n")).over(w)).as("ma7"))
       .orderBy("event_type", "day")
   }
@@ -248,8 +257,10 @@ object StarSchemaQueries {
 
   /** Hourly volume anomalies per event type — the rate-spike/outage
     * monitor every event pipeline runs over its rollup: z-score each
-    * (type, hour) count against that type's own hourly mean/σ (population
-    * moments over the type's observed hours) and keep |z| ≥ [[AnomalyZ]].
+    * (type, hour) count against that type's own hourly mean/σ — computed
+    * over the DENSE hour grid of the type's [first, last] span, so total
+    * outages appear as zero cells instead of vanishing from both the
+    * output and the baseline — and keep |z| ≥ [[AnomalyZ]].
     *
     * Scale shape: the corpus collapses in the [[eventsHourly]]-style hash
     * agg (type × hour cells); moments are a second |cells|-sized agg;
@@ -260,10 +271,21 @@ object StarSchemaQueries {
     * stage in the oracle CTEs so both engines reuse the same intermediate
     * values; σ=0 degenerates to z=0 via the same CASE both sides. */
   def eventsHourlyAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+    val observed = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
+    // densify each type's own [first, last] hour span: a TOTAL outage
+    // produces no cell in the raw agg, making the most anomalous hours
+    // structurally invisible and biasing the baseline mean upward —
+    // silent hours must appear as zero cells (a type is not penalized
+    // for hours before its launch or after its retirement)
+    val span = observed.groupBy("event_type").agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = span.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val hourly = grid.join(observed, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("n"))
     val s1 = hourly.groupBy("event_type")
       .agg((sum(col("n")).cast("double") / count(lit(1))).as("m"),
         (sum(col("n") * col("n")).cast("double") / count(lit(1))).as("m2"))
@@ -971,10 +993,16 @@ object StarSchemaQueries {
     // moments staged in the SAME op chain as the Spark select pipeline
     // (m and m2 divisions, one subtraction, clamp, sqrt, one division)
     "events_hourly_anomaly" ->
-      s"""WITH h AS (
-         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-         |    count(*) AS n
+      s"""WITH h0 AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
          |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(h) AS a, max(h) AS b FROM h0 GROUP BY 1),
+         |g AS (SELECT event_type, unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS h
+         |  FROM sp),
+         |h AS (
+         |  SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+         |    COALESCE(h0.n, 0) AS n
+         |  FROM g LEFT JOIN h0 ON g.event_type = h0.event_type AND g.h = h0.h),
          |s1 AS (SELECT event_type,
          |    CAST(sum(n) AS DOUBLE) / count(*) AS m,
          |    CAST(sum(n * n) AS DOUBLE) / count(*) AS m2
@@ -989,14 +1017,19 @@ object StarSchemaQueries {
          |SELECT event_type, hour, n, z FROM z WHERE abs(z) >= $AnomalyZ
          |ORDER BY event_type, hour""".stripMargin,
     "events_daily_ma" ->
-      s"""WITH d AS (
-         |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         |    count(*) AS n
-         |  FROM events GROUP BY 1, 2)
-         |SELECT event_type, day, n,
+      s"""WITH d0 AS (
+         |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(d) AS a, max(d) AS b FROM d0 GROUP BY 1),
+         |g AS (SELECT event_type, unnest(generate_series(a, b, INTERVAL 1 DAY)) AS d
+         |  FROM sp),
+         |d AS (
+         |  SELECT g.event_type, g.d, COALESCE(d0.n, 0) AS n
+         |  FROM g LEFT JOIN d0 ON g.event_type = d0.event_type AND g.d = d0.d)
+         |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
          |  CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w AS ma7
          |FROM d
-         |WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |WINDOW w AS (PARTITION BY event_type ORDER BY d
          |  ROWS BETWEEN ${MaDays - 1} PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, day""".stripMargin,
     "events_props_agg" ->

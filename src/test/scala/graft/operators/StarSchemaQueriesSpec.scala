@@ -46,11 +46,15 @@ class StarSchemaQueriesSpec extends SparkSpec {
     val rows = StarSchemaQueries.eventsHourlyAnomaly(spark, Sf0001).collect()
     assert(rows.nonEmpty, "fixture should contain hourly volume spikes")
     assert(rows.forall(r => math.abs(r.getAs[Double]("z")) >= StarSchemaQueries.AnomalyZ))
-    // direction sanity against independently computed per-type means
+    // direction sanity against independently computed DENSE-span means:
+    // total events / span hours, derived straight from the raw table
     val means = graft.Tables.events(spark, Sf0001)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .groupBy("event_type").agg(avg(col("n")).as("m"))
+      .groupBy("event_type").agg(
+        (sum(col("n")).cast("double") /
+          ((unix_timestamp(max(col("h"))) - unix_timestamp(min(col("h")))) / 3600L + 1L))
+          .as("m"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     rows.foreach { r =>
       val above = r.getAs[Long]("n").toDouble > means(r.getAs[String]("event_type"))

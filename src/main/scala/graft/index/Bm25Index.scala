@@ -277,7 +277,12 @@ object Bm25Index {
   def hasPositions(spark: SparkSession, indexPath: String): Boolean = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/positions")
-    p.getFileSystem(conf).exists(p)
+    // at least one COMMITTED parquet file, not bare path existence: a
+    // directory left empty/partial by a failed build or compact would
+    // otherwise flip phrase queries onto the index path and silently
+    // return zero matches instead of falling back to the exact scan form
+    p.getFileSystem(conf).exists(p) &&
+      graft.util.FsOps.countParquetFiles(conf, p) > 0
   }
 
   /** Exact-phrase match counts from the positional sidecar — the index

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -198,39 +199,49 @@ object CorpusDiagnostics {
     * add-one smoothing on both sides so empty buckets stay finite.
     *
     * Scale shape: corpus-sized work is ONE tokenize+bucket pass feeding
-    * three hash aggs (per-(source,bucket) / per-bucket / per-source —
-    * each ≤ |sources|·B rows, map-side combined); the KL terms evaluate on
-    * the |sources|×B grid (a few thousand rows) with the 1-row total
-    * broadcast. Exactness: integer counts, each term is p·ln(p/q) in
-    * fixed op order, 9dp-rounded into order-free DECIMAL sums. */
+    * ONE (source × bucket) hash agg (map-side combined); the per-bucket /
+    * per-source / grand-total rollups are WINDOW sums over that densified
+    * |sources|·B-row grid, so NOTHING source-cardinality-sized ever
+    * reaches the driver — a URL- or domain-level source column stays a
+    * distributed relation end to end (unlike the fixed-size centroid/
+    * codebook collects the bounded-collect contract covers). Exactness:
+    * integer counts, each term is p·ln(p/q) in fixed op order,
+    * 9dp-rounded into order-free DECIMAL sums. */
   def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
     import TextAnalysis.DsirBuckets
-    import spark.implicits._
     val bucketed = Tables.documents(spark, sfDir)
       .transform(Tables.rowParallel)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .select(col("source"),
         (graft.functions.md5_long(col("token")) % DsirBuckets).as("bucket"))
-    // ONE corpus tokenize pass: the (source × bucket) counts are
-    // model-sized (≤ |sources|·B rows) — collect and rebuild locally so
-    // the three rollups and the grid read a LocalTableScan instead of
-    // each re-planning the corpus scan (measured: 4 tokenize subtrees
-    // in the naive plan, ReuseExchange can't merge distinct groupings)
     val perSrcB = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("csb"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      .toDF("source", "bucket", "csb")
-    val perB = perSrcB.groupBy("bucket").agg(sum(col("csb")).as("cb"))
-    val perSrc = perSrcB.groupBy("source").agg(sum(col("csb")).as("ts"))
-    val tot = perSrcB.agg(sum(col("csb")).cast("double").as("t"))
-    val grid = perSrc.crossJoin(
-      spark.range(DsirBuckets).select(col("id").as("bucket")))
+    // densify to the full source × bucket grid (add-one smoothing needs
+    // the EMPTY cells); the source list comes from a column-pruned
+    // documents scan, never a second tokenize pass
+    val srcs = Tables.documents(spark, sfDir).select("source").distinct()
+    val grid = srcs
+      .crossJoin(spark.range(DsirBuckets).select(col("id").as("bucket")))
+      .join(perSrcB, Seq("source", "bucket"), "left").na.fill(0L, Seq("csb"))
+    // rollups as window sums over the grid: perSrcB appears ONCE in the
+    // plan, so the corpus is tokenized exactly once (the naive
+    // three-agg form re-planned the scan per rollup; the old driver
+    // rebuild fixed that at the cost of a |sources|·B driver collect).
+    // The empty-frame total window funnels the grid through one
+    // partition — |sources|·B rows, executor-side and spill-safe, the
+    // same volume the driver previously held in memory
+    val wAll = Window.partitionBy()
+    val counted = grid.select(col("source"), col("csb"),
+      sum(col("csb")).over(Window.partitionBy("bucket")).as("cb"),
+      sum(col("csb")).over(Window.partitionBy("source")).as("ts"),
+      sum(col("csb")).over(wAll).cast("double").as("t"))
     val b = lit(DsirBuckets.toDouble)
     val p = (col("csb") + lit(1L)).cast("double") / (col("ts").cast("double") + b)
     val q = (col("cb") + lit(1L)).cast("double") / (col("t") + b)
-    grid
-      .join(perSrcB, Seq("source", "bucket"), "left").na.fill(0L, Seq("csb"))
-      .join(perB, Seq("bucket"), "left").na.fill(0L, Seq("cb"))
-      .crossJoin(broadcast(tot))
+    counted
+      // the source universe is TOKEN-derived (matching the oracle's
+      // rollup over tokenized rows): a source whose docs yield zero
+      // tokens contributes no distribution to diverge
+      .filter(col("ts") > 0L)
       .select(col("source"), col("ts"),
         round(p * log(p / q), 9).cast("decimal(28,9)").as("term"))
       .groupBy("source", "ts")

@@ -386,8 +386,11 @@ object StreamingIngest {
       StructField("doc_id", LongType), StructField("band", IntegerType),
       StructField("band_sig", StringType)))
     // pre-create so the first micro-batch's schema'd read sees an empty
-    // relation instead of a missing-path failure
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
+    // relation instead of a missing-path failure — through the Hadoop FS
+    // API (the store is an on-disk relation that lives on HDFS/S3 at
+    // scale; java.nio only reaches local paths)
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    storeDir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(storeDir)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)

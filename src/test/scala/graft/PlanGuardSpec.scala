@@ -2,9 +2,12 @@ package graft
 
 /** Sweeping plan guard: NO query in the driver contract may compile to a
   * CartesianProduct — the one plan node that cannot survive a 100× scale-up
-  * — except the documented O(n²) parity forms whose scale paths exist
-  * separately (`avg_pairwise_sim_fast`, `sim_histogram_sampled`,
-  * `knn_graph_ivf`, and the IVF edge stage for `semantic_clusters`).
+  * — except the documented O(n²) parity forms (`avg_pairwise_sim`,
+  * `sim_histogram`, `knn_graph`, and `semantic_clusters`, which composes
+  * knn_graph's exact edge stage) whose scale paths exist separately
+  * (`avg_pairwise_sim_fast`, `sim_histogram_sampled`, `knn_graph_ivf`,
+  * `semantic_clusters_ivf` — the scale twins plan equi-joins, never a
+  * cartesian, and are swept like any other query).
   * Runs on sf0.001 so the sweep stays cheap; plan shape is data-independent
   * for these queries (static thresholds, no AQE cardinality switches on
   * the nodes asserted here).

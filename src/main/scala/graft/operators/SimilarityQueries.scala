@@ -718,8 +718,17 @@ object SimilarityQueries {
     * Candidate volume is Σ_l |l|·(probes assigned to l): linear-ish in n
     * at fixed list occupancy; hot lists are AQE skew-join territory.
     * Approximate (a true neighbor outside every probed list is missed)
-    * → rows-only gate, recall vs the exact graph spec-pinned. */
-  def knnGraphIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    * → rows-only gate, recall vs the exact graph spec-pinned.
+    *
+    * `probes` is the recall knob (default [[KnnGraphProbes]]): each
+    * +1 widens every node's candidate pool by one more list — recall
+    * rises with probes while cost stays Σ_l |l|·(probes assigned to l).
+    * On CLUSTERED embeddings (where real corpora live) true neighbors
+    * share the home list and the default already lands ≥0.8 recall@k
+    * (spec-pinned on a clustered fixture); the un-clustered hash fixture
+    * is the adversarial floor (0.5 gate). */
+  def knnGraphIvf(spark: SparkSession, sfDir: String,
+                  probes: Int = KnnGraphProbes): DataFrame = {
     import graft.functions.top_k_by_distance
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
@@ -730,7 +739,7 @@ object SimilarityQueries {
         cosine_distance(col("centroid"), col("embedding")).as("cd"))
       .groupBy("vec_id")
       .agg(first(col("embedding")).as("qv"),
-        top_k_by_distance(col("cd"), col("lid"), KnnGraphProbes).as("top"))
+        top_k_by_distance(col("cd"), col("lid"), probes).as("top"))
       .select(col("vec_id").as("qid"), col("qv"),
         explode(col("top.vec_id")).as("lid"))
       .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
@@ -758,14 +767,34 @@ object SimilarityQueries {
     * construction, mirroring the dedup cluster queries).
     *
     * Scale shape: the edge stage is [[knnGraph]]'s (k-bounded shuffles;
-    * at scale swap in [[knnGraphIvf]]'s candidate join); the mutual
-    * filter is a self-equi-join of the n·k edge relation; CC is the
-    * adaptive driver/distributed star kernel. Exactness: edges are
-    * deterministic (heap tie-breaks), CC labels are order-free minima →
-    * oracle-exact against the recursive-CTE closure. */
-  def semanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val knn = knnGraph(spark, sfDir)
-      .select(col("vec_id").as("src"), col("nbr").as("dst"))
+    * the scale twin [[semanticClustersIvf]] swaps in [[knnGraphIvf]]'s
+    * candidate join); the mutual filter is a self-equi-join of the n·k
+    * edge relation; CC is the adaptive driver/distributed star kernel.
+    * Exactness: edges are deterministic (heap tie-breaks), CC labels are
+    * order-free minima → oracle-exact against the recursive-CTE
+    * closure. */
+  def semanticClusters(spark: SparkSession, sfDir: String): DataFrame =
+    mutualKnnClusters(knnGraph(spark, sfDir))
+
+  /** [[semanticClusters]]' scale path — the SAME mutual filter + star CC
+    * over [[knnGraphIvf]]'s bucketed edge stage, so the full SemDeDup
+    * pipeline (assign → candidate equi-join → bounded-heap kNN → mutual
+    * filter → CC) plans ZERO cartesians and survives corpora where n²
+    * distances are off the table. Approximate exactly where the edge
+    * stage is (a missed true neighbor can split or drop an edge) →
+    * rows-only gate; pair-level label agreement vs the exact form is
+    * spec-pinned on the clustered fixture, and PlanGuardSpec sweeps the
+    * plan (this query is deliberately NOT on the cartesian allowlist). */
+  def semanticClustersIvf(spark: SparkSession, sfDir: String): DataFrame =
+    mutualKnnClusters(knnGraphIvf(spark, sfDir))
+
+  /** Shared mutual-kNN → star-CC tail of the semantic-cluster pair:
+    * takes any (vec_id, nbr) kNN edge relation, keeps mutual edges
+    * (a ∈ top-k(b) AND b ∈ top-k(a)), labels components, and sizes the
+    * clusters. The mutual filter self-joins the n·k edge relation on
+    * both endpoints — an equi-join, k-bounded per node. */
+  private def mutualKnnClusters(knnEdges: DataFrame): DataFrame = {
+    val knn = knnEdges.select(col("vec_id").as("src"), col("nbr").as("dst"))
     val mutual = knn.as("k1").join(knn.as("k2"),
         col("k1.src") === col("k2.dst") && col("k1.dst") === col("k2.src"))
       .filter(col("k1.src") < col("k1.dst"))
@@ -1013,6 +1042,7 @@ object SimilarityQueries {
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "knn_graph_ivf" -> ((s, d) => knnGraphIvf(s, d)),
     "semantic_clusters" -> ((s, d) => semanticClusters(s, d)),
+    "semantic_clusters_ivf" -> ((s, d) => semanticClustersIvf(s, d)),
     "range_search" -> ((s, d) => rangeSearch(s, d)),
     "knn_per_label" -> ((s, d) => knnPerLabel(s, d)),
     "knn_batch" -> ((s, d) => knnBatch(s, d)),
@@ -1225,8 +1255,9 @@ object SimilarityQueries {
          |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
          |ORDER BY dist, c.vec_id
          |LIMIT $BqK""".stripMargin,
-    // knn_graph_ivf is deliberately ABSENT here: it is the approximate
-    // scale twin (rows-only gate); knn_graph below is its exact oracle
+    // knn_graph_ivf and semantic_clusters_ivf are deliberately ABSENT
+    // here: they are the approximate scale twins (rows-only gates);
+    // knn_graph / semantic_clusters below are their exact oracles
     "knn_graph" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,

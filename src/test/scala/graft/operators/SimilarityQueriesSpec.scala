@@ -8,6 +8,27 @@ import graft.functions.{sq_cosine_distance, sq_quantize}
 class SimilarityQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Clustered-embedding fixture — the geometry REAL embedding corpora
+    * have (the sf hash fixture is the adversarial un-clustered worst
+    * case): 12 orthogonal one-hot-block centers on the 64-dim sphere, 50
+    * points each = center + bounded hash noise, written once as
+    * embeddings.parquet so the dir drops into every IVF-keyed query
+    * unchanged (indexFor caches per dir). */
+  lazy val clusteredDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    val c = 12
+    val dim = 64
+    val center = transform(sequence(lit(0), lit(dim - 1)), d =>
+      when(pmod(d, lit(c)) === col("label"), lit(4.0)).otherwise(lit(0.0)))
+    val emb = zip_with(center, hashNoise(col("vec_id"), dim),
+      (ct, nz) => (ct + nz).cast("float"))
+    spark.range(c * 50L)
+      .select(col("id").as("vec_id"), (col("id") % c).cast("int").as("label"))
+      .select(col("vec_id"), col("label"), emb.as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   test("sq_quantize round-trips within quantization error; codes bounded") {
     val v = Array(0.5f, -1.0f, 0.25f, 0.0f)
     val row = Seq(Tuple1(v)).toDF("v").select(sq_quantize(col("v")).as("sq"))
@@ -304,6 +325,45 @@ class SimilarityQueriesSpec extends SparkSpec {
     // hash-fixture embeddings are un-clustered (the adversarial case);
     // 4/16 probed lists measured 0.62 during development
     assert(recall >= 0.5, s"mean recall@$KnnGraphK was $recall")
+  }
+
+  test("knn_graph_ivf: default probes reach recall >= 0.8 on a clustered corpus") {
+    import SimilarityQueries.{knnGraph, knnGraphIvf}
+    val exactSets = knnGraph(spark, clusteredDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approxSets = knnGraphIvf(spark, clusteredDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = exactSets.map { case (q, t) =>
+      approxSets.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / exactSets.size
+    // where real embeddings live (clustered), the default 4/16 probes must
+    // hold production-grade recall; the un-clustered hash fixture keeps
+    // its separate 0.5 adversarial floor (test above)
+    assert(recall >= 0.8, s"mean recall@${SimilarityQueries.KnnGraphK} was $recall")
+  }
+
+  test("semantic_clusters_ivf: >=0.9 pair agreement with the exact form; structure holds") {
+    val exact = SimilarityQueries.semanticClusters(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = SimilarityQueries.semanticClustersIvf(spark, clusteredDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same structural contract as the exact form
+    ivf.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep, s"cluster $rep min mismatch")
+      assert(members.forall(_._3 == members.length), s"cluster $rep size mismatch")
+      assert(members.length >= 2, "mutual-kNN clusters have no singletons")
+    }
+    // pair-level agreement: Jaccard of the co-clustered pair sets
+    def pairSet(asg: Seq[(Long, Long)]): Set[(Long, Long)] =
+      asg.groupBy(_._2).values.flatMap { m =>
+        val ids = m.map(_._1).sorted
+        for { i <- ids.indices; j <- i + 1 until ids.length }
+          yield (ids(i), ids(j))
+      }.toSet
+    val pe = pairSet(exact.toSeq)
+    val pi = pairSet(ivf.map(t => (t._1, t._2)).toSeq)
+    val agreement = pe.intersect(pi).size.toDouble / pe.union(pi).size
+    assert(agreement >= 0.9, s"pair-level agreement was $agreement")
   }
 
   test("cluster_purity: sizes partition the corpus; purity bounded and consistent") {

@@ -240,10 +240,10 @@ object PlanGallery {
       "the three codegen'd distance kernels run in one projection over " +
       "the packed column; TakeOrderedAndProject ranks on L2."),
     "source_divergence" -> ("Domain-drift monitor: ONE tokenize+bucket " +
-      "pass feeds three map-side-combined hash aggs (per-(source,bucket), " +
-      "per-bucket, per-source — each ≤ |sources|·128 rows); the KL terms " +
-      "evaluate on the few-thousand-row grid with the 1-row total " +
-      "broadcast. Nothing corpus-sized survives the first aggregation."),
+      "pass feeds ONE map-side-combined (source × bucket) hash agg; the " +
+      "per-bucket / per-source / total rollups are window sums over the " +
+      "densified |sources|·128-row grid, fully distributed — nothing " +
+      "corpus-sized OR source-cardinality-sized ever reaches the driver."),
     "events_daily_ma" -> ("Rolling 7-day mean: the corpus collapses in " +
       "the daily hash agg FIRST, so the ROWS-frame window runs over " +
       "(type × day) cells — partitions bounded by the time span, never " +
@@ -257,6 +257,12 @@ object PlanGallery {
       "driver collect of anything corpus-sized — and the per-node top-k " +
       "is the bounded-heap aggregate. The exact twin (knn_graph) is the " +
       "documented O(n²) parity form with the same k-bounded shuffle."),
+    "semantic_clusters_ivf" -> ("SemDeDup at scale, end to end: " +
+      "knn_graph_ivf's bucketed edge stage (map-only centroid assign + " +
+      "ONE list_id equi-join + bounded-heap top-k) feeds the mutual " +
+      "self-equi-join on the n·k edge relation and the star-CC kernel. " +
+      "ZERO cartesians in the whole pipeline — the exact twin " +
+      "(semantic_clusters) remains the O(n²) oracle anchor."),
     "cluster_purity" -> ("Clustering eval: the Lloyd assignment joins " +
       "its ground-truth labels, collapses to ≤ K·|labels| count rows, " +
       "and the majority pick windows over THOSE — bounded regardless of " +

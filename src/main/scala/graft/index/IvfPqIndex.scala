@@ -227,13 +227,24 @@ object IvfPqIndex {
       .limit(k)
   }
 
+  /** Serving batches [[probeMany]] accepts before failing over to
+    * [[searchMany]] (the LUT build is per-query driver work — right for
+    * serving micro-batches, a driver hazard for corpus-sized frames). */
+  val MaxServingBatch = 65536
+
   /** Batch probe: many queries in one distributed pass — the IVFPQ analog
     * of [[IvfIndex.probeMany]] / [[NswIndex.searchMany]]. Per query the
     * driver ranks coarse centroids and builds the per-probed-list LUTs
     * (|queries|·nprobe·m·codes doubles — the broadcast is serving-batch
     * metadata, not data); the scan reads the UNION of all probed list
     * partitions once, scores each row for every query that probed its
-    * list, and merges per query with the bounded-heap top-k aggregate. */
+    * list, and merges per query with the bounded-heap top-k aggregate.
+    *
+    * SERVING-BATCH contract: the query frame is collected to the driver,
+    * so it must be a serving batch (≤ [[MaxServingBatch]] rows — enforced,
+    * with guidance), never a corpus-sized relation; a corpus-sized batch
+    * (e.g. an IVFPQ self-join) belongs on [[searchMany]], whose
+    * assignment/scoring stages are fully distributed. */
   def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
@@ -247,6 +258,10 @@ object IvfPqIndex {
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(qs.length <= MaxServingBatch,
+      s"probeMany got ${qs.length} queries (> $MaxServingBatch): the per-query " +
+        "driver LUT build is for serving batches — route corpus-sized query " +
+        "frames through searchMany (distributed assignment + list_id equi-join)")
     val rotation = PqIndex.loadRotation(spark, indexPath)
     // per (list, qid): (constDot, norm LUT); dot LUT is per qid only
     val perQuery: Array[(Long, Array[Double], Seq[Int], Array[Array[Double]])] =
@@ -299,6 +314,109 @@ object IvfPqIndex {
           }
           (qid, e.vec_id, if (nn == 0.0) 1.0 else 1.0 - dot / math.sqrt(nn))
         }
+      }
+      .toDF("qid", "vec_id", "dist")
+      .groupBy("qid")
+      .agg(graft.functions.top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
+  }
+
+  /** Fully DISTRIBUTED batch search — the corpus-sized twin of
+    * [[probeMany]] (broadcast codebooks + ONE list_id equi-join), for
+    * query frames that are data, not serving batches (an IVFPQ kNN
+    * self-graph, a bulk re-embedding backfill): nothing query-frame-sized
+    * ever touches the driver.
+    *
+    *  1. assignment is a map-only flatMap over the query frame — each row
+    *     normalizes/rotates its vector and ranks the BROADCAST coarse
+    *     centroids locally (|lists|·d doubles of index metadata), emitting
+    *     its `nprobe` (qid, qu, list_id) probe rows;
+    *  2. scoring is ONE equi-join of the codes dataset against the probe
+    *     rows on list_id (shuffle-partitioned both sides — AQE handles a
+    *     hot list), each joined pair priced with EXACTLY [[probeMany]]'s
+    *     factored ADC arithmetic (per-subspace dot/norm partial sums in
+    *     the same order, so results are bit-identical — spec-pinned);
+    *  3. the per-query top-k is the bounded-heap aggregate (≤
+    *     k·|partitions| shuffle rows per query).
+    *
+    * Cost trade-off vs [[probeMany]]: each joined pair pays O(d) multiply
+    * work (the subspace dots are recomputed per row) instead of O(m) LUT
+    * lookups — the price of having no per-query driver state. For
+    * serving-sized batches the LUT path wins; past [[MaxServingBatch]]
+    * queries, only this form scales. */
+  def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
+                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val coarseArr: Array[Array[Double]] = {
+      val rows = spark.read.parquet(s"$indexPath/coarse")
+        .collect().map(r => r.getInt(0) -> r.getAs[collection.Seq[Double]](1).toArray)
+      val out = new Array[Array[Double]](rows.map(_._1).max + 1)
+      rows.foreach { case (l, c) => out(l) = c }
+      out
+    }
+    val cbRows = spark.read.parquet(s"$indexPath/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getAs[collection.Seq[Double]](2).toArray))
+    val m = cbRows.iterator.map(_._1).max + 1
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val subDim = cb(0)(0).length
+    val bcCoarse = spark.sparkContext.broadcast(coarseArr)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcRot = spark.sparkContext.broadcast(PqIndex.loadRotation(spark, indexPath))
+    val assigned = queries.select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, q) =>
+        var n = 0.0; q.foreach(x => n += x.toDouble * x)
+        val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+        val qu0 = q.map(_.toDouble * inv)
+        val qu = bcRot.value.map(PqIndex.applyRotation(_, qu0)).getOrElse(qu0)
+        val cs = bcCoarse.value
+        val ranked = Array.tabulate(cs.length) { l =>
+          val c = cs(l)
+          var d = 0.0; var j = 0
+          while (j < qu.length) { val t = qu(j) - c(j); d += t * t; j += 1 }
+          (d, l)
+        }.sorted.take(nprobe) // same (dist, list) ranking as probe/probeMany
+        ranked.iterator.map { case (_, l) =>
+          val c = cs(l)
+          var cd = 0.0; var j = 0
+          while (j < qu.length) { cd += qu(j) * c(j); j += 1 }
+          (qid, qu, l, cd)
+        }
+      }
+      .toDF("qid", "qu", "list_id", "cd")
+    spark.read.parquet(s"$indexPath/codes")
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"), col("codes"))
+      .join(assigned, Seq("list_id"))
+      .select(col("qid"), col("vec_id"), col("list_id"), col("codes"),
+        col("qu"), col("cd"))
+      .as[(Long, Long, Int, Array[Byte], Array[Double], Double)]
+      .map { case (qid, vid, listId, codes, qu, cd) =>
+        // probeMany's factored ADC arithmetic, op for op: the per-subspace
+        // partial sums below are the values its LUTs cache, accumulated in
+        // the same s-order into the same two accumulators — so dist is
+        // bit-identical across the two forms (spec-pinned)
+        val cbv = bcCb.value
+        val cl = bcCoarse.value(listId)
+        var dot = cd
+        var nn = 0.0
+        var s = 0
+        while (s < codes.length) {
+          val cent = cbv(s)(codes(s) & 0xff)
+          var d = 0.0
+          var j = 0
+          while (j < subDim) { d += qu(s * subDim + j) * cent(j); j += 1 }
+          var n2 = 0.0
+          j = 0
+          while (j < subDim) { val t = cl(s * subDim + j) + cent(j); n2 += t * t; j += 1 }
+          dot += d
+          nn += n2
+          s += 1
+        }
+        (qid, vid, if (nn == 0.0) 1.0 else 1.0 - dot / math.sqrt(nn))
       }
       .toDF("qid", "vec_id", "dist")
       .groupBy("qid")

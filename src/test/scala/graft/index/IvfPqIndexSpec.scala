@@ -60,6 +60,37 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(reranked.head === 0L)
   }
 
+  test("searchMany ≡ probeMany bit-for-bit on a 10k-query batch; guard rejects oversize") {
+    // 10k synthetic queries — big enough that the distributed form is the
+    // right tool, small enough that the LUT serving form can still cross-
+    // check it; hashNoise keeps them off the indexed vectors (no self hits)
+    val nq = 10000
+    val queries = spark.range(nq).select(col("id").as("qid"),
+      hashNoise(col("id"), 64).as("qv")).persist()
+    try {
+      val viaSearch = IvfPqIndex.searchMany(spark, indexPath, queries,
+          "qid", "qv", k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val viaLut = IvfPqIndex.probeMany(spark, indexPath, queries,
+          "qid", "qv", k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(viaSearch.length === nq * 5)
+      // bit-identical, not approximately equal: the factored ADC sums run
+      // in the same op order in both forms
+      assert(viaSearch === viaLut)
+    } finally queries.unpersist()
+    // the serving form must refuse a frame past the serving-batch bound
+    // with guidance toward searchMany, not OOM the driver building LUTs
+    val oversize = spark.range(IvfPqIndex.MaxServingBatch + 1L)
+      .select(col("id").as("qid"), array(lit(1.0f)).as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      IvfPqIndex.probeMany(spark, indexPath, oversize, "qid", "qv", 5, 2)
+    }
+    assert(e.getMessage.contains("searchMany"))
+  }
+
   test("probeMany matches single-query probe per qid") {
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))

@@ -381,46 +381,124 @@ object StreamingIngest {
   def startMinhashDedup(spark: SparkSession, srcDir: String, schema: StructType,
                         storePath: String, resultPath: String,
                         maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
-    val bandStoreSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("band", IntegerType),
-      StructField("band_sig", StringType)))
-    // pre-create so the first micro-batch's schema'd read sees an empty
-    // relation instead of a missing-path failure — through the Hadoop FS
-    // API (the store is an on-disk relation that lives on HDFS/S3 at
-    // scale; java.nio only reaches local paths)
-    val storeDir = new org.apache.hadoop.fs.Path(storePath)
-    storeDir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(storeDir)
+    prepareBandStore(spark, storePath)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val bands = graft.operators.Dedup.bandsOf(
-          graft.operators.Dedup.hashedShingleRelOf(batch)).persist()
-        try {
-          val store = sp.read.schema(bandStoreSchema).parquet(storePath)
-          val dupOfStored = bands
-            .join(store, Seq("band", "band_sig"), "left_semi")
-            .select("doc_id").distinct()
-          val dupInBatch = bands.as("x")
-            .join(bands.as("y"),
-              col("x.band") === col("y.band") &&
-                col("x.band_sig") === col("y.band_sig") &&
-                col("x.doc_id") > col("y.doc_id"), "left_semi")
-            .select("doc_id").distinct()
-          // persist: drop feeds BOTH sink writes, and recomputing it
-          // would re-probe the full band store (corpus-scale) per action
-          val drop = dupOfStored.union(dupInBatch).distinct().persist()
-          try {
-            val kept = batch.join(drop, Seq("doc_id"), "left_anti")
-            kept.write.mode("append").parquet(resultPath)
-            bands.join(drop, Seq("doc_id"), "left_anti")
-              .select("doc_id", "band", "band_sig")
-              .write.mode("append").parquet(storePath)
-          } finally drop.unpersist()
-        } finally bands.unpersist()
+        gateBatch(batch, storePath)(
+          _.write.mode("append").parquet(resultPath))
+      }
+      .option("checkpointLocation", s"${resultPath}_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private val BandStoreSchema: StructType = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("band_sig", StringType)))
+  }
+
+  /** Pre-create the band store so the first micro-batch's schema'd read
+    * sees an empty relation instead of a missing-path failure — through
+    * the Hadoop FS API (the store is an on-disk relation that lives on
+    * HDFS/S3 at scale; java.nio only reaches local paths). */
+  private def prepareBandStore(spark: SparkSession, storePath: String): Unit = {
+    val storeDir = new org.apache.hadoop.fs.Path(storePath)
+    storeDir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(storeDir)
+  }
+
+  /** One micro-batch through the LSH band gate (the shared core of
+    * [[startMinhashDedup]] and [[startCurationPipeline]]): compute the
+    * batch's band signatures, drop docs colliding with the store or a
+    * lower-id batchmate, hand the KEPT rows to `sink` (called exactly
+    * once, while the collision relations stay persisted — a sink may
+    * trigger several actions over them), then append the survivors'
+    * bands to the store. */
+  private def gateBatch(batch: DataFrame, storePath: String)
+                       (sink: DataFrame => Unit): Unit = {
+    val sp = batch.sparkSession
+    val bands = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.hashedShingleRelOf(batch)).persist()
+    try {
+      val store = sp.read.schema(BandStoreSchema).parquet(storePath)
+      val dupOfStored = bands
+        .join(store, Seq("band", "band_sig"), "left_semi")
+        .select("doc_id").distinct()
+      val dupInBatch = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_sig") === col("y.band_sig") &&
+            col("x.doc_id") > col("y.doc_id"), "left_semi")
+        .select("doc_id").distinct()
+      // persist: drop feeds BOTH sink writes, and recomputing it
+      // would re-probe the full band store (corpus-scale) per action
+      val drop = dupOfStored.union(dupInBatch).distinct().persist()
+      try {
+        sink(batch.join(drop, Seq("doc_id"), "left_anti"))
+        bands.join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id", "band", "band_sig")
+          .write.mode("append").parquet(storePath)
+      } finally drop.unpersist()
+    } finally bands.unpersist()
+  }
+
+  /** End-to-end streaming CURATION pipeline — the operational story told
+    * on ONE stream instead of per piece: every micro-batch chains
+    *
+    *  1. GATE: the MinHash-LSH near-dup gate ([[gateBatch]] — the same
+    *     band definitions as the batch pipeline, state in the on-disk
+    *     band store);
+    *  2. APPEND: survivors land in the curated corpus dataset at
+    *     `corpusPath` (partition-parallel parquet append);
+    *  3. MAINTENANCE: the BM25 posting-list index extends incrementally
+    *     ([[graft.index.Bm25Index.append]] — post-append scores equal a
+    *     full rebuild, spec-pinned; the FIRST non-empty batch builds the
+    *     index from the corpus so bootstrap needs no separate job);
+    *  4. SERVING: the standing query table at `queriesPath`
+    *     ((qid, qtext) parquet) resolves against the just-maintained
+    *     index ([[graft.index.Bm25Index.topKMany]] — one bucket-pruned
+    *     postings read per batch), results keyed by (batch_id, qid,
+    *     rank) at `resultPath`.
+    *
+    * foreachBatch serializes the four stages per batch AND across
+    * batches — exactly the single-maintenance-writer contract the index
+    * appends document. Delivery is [[startIngest]]'s at-least-once: a
+    * replayed batch re-appends corpus rows (band-store decisions stay
+    * stable under replay, see [[startMinhashDedup]]); the periodic batch
+    * dedup pass is the compaction. End-state parity with the batch
+    * pipeline (gate decisions ≡ batch band pipeline; maintained index ≡
+    * index rebuilt from the gated corpus, bit-exact scores) is pinned in
+    * StreamingPipelineSpec. */
+  def startCurationPipeline(spark: SparkSession, srcDir: String,
+                            schema: StructType, storePath: String,
+                            corpusPath: String, indexPath: String,
+                            queriesPath: String, resultPath: String,
+                            k: Int, k1: Double, b: Double,
+                            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    prepareBandStore(spark, storePath)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) gateBatch(batch, storePath) { kept =>
+          val sp = batch.sparkSession
+          kept.write.mode("append").parquet(corpusPath)
+          val stats = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+          val bootstrapped =
+            stats.getFileSystem(sp.sessionState.newHadoopConf()).exists(stats)
+          if (bootstrapped) graft.index.Bm25Index.append(kept, indexPath)
+          else graft.index.Bm25Index.build(sp.read.parquet(corpusPath), indexPath)
+          graft.index.Bm25Index
+            .topKMany(sp, indexPath, sp.read.parquet(queriesPath),
+              "qid", "qtext", k, k1, b)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(resultPath)
+        }
       }
       .option("checkpointLocation", s"${resultPath}_checkpoint")
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.index.Bm25Index
+
+/** End-state parity for the chained streaming curation pipeline
+  * (gate → corpus append → BM25 maintenance → serving): after the stream
+  * drains, the curated corpus must equal the batch LSH gate's keep set,
+  * and the incrementally maintained index must serve BIT-IDENTICAL
+  * scores to an index rebuilt from scratch over that corpus — the same
+  * append-≡-rebuild contract Bm25IndexSpec pins per piece, here proven
+  * for the whole chain on one stream. */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).resolve("d").toString
+
+  test("curation pipeline: gate → append → maintain → serve, end-state ≡ batch") {
+    val srcDir = tmp("cur_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val store = tmp("cur_store")
+    val corpus = tmp("cur_corpus")
+    val index = tmp("cur_idx")
+    val queriesPath = tmp("cur_q")
+    val results = tmp("cur_res")
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textA2 = ((1 to 29).map(i => s"alpha$i") :+ "CHANGED").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    // the fixture must LSH-collide A with its variant (shared bandsOf
+    // definition — same guard as StreamingDedupSpec)
+    val gt = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.hashedShingleRelOf(
+        Seq((1L, textA), (3L, textA2)).toDF("doc_id", "text")))
+    assert(gt.as("x").join(gt.as("y"),
+      col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id")).count() > 0L)
+    // standing serving queries: one aimed at A's vocabulary, one at C's
+    Seq((10L, "alpha3 alpha7 alpha11"), (20L, "gamma2 gamma9"))
+      .toDF("qid", "qtext").coalesce(1).write.parquet(queriesPath)
+    val schema = Seq((1L, "")).toDF("doc_id", "text").schema
+    def run(): Unit = {
+      val q = StreamingIngest.startCurationPipeline(spark, srcDir, schema,
+        store, corpus, index, queriesPath, results, k = 3, k1 = 1.2, b = 0.75)
+      q.awaitTermination(120000)
+    }
+    // batch 1: two distinct docs — both pass the gate, index bootstraps
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    // batch 2: a near-dup of stored A (dropped at the gate) + a fresh doc
+    Seq((3L, textA2), (4L, textC)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+
+    // 1. corpus end-state = the batch gate's keep set
+    val keptIds = spark.read.parquet(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds === Seq(1L, 2L, 4L), s"got ${keptIds.mkString(",")}")
+
+    // 2. maintained index ≡ index rebuilt from the curated corpus:
+    //    bit-identical serving scores for the standing query set
+    val rebuilt = tmp("cur_idx_rebuilt")
+    Bm25Index.build(spark.read.parquet(corpus), rebuilt)
+    def serve(idx: String) =
+      Bm25Index.topKMany(spark, idx, spark.read.parquet(queriesPath),
+          "qid", "qtext", 3, 1.2, 0.75)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(serve(index) === serve(rebuilt),
+      "maintained index must serve scores bit-identical to a fresh rebuild")
+
+    // 3. serving ran once per batch against the index AS OF that batch:
+    //    batch 0 results predate docs 3/4, so the gamma query has no hits
+    //    there and every batch-0 hit references a batch-0 doc
+    val res = spark.read.parquet(results)
+      .select("batch_id", "qid", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batchIds = res.map(_._1).distinct.sorted
+    assert(batchIds.length === 2, s"expected 2 serving rounds, got ${batchIds.toSeq}")
+    val first = res.filter(_._1 == batchIds.head)
+    assert(first.nonEmpty && first.forall(t => t._3 == 1L || t._3 == 2L))
+    assert(!first.exists(_._2 == 20L), "gamma query must have no batch-0 hits")
+    val second = res.filter(_._1 == batchIds.last)
+    assert(second.exists(t => t._2 == 20L && t._3 == 4L),
+      "after batch 1 the gamma query must surface doc 4")
+  }
+}

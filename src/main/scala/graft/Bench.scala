@@ -31,7 +31,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // O(n²) reference-parity forms: oracle anchors whose COMPUTE is
+    // quadratic by documented design (each has a timed linear/sampled/
+    // bucketed scale twin). Above the row threshold they are SKIPPED —
+    // listed in the JSON with the reason, never silently dropped — so the
+    // bench scales to sf≥1 corpora without the anchors dominating the
+    // wall clock. CORRECTNESS is untouched: Verify still runs them at
+    // sf0.01. Threshold: max(documents, embeddings) rows, default 10k
+    // (sf0.1 stays fully timed; a 10× corpus trips it), overridable via
+    // SPARK_GRAFT_MAX_QUADRATIC_ROWS.
+    val quadratic = Set(
+      "avg_pairwise_sim", "sim_histogram", "knn_graph", "semantic_clusters")
+    val maxQuadRows =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_QUADRATIC_ROWS", "10000").toLong
+    val corpusRows = math.max(
+      spark.read.parquet(s"$sfDir/documents.parquet").count(),
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    val skipQuadratic = corpusRows > maxQuadRows
+    val skipped: Seq[(String, String)] =
+      if (!skipQuadratic) Nil
+      else quadratic.toSeq.sorted.map(q => q ->
+        s"quadratic parity form: $corpusRows corpus rows > $maxQuadRows (scale twin stays timed)")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skipQuadratic && quadratic(q._1))
 
     // A failing query must FAIL the bench (exit 1), not be "timed" as
     // near-zero and silently improve the total: collect per-query errors,
@@ -104,8 +126,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val skp = skipped
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"skipped":$skp,"sf":"$sfDir"}""")
     // Durability: the consumer keeps only a bounded tail of the build log,
     // and the full line above has been observed to arrive truncated at the
     // HEAD of that window. Emit a second, much smaller summary line LAST —
@@ -131,7 +155,8 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e6))}}"""
       }.mkString(",\n"))
       lines.append("\n  },\n")
-      lines.append(s"""  "errors": $errs\n""")
+      lines.append(s"""  "errors": $errs,\n""")
+      lines.append(s"""  "skipped": $skp\n""")
       lines.append("}\n")
       java.nio.file.Files.write(outDir.resolve(s"bench_$sfName.json"),
         lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

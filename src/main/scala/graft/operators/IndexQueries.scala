@@ -26,6 +26,19 @@ object IndexQueries {
   val K = 10
   val NProbe = 4
 
+  /** Corpus size up to which the fixed fixture list count applies. */
+  val FixedListsMaxRows = 4000L
+
+  /** List count for a corpus of `n` vectors: the fixture constant
+    * ([[Lists]]) through the oracle-fixture sizes, then √n (pgvector's
+    * small-table guidance) — the scale property that keeps LIST OCCUPANCY
+    * √n instead of n/16, so probe cost and the IVF-bucketed candidate
+    * joins (knn_graph_ivf, dedup_embedding) grow linearly with the corpus
+    * rather than quadratically. Deterministic per corpus size. */
+  def listsFor(n: Long): Int =
+    if (n <= FixedListsMaxRows) Lists
+    else math.min(4096L, math.round(math.sqrt(n.toDouble))).toInt
+
   /** Shards for the NSW graph on the small fixtures (scale guidance:
     * n / [[graft.index.NswIndex.RowsPerShardTarget]]). */
   val NswShards = 4
@@ -38,7 +51,8 @@ object IndexQueries {
   def indexFor(spark: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(sfDir, { _ =>
       val path = Files.createTempDirectory("graft_ivf").resolve("index").toString
-      IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists)
+      val emb = Tables.embeddings(spark, sfDir)
+      IvfIndex.build(emb, path, lists = listsFor(emb.count()))
       path
     })
 

@@ -163,6 +163,37 @@ class TextAnalysisSpec extends SparkSpec {
       "all bigrams distinct — replication insurance is pure waste")
   }
 
+  test("adaptiveSbSalt memoizes: the skew probe runs NO second job within a session") {
+    // fresh corpus path → fresh memo key (the memo is keyed on
+    // path + mtime, shared across the suite's session)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sb_memo").toString
+    (0L until 200L).map(i => (i, "one two three four five", "en"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def drained(): Int = {
+        org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
+        jobs.get()
+      }
+      val before = drained()
+      val s1 = TextAnalysis.adaptiveSbSalt(spark, dir)
+      val afterFirst = drained()
+      assert(afterFirst > before, "the cold probe must run at least one job")
+      val s2 = TextAnalysis.adaptiveSbSalt(spark, dir)
+      assert(drained() === afterFirst,
+        "the memo must answer the second call with ZERO jobs — a repeated " +
+          "probe scan would re-pay the sample aggregation per execution")
+      assert(s2 === s1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("repetition_signals separates degenerate from diverse text") {
     val dir = corpusDir(
       0L -> "spam spam spam spam spam spam spam spam",      // one bigram repeated

@@ -1,0 +1,66 @@
+// Regression gate for the committed bench artifact:
+//   sbt "Test/runMain graft.tools.BenchDiff [artifact]"
+// Compares the WORKING-TREE artifact (a fresh Bench run) against the
+// version committed at HEAD (git show) and fails on regressions.
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Per-query bench regression gate — run before a round's close commit:
+  * a query counts as REGRESSED when it is BOTH >30% and >0.3 s slower
+  * than the committed artifact (single-query drift on a shared box is
+  * ±25% one-signed; the absolute floor keeps millisecond queries from
+  * tripping the ratio). Exits non-zero with the offender list; new and
+  * removed queries are reported informationally. */
+object BenchDiff {
+
+  val RatioGate = 1.30
+  val AbsGateSec = 0.30
+
+  private def queriesOf(json: String): Map[String, Double] = {
+    val root = new ObjectMapper().readTree(json)
+    val q = root.get("queries")
+    require(q != null, "artifact has no \"queries\" map")
+    q.properties().asScala
+      .map(e => e.getKey -> e.getValue.get("sec").asDouble()).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val artifact = if (args.length > 0) args(0) else "bench/bench_sf0.1.json"
+    val committed = {
+      val p = new ProcessBuilder("git", "show", s"HEAD:$artifact")
+        .redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(p.waitFor() == 0, s"git show HEAD:$artifact failed — not committed yet?")
+      out
+    }
+    val fresh = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(artifact)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val base = queriesOf(committed)
+    val now = queriesOf(fresh)
+    val regressed = now.toSeq.sortBy(_._1).flatMap { case (q, sec) =>
+      base.get(q).collect {
+        case b if sec > b * RatioGate && sec - b > AbsGateSec =>
+          (q, b, sec)
+      }
+    }
+    val added = (now.keySet -- base.keySet).toSeq.sorted
+    val removed = (base.keySet -- now.keySet).toSeq.sorted
+    if (added.nonEmpty) println(s"new queries (no baseline): ${added.mkString(", ")}")
+    if (removed.nonEmpty) println(s"missing vs baseline: ${removed.mkString(", ")}")
+    val totB = base.values.sum
+    val totN = now.filterKeys(base.contains).values.sum
+    println(f"shared-query total: committed $totB%.1f s -> fresh $totN%.1f s (${now.size} fresh / ${base.size} committed)")
+    if (regressed.isEmpty) println(s"OK: no query >${((RatioGate - 1) * 100).toInt}% and >$AbsGateSec s slower")
+    else {
+      regressed.foreach { case (q, b, n) =>
+        println(f"REGRESSED $q: $b%.3f s -> $n%.3f s (${(n / b - 1) * 100}%.0f%%)")
+      }
+      sys.exit(1)
+    }
+  }
+}

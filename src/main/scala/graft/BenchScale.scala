@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * The quadratic parity anchors are not in the headline set (Bench itself
   * skips them past 10k rows — the `skipped` contract); the scale twins
-  * are what runs here.
+  * are what runs here. `dedup_embedding` likewise runs as its IVF
+  * co-probe twin: the exact form's triangle-inequality bound is
+  * data-dependent and the near-uniform synthetic embeddings are its
+  * documented adversarial case (80× measured at 10× data — the
+  * motivation for the twin).
   */
 object BenchScale {
 
@@ -34,7 +38,7 @@ object BenchScale {
     * two heaviest event-analytics shapes. */
   val Headline: Seq[String] = Seq(
     "knn_topk", "ivf_build", "dedup_exact", "dedup_minhash", "dedup_clean",
-    "dedup_ngram_capped", "dedup_embedding", "kmeans_assign", "bm25_topk",
+    "dedup_ngram_capped", "dedup_embedding_ivf", "kmeans_assign", "bm25_topk",
     "knn_graph_ivf", "semantic_clusters_ivf", "pca_project",
     "stupid_backoff_score", "events_sessions", "events_hourly")
 

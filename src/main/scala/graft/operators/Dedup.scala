@@ -208,6 +208,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Lists each vector co-probes in [[dedupEmbeddingIvf]]. */
+  val EmbeddingIvfProbes = 4
+
+  /** Approximate SCALE twin of [[dedupEmbedding]] — same exact-cosine
+    * verification stage, but candidates come from IVF CO-PROBING (each
+    * vector joins its [[EmbeddingIvfProbes]] nearest lists — the
+    * knn_graph_ivf recipe) instead of the triangle-inequality expansion.
+    * The exact form's completeness bound is DATA-DEPENDENT: on an
+    * un-clusterable corpus at moderate thresholds it degrades to the
+    * documented full candidate join — measured 80× cost at a 10×
+    * scale-up of the near-uniform fixture (bench_sf1.json), i.e. the
+    * n² this family exists to avoid. Here candidates pair each vector's
+    * PROBED lists with those lists' home members (exactly knn_graph_ivf's
+    * candidate rule), so the volume is explicitly probe-bounded —
+    * probes·n²/lists pairs, ~probes·n^1.5 at the √n list sizing — at the
+    * price of missing pairs where neither member probes the other's home
+    * list: approximate → rows-only gate, recall vs the exact form
+    * spec-pinned on the clustered fixture (where near-dup structure
+    * actually lives; DedupSpec). Precision stays 1 by construction —
+    * every emitted pair is exact-verified against the same threshold. */
+  def dedupEmbeddingIvf(spark: SparkSession, sfDir: String,
+                        probes: Int = EmbeddingIvfProbes): DataFrame = {
+    import graft.functions.{cosine_distance, top_k_by_distance}
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = IndexQueries.indexFor(spark, sfDir)
+    val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        col("list_id").cast("long").as("lid"),
+        cosine_distance(col("centroid"), col("embedding")).as("cd"))
+      .groupBy("vec_id")
+      .agg(top_k_by_distance(col("cd"), col("lid"), probes).as("top"))
+      .select(col("vec_id"), explode(col("top.vec_id")).as("lid"))
+      .select(col("vec_id"), col("lid").cast("int").as("list_id"))
+    val home = spark.read.parquet(s"$idx/lists")
+      .select(col("vec_id").as("m"), col("list_id"))
+    val candIds = assigned
+      .join(home, Seq("list_id"))
+      .filter(col("vec_id") =!= col("m"))
+      .select(least(col("vec_id"), col("m")).as("a"),
+        greatest(col("vec_id"), col("m")).as("b"))
+      .distinct()
+    candIds
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("v1")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("v2")), "b")
+      .select(col("a"), col("b"), cosine_similarity(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= EmbeddingThreshold)
+      .orderBy("a", "b")
+  }
+
   // ---- MinHash LSH ---------------------------------------------------------
 
   val NumPerms = 64
@@ -710,6 +760,7 @@ object Dedup {
     "dedup_ngram" -> ((s, d) => dedupNgram(s, d)),
     "dedup_ngram_capped" -> ((s, d) => dedupNgramCapped(s, d)),
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "dedup_embedding_ivf" -> ((s, d) => dedupEmbeddingIvf(s, d)),
     "dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
   )
@@ -982,6 +1033,9 @@ object Dedup {
          |JOIN sizes sb ON b = sb.doc_id
          |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $NgramThreshold
          |ORDER BY a, b""".stripMargin,
+    // dedup_embedding_ivf is deliberately ABSENT: it is the approximate
+    // co-probe scale twin (rows-only gate, recall spec-pinned in
+    // DedupSpec); dedup_embedding below is its exact oracle anchor
     "dedup_embedding" ->
       s"""SELECT e1.vec_id AS a, e2.vec_id AS b,
          |  ${O.cosSim("e1.embedding", "e2.embedding")} AS sim

@@ -106,6 +106,40 @@ class DedupSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("dedup_embedding_ivf: exact-verified subset with >=0.9 recall on a clustered corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.hash_embed
+    // the pruning spec's clustered geometry, written out as a corpus dir
+    // so both forms run through the public sfDir entry (indexFor caches)
+    val nClusters = 20; val perCluster = 10; val n = nClusters * perCluster
+    val raw = spark.range(n).select(
+      col("id").as("vec_id"),
+      hash_embed(concat(lit("cl"), (col("id") % nClusters).cast("string")), 64).as("base"),
+      hash_embed(concat(lit("nz"), col("id").cast("string")), 64).as("noise"))
+    val mixed = raw.select(col("vec_id"),
+      zip_with(col("base"), col("noise"), (b, nz) => b + nz * lit(0.15f)).as("mix"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ivf").toString
+    mixed.select(col("vec_id"),
+        transform(col("mix"), x =>
+          (x / sqrt(aggregate(col("mix"), lit(0.0d), (acc, v) => acc + v * v))).cast("float"))
+          .as("embedding"),
+        (col("vec_id") % nClusters).cast("int").as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val exact = Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "clusters must plant true near-dup pairs")
+    val ivf = Dedup.dedupEmbeddingIvf(spark, dir)
+    val rows = ivf.collect()
+    assert(rows.forall(r => r.getDouble(2) >= Dedup.EmbeddingThreshold),
+      "every emitted pair must be exact-verified (precision 1)")
+    val ap = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ap.subsetOf(exact), "ivf pairs must be a subset of the exact pair set")
+    val recall = exact.intersect(ap).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pair recall on the clustered corpus was $recall")
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"scale twin must plan equi-joins:\n$plan")
+  }
+
   test("capped and uncapped ngram pair sources agree on the drop set (dedup_clean contract)") {
     val uncapped = Dedup.dedupNgram(spark, Sf0001)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

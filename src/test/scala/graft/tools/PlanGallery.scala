@@ -257,6 +257,12 @@ object PlanGallery {
       "driver collect of anything corpus-sized — and the per-node top-k " +
       "is the bounded-heap aggregate. The exact twin (knn_graph) is the " +
       "documented O(n²) parity form with the same k-bounded shuffle."),
+    "dedup_embedding_ivf" -> ("Embedding near-dup at scale: each vector " +
+      "co-probes its 4 nearest IVF lists (broadcast centroids + bounded " +
+      "heap), candidate pairs come from ONE list_id self-equi-join, and " +
+      "every emitted pair is exact-cosine verified (precision 1). The " +
+      "exact twin's triangle bound degrades to the full candidate join " +
+      "on un-clusterable data; this form's cost is probe-knob-bounded."),
     "semantic_clusters_ivf" -> ("SemDeDup at scale, end to end: " +
       "knn_graph_ivf's bucketed edge stage (map-only centroid assign + " +
       "ONE list_id equi-join + bounded-heap top-k) feeds the mutual " +

@@ -381,6 +381,12 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Serving batches [[probeMany]] accepts before failing over to
+    * [[searchMany]] (the probe-pair collect is per-query driver state —
+    * right for serving micro-batches, a hazard for corpus-sized frames:
+    * the knn_graph_ivf lesson). */
+  val MaxServingBatch = 65536
+
   /** Batch probe: many queries in one distributed pass.
     *
     * Scale shape, stage by stage:
@@ -392,7 +398,12 @@ object IvfIndex {
     *     only the probed directories instead of relying on DPP to fire
     *     for a broadcast join against a file source;
     *  3. per-query top-k again as map-side k-heaps — the shuffle carries
-    *     ≤ k·|partitions| rows per query, never the full scored set. */
+    *     ≤ k·|partitions| rows per query, never the full scored set.
+    *
+    * SERVING-BATCH contract: stage 2's probe-pair collect is
+    * |queries|·nprobe driver rows, so the query frame must be a serving
+    * batch (≤ [[MaxServingBatch]] rows — enforced, with guidance); a
+    * corpus-sized batch belongs on [[searchMany]]. */
   def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import graft.functions.top_k_by_distance
@@ -416,6 +427,10 @@ object IvfIndex {
     import spark.implicits._
     val pairs = probed.select(col("qid"), col("list_id")).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
+    require(pairs.length <= MaxServingBatch.toLong * nprobe,
+      s"probeMany got ${pairs.length / math.max(1, nprobe)} queries " +
+        s"(> $MaxServingBatch): the probe-pair collect is for serving " +
+        "batches — route corpus-sized query frames through searchMany")
     val listIds = pairs.map(_._2).distinct.toIndexedSeq
     val probeSide = pairs.toIndexedSeq.toDF("qid", "list_id")
       .join(queries.select(col(qidCol).cast("long").as("qid"),
@@ -425,6 +440,50 @@ object IvfIndex {
       .join(broadcast(probeSide), Seq("list_id"))
       .select(col("qid"), col("vec_id"),
         dist(col("embedding"), col("qv")).as("dist"))
+      .groupBy("qid")
+      .agg(top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
+  }
+
+  /** Fully DISTRIBUTED batch probe — the corpus-sized twin of
+    * [[probeMany]] and the generalized form of the knn_graph_ivf recipe:
+    * per-query centroid ranking stays a map-side bounded heap against the
+    * BROADCAST sidecar (never collected), probe rows flow into ONE
+    * list_id equi-join against the lists dataset, and the per-query top-k
+    * is the bounded-heap aggregate. Nothing query-frame-sized ever
+    * touches the driver — use this when the "query batch" is itself data
+    * (a kNN self-join, a bulk backfill).
+    *
+    * Trade-off vs [[probeMany]]: no explicit `isin` partition filter (the
+    * probed list set is not collected), so the lists scan is pruned by
+    * the join, not the directory listing — immaterial for corpus-sized
+    * batches, which probe essentially every list anyway; for small
+    * serving batches probeMany's directory pruning wins. Results are
+    * identical (same distance expression, same heap tie-breaks) —
+    * spec-pinned against probeMany. */
+  def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
+                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.top_k_by_distance
+    val dist = metricDistance(metricOf(spark, indexPath)) _
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val vecCol = columnOf(spark, indexPath).getOrElse("embedding")
+    val assigned = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .crossJoin(broadcast(cents.select("list_id", "centroid")))
+      .select(col("qid"), col("qv"),
+        col("list_id").cast("long").as("lid"),
+        dist(col("centroid"), col("qv")).as("cdist"))
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        top_k_by_distance(col("cdist"), col("lid"), nprobe).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
+      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+    spark.read.parquet(s"$indexPath/lists")
+      .join(assigned, Seq("list_id"))
+      .select(col("qid"), col("vec_id"),
+        dist(col(vecCol), col("qv")).as("dist"))
       .groupBy("qid")
       .agg(top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))

@@ -352,7 +352,10 @@ object NswIndex extends org.apache.spark.internal.Logging {
     * ([[graft.functions.top_k_by_distance]] — no per-query window
     * shuffle). The query batch is collected driver-side and broadcast:
     * it is the small serving-batch side (mirrors probeMany collecting
-    * probed list ids), NOT the indexed data. */
+    * probed list ids), NOT the indexed data — enforced at
+    * [[graft.index.IvfIndex.MaxServingBatch]]; a corpus-sized ANN
+    * self-join belongs on the IVF path ([[IvfIndex.searchMany]] /
+    * knn_graph_ivf), whose stages are fully distributed. */
   def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                  qidCol: String, qvecCol: String, k: Int,
                  ef: Int = EfSearch): DataFrame = {
@@ -360,6 +363,10 @@ object NswIndex extends org.apache.spark.internal.Logging {
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(qs.length <= IvfIndex.MaxServingBatch,
+      s"searchMany got ${qs.length} queries (> ${IvfIndex.MaxServingBatch}): " +
+        "the shard-broadcast design is serving-only — route corpus-sized " +
+        "query frames through IvfIndex.searchMany or the knn_graph_ivf path")
     val bc = spark.sparkContext.broadcast(qs)
     val effEf = math.max(ef, k)
     readGraph(spark, indexPath).groupByKey(_.shard_id)

@@ -77,8 +77,15 @@ object StreamingIngest {
       .option("checkpointLocation", s"${resultPath}_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.index.IvfIndex
-            .probeMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
+          // a backlog burst can hand one micro-batch more queries than the
+          // serving form's driver-side probe-pair budget — fail over to
+          // the fully distributed twin instead of failing the stream
+          val ivf = graft.index.IvfIndex
+          val resolved =
+            if (batch.count() <= ivf.MaxServingBatch)
+              ivf.probeMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
+            else ivf.searchMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
+          resolved
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(resultPath)
         }

@@ -160,4 +160,30 @@ class IvfIndexSpec extends SparkSpec {
       assert(fromBatch === single, s"qid $qid")
     }
   }
+
+  test("searchMany ≡ probeMany on a full-corpus self-batch; guard rejects oversize") {
+    // the whole corpus as the query frame — the shape searchMany exists
+    // for (kNN self-join); at fixture scale probeMany can cross-check it
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val viaSearch = norm(IvfIndex.searchMany(spark, indexPath, queries,
+      "qid", "embedding", k = 5, nprobe = IndexQueries.NProbe))
+    val viaProbe = norm(IvfIndex.probeMany(spark, indexPath, queries,
+      "qid", "embedding", k = 5, nprobe = IndexQueries.NProbe))
+    assert(viaSearch.nonEmpty && viaSearch === viaProbe,
+      "distributed and serving batch forms must return identical rows")
+    // the serving form must refuse frames past the serving-batch bound
+    // (real-dim vectors: the ranking stage runs before the guarded collect)
+    val oversize = spark.range(IvfIndex.MaxServingBatch + 1L)
+      .select(col("id").as("qid"),
+        org.apache.spark.sql.functions.array(
+          (0 until 64).map(_ => lit(1.0f)): _*).as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.probeMany(spark, indexPath, oversize, "qid", "qv", 5, 2).count()
+    }
+    assert(e.getMessage.contains("searchMany"))
+  }
 }

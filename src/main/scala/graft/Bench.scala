@@ -40,8 +40,13 @@ object Bench {
     // sf0.01. Threshold: max(documents, embeddings) rows, default 10k
     // (sf0.1 stays fully timed; a 10× corpus trips it), overridable via
     // SPARK_GRAFT_MAX_QUADRATIC_ROWS.
+    // dedup_embedding is exact but its candidate-pruning bound is
+    // data-dependent: on un-clusterable corpora it degrades to the full
+    // candidate join (measured 80× at 10× data) — skip it with the
+    // anchors; its probe-bounded twin dedup_embedding_ivf stays timed
     val quadratic = Set(
-      "avg_pairwise_sim", "sim_histogram", "knn_graph", "semantic_clusters")
+      "avg_pairwise_sim", "sim_histogram", "knn_graph", "semantic_clusters",
+      "dedup_embedding")
     val maxQuadRows =
       sys.env.getOrElse("SPARK_GRAFT_MAX_QUADRATIC_ROWS", "10000").toLong
     val corpusRows = math.max(

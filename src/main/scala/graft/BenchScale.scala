@@ -54,7 +54,10 @@ object BenchScale {
     def replicate(make: Int => DataFrame, name: String): Unit = {
       val done = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
       val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(done)) return
+      // reuse only a COMMITTED generation (job-commit marker, not bare
+      // directory existence): a crashed prior run's partial corpus would
+      // otherwise be silently benchmarked as scaling evidence
+      if (fs.exists(new org.apache.hadoop.fs.Path(done, "_SUCCESS"))) return
       (0 until reps).map(make).reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(done.toString)
     }

@@ -281,8 +281,8 @@ object Bm25Index {
     // directory left empty/partial by a failed build or compact would
     // otherwise flip phrase queries onto the index path and silently
     // return zero matches instead of falling back to the exact scan form
-    p.getFileSystem(conf).exists(p) &&
-      graft.util.FsOps.countParquetFiles(conf, p) > 0
+    // (first-hit listing — this runs per phrase query)
+    graft.util.FsOps.hasParquetFile(conf, p)
   }
 
   /** Exact-phrase match counts from the positional sidecar — the index

@@ -387,6 +387,41 @@ object IvfIndex {
     * the knn_graph_ivf lesson). */
   val MaxServingBatch = 65536
 
+  /** Throw with `guidance` if `queries` has more than [[MaxServingBatch]]
+    * rows — checked with a limit-bounded count BEFORE any driver-side
+    * collect materializes (a post-collect check would OOM before it ran).
+    * Shared by every serving-batch entry point. */
+  private[index] def requireServingBatch(queries: DataFrame, what: String,
+                                         guidance: String): Unit = {
+    val over = queries.limit(MaxServingBatch + 1).count() > MaxServingBatch
+    require(!over,
+      s"$what got a query frame past $MaxServingBatch rows: $guidance")
+  }
+
+  /** The SHARED probe-assignment stage of [[searchMany]], knn_graph_ivf
+    * and dedup_embedding_ivf: each query row joins the BROADCAST centroid
+    * sidecar map-side and keeps its `probes` nearest lists by `dist` in a
+    * bounded heap — emitting (qid, qv, list_id) probe rows, nothing
+    * driver-side. One definition so tie-breaking and casts cannot drift
+    * between the three consumers. Duplicate qids collapse to one
+    * representative vector (`first`) — see the [[searchMany]] contract. */
+  private[graft] def assignProbes(queries: DataFrame, cents: DataFrame,
+      qidCol: String, qvecCol: String, probes: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    import graft.functions.top_k_by_distance
+    queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .crossJoin(broadcast(cents.select("list_id", "centroid")))
+      .select(col("qid"), col("qv"),
+        col("list_id").cast("long").as("lid"),
+        dist(col("centroid"), col("qv")).as("cdist"))
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        top_k_by_distance(col("cdist"), col("lid"), probes).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
+      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+  }
+
   /** Batch probe: many queries in one distributed pass.
     *
     * Scale shape, stage by stage:
@@ -402,10 +437,15 @@ object IvfIndex {
     *
     * SERVING-BATCH contract: stage 2's probe-pair collect is
     * |queries|·nprobe driver rows, so the query frame must be a serving
-    * batch (≤ [[MaxServingBatch]] rows — enforced, with guidance); a
-    * corpus-sized batch belongs on [[searchMany]]. */
+    * batch (≤ [[MaxServingBatch]] rows — enforced BEFORE anything is
+    * collected, with guidance); a corpus-sized batch belongs on
+    * [[searchMany]]. One row per qid: a duplicated qid ranks its probe
+    * lists from one arbitrary representative vector. */
   def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+    requireServingBatch(queries, "probeMany",
+      "the probe-pair collect is for serving batches — route corpus-sized " +
+        "query frames through searchMany (distributed assignment + list_id equi-join)")
     import graft.functions.top_k_by_distance
     val dist = metricDistance(metricOf(spark, indexPath)) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
@@ -427,10 +467,6 @@ object IvfIndex {
     import spark.implicits._
     val pairs = probed.select(col("qid"), col("list_id")).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
-    require(pairs.length <= MaxServingBatch.toLong * nprobe,
-      s"probeMany got ${pairs.length / math.max(1, nprobe)} queries " +
-        s"(> $MaxServingBatch): the probe-pair collect is for serving " +
-        "batches — route corpus-sized query frames through searchMany")
     val listIds = pairs.map(_._2).distinct.toIndexedSeq
     val probeSide = pairs.toIndexedSeq.toDF("qid", "list_id")
       .join(queries.select(col(qidCol).cast("long").as("qid"),
@@ -462,24 +498,20 @@ object IvfIndex {
     * batches, which probe essentially every list anyway; for small
     * serving batches probeMany's directory pruning wins. Results are
     * identical (same distance expression, same heap tie-breaks) —
-    * spec-pinned against probeMany. */
+    * spec-pinned against probeMany.
+    *
+    * Contract (both forms): ONE row per qid. A duplicated qid is a
+    * malformed frame — each form then answers from one arbitrary
+    * representative vector and the identity between them no longer
+    * holds; dedupe upstream (the BM25 serving path's (qid, token)
+    * distinct is the same rule). */
   def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                  qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import graft.functions.top_k_by_distance
     val dist = metricDistance(metricOf(spark, indexPath)) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val vecCol = columnOf(spark, indexPath).getOrElse("embedding")
-    val assigned = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
-      .crossJoin(broadcast(cents.select("list_id", "centroid")))
-      .select(col("qid"), col("qv"),
-        col("list_id").cast("long").as("lid"),
-        dist(col("centroid"), col("qv")).as("cdist"))
-      .groupBy("qid")
-      .agg(first(col("qv")).as("qv"),
-        top_k_by_distance(col("cdist"), col("lid"), nprobe).as("top"))
-      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
-      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+    val assigned = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist)
     spark.read.parquet(s"$indexPath/lists")
       .join(assigned, Seq("list_id"))
       .select(col("qid"), col("vec_id"),

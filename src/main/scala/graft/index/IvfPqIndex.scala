@@ -229,8 +229,9 @@ object IvfPqIndex {
 
   /** Serving batches [[probeMany]] accepts before failing over to
     * [[searchMany]] (the LUT build is per-query driver work — right for
-    * serving micro-batches, a driver hazard for corpus-sized frames). */
-  val MaxServingBatch = 65536
+    * serving micro-batches, a driver hazard for corpus-sized frames).
+    * One bound across the index family ([[IvfIndex.MaxServingBatch]]). */
+  val MaxServingBatch: Int = IvfIndex.MaxServingBatch
 
   /** Batch probe: many queries in one distributed pass — the IVFPQ analog
     * of [[IvfIndex.probeMany]] / [[NswIndex.searchMany]]. Per query the
@@ -241,13 +242,18 @@ object IvfPqIndex {
     * list, and merges per query with the bounded-heap top-k aggregate.
     *
     * SERVING-BATCH contract: the query frame is collected to the driver,
-    * so it must be a serving batch (≤ [[MaxServingBatch]] rows — enforced,
-    * with guidance), never a corpus-sized relation; a corpus-sized batch
-    * (e.g. an IVFPQ self-join) belongs on [[searchMany]], whose
-    * assignment/scoring stages are fully distributed. */
+    * so it must be a serving batch (≤ [[MaxServingBatch]] rows — enforced
+    * BEFORE the collect, with guidance), never a corpus-sized relation;
+    * a corpus-sized batch (e.g. an IVFPQ self-join) belongs on
+    * [[searchMany]], whose assignment/scoring stages are fully
+    * distributed. One row per qid (the [[IvfIndex.searchMany]] rule). */
   def probeMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
+    IvfIndex.requireServingBatch(queries, "probeMany",
+      "the per-query driver LUT build is for serving batches — route " +
+        "corpus-sized query frames through searchMany (distributed " +
+        "assignment + list_id equi-join)")
     val coarse = spark.read.parquet(s"$indexPath/coarse")
       .collect().map(r => r.getInt(0) -> r.getAs[collection.Seq[Double]](1).toArray).toMap
     val cbRows = spark.read.parquet(s"$indexPath/codebook")
@@ -258,10 +264,6 @@ object IvfPqIndex {
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    require(qs.length <= MaxServingBatch,
-      s"probeMany got ${qs.length} queries (> $MaxServingBatch): the per-query " +
-        "driver LUT build is for serving batches — route corpus-sized query " +
-        "frames through searchMany (distributed assignment + list_id equi-join)")
     val rotation = PqIndex.loadRotation(spark, indexPath)
     // per (list, qid): (constDot, norm LUT); dot LUT is per qid only
     val perQuery: Array[(Long, Array[Double], Seq[Int], Array[Array[Double]])] =

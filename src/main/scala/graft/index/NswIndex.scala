@@ -360,13 +360,13 @@ object NswIndex extends org.apache.spark.internal.Logging {
                  qidCol: String, qvecCol: String, k: Int,
                  ef: Int = EfSearch): DataFrame = {
     import spark.implicits._
+    IvfIndex.requireServingBatch(queries, "NswIndex.searchMany",
+      "the shard-broadcast design is serving-only — route corpus-sized " +
+        "query frames through IvfIndex.searchMany or the knn_graph_ivf " +
+        "path, or chunk the batch (startNswServing does)")
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    require(qs.length <= IvfIndex.MaxServingBatch,
-      s"searchMany got ${qs.length} queries (> ${IvfIndex.MaxServingBatch}): " +
-        "the shard-broadcast design is serving-only — route corpus-sized " +
-        "query frames through IvfIndex.searchMany or the knn_graph_ivf path")
     val bc = spark.sparkContext.broadcast(qs)
     val effEf = math.max(ef, k)
     readGraph(spark, indexPath).groupByKey(_.shard_id)

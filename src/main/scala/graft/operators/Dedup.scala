@@ -230,18 +230,15 @@ object Dedup {
     * every emitted pair is exact-verified against the same threshold. */
   def dedupEmbeddingIvf(spark: SparkSession, sfDir: String,
                         probes: Int = EmbeddingIvfProbes): DataFrame = {
-    import graft.functions.{cosine_distance, top_k_by_distance}
+    import graft.functions.cosine_distance
     val e = Tables.embeddings(spark, sfDir)
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        col("list_id").cast("long").as("lid"),
-        cosine_distance(col("centroid"), col("embedding")).as("cd"))
-      .groupBy("vec_id")
-      .agg(top_k_by_distance(col("cd"), col("lid"), probes).as("top"))
-      .select(col("vec_id"), explode(col("top.vec_id")).as("lid"))
-      .select(col("vec_id"), col("lid").cast("int").as("list_id"))
+    // the shared assignment stage (IvfIndex.assignProbes — one definition
+    // across the IVF scale paths); qv is not needed here
+    val assigned = graft.index.IvfIndex.assignProbes(
+        e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
+      .select(col("qid").as("vec_id"), col("list_id"))
     val home = spark.read.parquet(s"$idx/lists")
       .select(col("vec_id").as("m"), col("list_id"))
     val candIds = assigned

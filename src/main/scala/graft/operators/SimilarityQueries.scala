@@ -733,16 +733,10 @@ object SimilarityQueries {
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"),
-        col("list_id").cast("long").as("lid"),
-        cosine_distance(col("centroid"), col("embedding")).as("cd"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("qv"),
-        top_k_by_distance(col("cd"), col("lid"), probes).as("top"))
-      .select(col("vec_id").as("qid"), col("qv"),
-        explode(col("top.vec_id")).as("lid"))
-      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+    // the shared assignment stage (one definition across the IVF scale
+    // paths — IvfIndex.searchMany, this graph, dedup_embedding_ivf)
+    val assigned = graft.index.IvfIndex.assignProbes(
+      e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
     spark.read.parquet(s"$idx/lists")
       .join(assigned, Seq("list_id"))
       .filter(col("qid") =!= col("vec_id"))

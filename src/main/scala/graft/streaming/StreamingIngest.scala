@@ -76,13 +76,16 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", s"${resultPath}_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // a backlog burst can hand one micro-batch more queries than the
-          // serving form's driver-side probe-pair budget — fail over to
-          // the fully distributed twin instead of failing the stream
-          val ivf = graft.index.IvfIndex
+        // ONE scan decides emptiness and routing: a backlog burst can hand
+        // one micro-batch more queries than the serving form's driver-side
+        // probe-pair budget — fail over to the fully distributed twin
+        // instead of failing the stream (a poison batch would replay
+        // forever under the checkpoint)
+        val ivf = graft.index.IvfIndex
+        val n = batch.count()
+        if (n > 0) {
           val resolved =
-            if (batch.count() <= ivf.MaxServingBatch)
+            if (n <= ivf.MaxServingBatch)
               ivf.probeMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
             else ivf.searchMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
           resolved
@@ -107,11 +110,26 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", s"${resultPath}_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.index.NswIndex
-            .searchMany(spark, indexPath, batch, "qid", "qv", k, ef)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(resultPath)
+        // the NSW form has no distributed twin (its whole design is
+        // broadcasting the small side), so an oversize backlog batch is
+        // CHUNKED by qid hash instead — each chunk stays inside the
+        // serving bound and the stream never sees a poison batch that
+        // would replay forever under the checkpoint
+        val n = batch.count()
+        if (n > 0) {
+          val bound = graft.index.IvfIndex.MaxServingBatch
+          // halve the target chunk size so hash imbalance cannot push a
+          // chunk past the bound
+          val chunks = math.max(1L, (n + bound / 2 - 1) / (bound / 2)).toInt
+          (0 until chunks).foreach { c =>
+            val part =
+              if (chunks == 1) batch
+              else batch.filter(pmod(xxhash64(col("qid")), lit(chunks)) === c)
+            graft.index.NswIndex
+              .searchMany(spark, indexPath, part, "qid", "qv", k, ef)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(resultPath)
+          }
         }
         ()
       }

@@ -52,6 +52,21 @@ object FsOps {
     }
     n
   }
+
+  /** True iff at least one committed .parquet data file exists under
+    * `dir` — returns at the FIRST hit, so hot-path existence checks
+    * (e.g. a per-query sidecar probe) don't pay a full recursive listing
+    * of a many-thousand-file dataset the way [[countParquetFiles]]
+    * (a maintenance statistic) does. */
+  def hasParquetFile(conf: Configuration, dir: Path): Boolean = {
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return false
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
 }
 
 /** Deferred reclamation of superseded sidecar directories, PER cache key:

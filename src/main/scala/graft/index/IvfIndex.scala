@@ -446,20 +446,21 @@ object IvfIndex {
     requireServingBatch(queries, "probeMany",
       "the probe-pair collect is for serving batches — route corpus-sized " +
         "query frames through searchMany (distributed assignment + list_id equi-join)")
+    probeManyUnguarded(spark, indexPath, queries, qidCol, qvecCol, k, nprobe)
+  }
+
+  /** [[probeMany]] without the serving-batch pre-count — for callers that
+    * just counted the frame themselves to route between the serving and
+    * distributed forms (startKnnServing): the guard's limit-count job
+    * would be a redundant second scan per micro-batch. */
+  private[graft] def probeManyUnguarded(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import graft.functions.top_k_by_distance
     val dist = metricDistance(metricOf(spark, indexPath)) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
-    val probed = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"),
-        col("list_id").cast("long").as("list_id"),
-        dist(col("centroid"), col("qv")).as("cdist"))
-      .groupBy("qid")
-      .agg(first(col("qv")).as("qv"),
-        top_k_by_distance(col("cdist"), col("list_id"), nprobe).as("top"))
-      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
-      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+    // the shared assignment stage — same definition as searchMany's
+    val probed = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist)
     // ONE driver-side action computes the centroid ranking (|queries|×nprobe
     // (qid, list_id) pairs — index metadata); the join side is then rebuilt
     // from the collected pairs + the original queries frame, so the ranking

@@ -359,11 +359,21 @@ object NswIndex extends org.apache.spark.internal.Logging {
   def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                  qidCol: String, qvecCol: String, k: Int,
                  ef: Int = EfSearch): DataFrame = {
-    import spark.implicits._
     IvfIndex.requireServingBatch(queries, "NswIndex.searchMany",
       "the shard-broadcast design is serving-only — route corpus-sized " +
         "query frames through IvfIndex.searchMany or the knn_graph_ivf " +
         "path, or chunk the batch (startNswServing does)")
+    searchManyUnguarded(spark, indexPath, queries, qidCol, qvecCol, k, ef)
+  }
+
+  /** [[searchMany]] without the serving-batch pre-count — for callers
+    * that already bounded the frame themselves (startNswServing's chunk
+    * loop counts once and splits; re-counting every chunk would re-scan
+    * the batch per chunk). */
+  private[graft] def searchManyUnguarded(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)

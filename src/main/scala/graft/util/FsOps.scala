@@ -43,27 +43,48 @@ object FsOps {
     fs.delete(old, true)
   }
 
-  /** Recursive count of .parquet data files under `dir`. */
+  /** True iff no path component of `p` below `base` is hidden by
+    * Spark/Hadoop readers ('_' or '.' prefix — `_temporary`, `_SUCCESS`,
+    * `.staging`): a file invisible to the reader must be invisible to
+    * these checks too, or a crashed write's `_temporary` debris would
+    * make an EMPTY dataset look committed. */
+  private def visibleUnder(p: Path, base: Path): Boolean = {
+    val baseUri = base.toUri.getPath
+    var cur = p.getParent
+    while (cur != null && cur.toUri.getPath != baseUri) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return false
+      cur = cur.getParent
+    }
+    true
+  }
+
+  /** Recursive count of COMMITTED .parquet data files under `dir`
+    * (reader-hidden directories excluded — see [[visibleUnder]]). */
   def countParquetFiles(conf: Configuration, dir: Path): Int = {
     val it = dir.getFileSystem(conf).listFiles(dir, true)
     var n = 0
     while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && visibleUnder(p, dir)) n += 1
     }
     n
   }
 
-  /** True iff at least one committed .parquet data file exists under
+  /** True iff at least one COMMITTED .parquet data file exists under
     * `dir` — returns at the FIRST hit, so hot-path existence checks
     * (e.g. a per-query sidecar probe) don't pay a full recursive listing
     * of a many-thousand-file dataset the way [[countParquetFiles]]
-    * (a maintenance statistic) does. */
+    * (a maintenance statistic) does. Files under reader-hidden
+    * directories (`_temporary` debris from a crashed write) don't
+    * count — the reader won't see them either. */
   def hasParquetFile(conf: Configuration, dir: Path): Boolean = {
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return false
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && visibleUnder(p, dir)) return true
     }
     false
   }

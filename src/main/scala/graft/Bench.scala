@@ -43,10 +43,13 @@ object Bench {
     // dedup_embedding is exact but its candidate-pruning bound is
     // data-dependent: on un-clusterable corpora it degrades to the full
     // candidate join (measured 80× at 10× data) — skip it with the
-    // anchors; its probe-bounded twin dedup_embedding_ivf stays timed
+    // anchors, and with it every query COMPOSING it (dedup_clusters /
+    // dedup_clusters_star run CC over dedupEmbedding's pair set, so they
+    // pay the same blowup); its probe-bounded twin dedup_embedding_ivf
+    // stays timed, as does semantic_clusters_ivf (composes knn_graph_ivf)
     val quadratic = Set(
       "avg_pairwise_sim", "sim_histogram", "knn_graph", "semantic_clusters",
-      "dedup_embedding")
+      "dedup_embedding", "dedup_clusters", "dedup_clusters_star")
     val maxQuadRows =
       sys.env.getOrElse("SPARK_GRAFT_MAX_QUADRATIC_ROWS", "10000").toLong
     val corpusRows = math.max(

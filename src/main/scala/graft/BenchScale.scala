@@ -72,13 +72,19 @@ object BenchScale {
         length(array_join(transform(split(col("text"), "\\s+"),
           t => concat(t, lit(s"~$r"))), " ")).cast("long").as("n_chars"))
     }, "documents")
+    // derive the embedding dimension from the data — a hard-coded dim on a
+    // mismatched fixture would make zip_with null-pad the shorter array and
+    // silently corrupt the synthetic corpus benchmarked as scale evidence
+    val dim = Tables.embeddings(spark, src)
+      .select(size(col("embedding"))).head().getInt(0)
+    require(dim > 0, s"source embeddings at $src have empty vectors")
     replicate({ r =>
       val e = Tables.embeddings(spark, src)
       if (r == 0) e
       else e.select(
         (col("vec_id") + lit(r * IdStride)).as("vec_id"),
         zip_with(col("embedding"),
-          noise(col("vec_id") + lit(r * IdStride), 64),
+          noise(col("vec_id") + lit(r * IdStride), dim),
           (a, b) => (a + b).cast("float")).as("embedding"),
         col("label"))
     }, "embeddings")

@@ -390,7 +390,15 @@ object IvfIndex {
   /** Throw with `guidance` if `queries` has more than [[MaxServingBatch]]
     * rows — checked with a limit-bounded count BEFORE any driver-side
     * collect materializes (a post-collect check would OOM before it ran).
-    * Shared by every serving-batch entry point. */
+    * Shared by every serving-batch entry point.
+    *
+    * DETERMINISM assumption: the guard's limit-count and the later probe
+    * collect evaluate the query frame independently, so the bound is only
+    * as good as the frame is stable — a nondeterministic frame (`rand`
+    * sampling, rand-derived qids) can pass the count yet materialize a
+    * larger set at collect time. Serving batches come from checkpointed
+    * streaming sources or parquet reads (deterministic); callers holding a
+    * nondeterministic frame must localCheckpoint/persist it first. */
   private[index] def requireServingBatch(queries: DataFrame, what: String,
                                          guidance: String): Unit = {
     val over = queries.limit(MaxServingBatch + 1).count() > MaxServingBatch

@@ -84,9 +84,12 @@ object StreamingIngest {
         val ivf = graft.index.IvfIndex
         val n = batch.count()
         if (n > 0) {
+          // the count above IS the routing decision — call the unguarded
+          // serving form so the batch isn't re-scanned by a redundant
+          // limit-count job per micro-batch
           val resolved =
             if (n <= ivf.MaxServingBatch)
-              ivf.probeMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
+              ivf.probeManyUnguarded(spark, indexPath, batch, "qid", "qv", k, nprobe)
             else ivf.searchMany(spark, indexPath, batch, "qid", "qv", k, nprobe)
           resolved
             .withColumn("batch_id", lit(batchId))
@@ -125,8 +128,14 @@ object StreamingIngest {
             val part =
               if (chunks == 1) batch
               else batch.filter(pmod(xxhash64(col("qid")), lit(chunks)) === c)
+            // UNGUARDED: the loop above already bounds each chunk's
+            // expected size (and re-counting would re-scan the batch per
+            // chunk); a hash-skewed chunk past the bound must collect —
+            // chunk size is expected-bounded — not throw, or the failed
+            // batch would replay forever under the checkpoint: exactly
+            // the poison-batch failure the chunking exists to prevent
             graft.index.NswIndex
-              .searchMany(spark, indexPath, part, "qid", "qv", k, ef)
+              .searchManyUnguarded(spark, indexPath, part, "qid", "qv", k, ef)
               .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(resultPath)
           }

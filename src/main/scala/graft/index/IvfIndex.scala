@@ -27,9 +27,16 @@ import graft.util.Timing.timeIt
   * and silently costs recall.
   *
   * Build: features per the metric → KMeans (k = lists, FIXED seed for
-  * reproducible verify runs, SURVEY.md §7.2) → assign each vector its
-  * nearest-centroid `list_id` → write the index dataset **Hive-partitioned
-  * by list_id** + a tiny centroid sidecar.
+  * reproducible verify runs, SURVEY.md §7.2; trained on a bounded
+  * deterministic id-hash sample past [[DefaultTrainCap]] — faiss
+  * practice, so training stays O(cap·lists) at any corpus size) → assign
+  * EVERY vector its nearest-centroid `list_id` (map-side model.transform
+  * over the full corpus) → write the index dataset **Hive-partitioned by
+  * list_id, one file per list** + a tiny centroid sidecar. Past ~10⁵
+  * lists the n·lists assignment pass is the next wall — the standard
+  * escalation is a hierarchical coarse quantizer (assign via a small
+  * centroid-over-centroids index); out of scope until list counts get
+  * there.
   *
   * Probe: rank centroids by the opclass distance to the query → read ONLY
   * the `nprobe` nearest list partitions (directory-level partition pruning —
@@ -41,6 +48,20 @@ object IvfIndex {
 
   val DefaultLists = 100 // pgvector demo default (README.md:185)
   val Seed = 42L
+
+  /** Rows the KMeans TRAINING stage is capped to (the faiss practice:
+    * centroids train on a bounded subsample, the full corpus is only
+    * ASSIGNED — one map-side nearest-centroid pass). Training on the full
+    * corpus is ~n·lists work per iteration, which with corpus-proportional
+    * list counts goes quadratic; a bounded sample makes the train stage
+    * O(cap·lists) regardless of corpus size while assignment stays the
+    * linear n·lists map pass. The effective cap is
+    * max(this, [[TrainRowsPerList]]·lists) so each centroid keeps enough
+    * training points (faiss warns below ~39/centroid). */
+  val DefaultTrainCap = 8192
+
+  /** Minimum expected training rows per centroid when sampling engages. */
+  val TrainRowsPerList = 40
 
   /** Supported opclass metrics (pgvector: vector_cosine_ops /
     * vector_l2_ops / vector_ip_ops). The whole index is keyed to ONE
@@ -93,13 +114,28 @@ object IvfIndex {
     * index to one opclass metric for the same reason. */
   def build(embeddings: DataFrame, indexPath: String,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            lists: Int = DefaultLists, metric: String = "cosine"): (Long, Int) =
+            lists: Int = DefaultLists, metric: String = "cosine",
+            trainCap: Int = DefaultTrainCap): (Long, Int) =
     timeIt("ivf_build") {
     require(Metrics.contains(metric), s"unsupported ivf metric: $metric")
     // fail here with the user's words, not deep inside KMeans with k=0
     require(lists >= 1, s"ivfflat lists must be >= 1, got $lists")
     val spark = embeddings.sparkSession
     val srcCols = embeddings.columns.toSeq
+    // bounded DETERMINISTIC training sample (id-hash filter, no RNG — the
+    // same corpus always trains the same centroids): past the effective
+    // cap, KMeans fits on ~cap rows and the full corpus is only ASSIGNED
+    // (model.transform — one map-side nearest-centroid pass). This is
+    // what keeps build linear in n when list counts scale with the
+    // corpus; training on everything would be n·lists per iteration.
+    val n = embeddings.count()
+    val effCap = math.max(trainCap.toLong, TrainRowsPerList.toLong * lists)
+    def sampled(df: DataFrame): DataFrame =
+      if (n <= effCap) df
+      else {
+        val keep = math.max(1L, math.ceil(effCap.toDouble / n * 1000000.0).toLong)
+        df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < keep)
+      }
     val assigned = if (metric == "cosine") {
       // cosine is undefined for zero-norm vectors (Spark's cosine KMeans
       // asserts on them): route them to list 0 unconditionally — cosine
@@ -116,7 +152,7 @@ object IvfIndex {
       val model = new KMeans()
         .setK(lists).setSeed(Seed).setDistanceMeasure("cosine")
         .setFeaturesCol("nfv").setPredictionCol("list_id")
-        .fit(normed)
+        .fit(sampled(normed))
       writeCentroids(spark, indexPath, model.clusterCenters, normalize = true)
       model.transform(normed)
         .select((srcCols :+ "list_id").map(col): _*)
@@ -133,12 +169,21 @@ object IvfIndex {
       val model = new KMeans()
         .setK(lists).setSeed(Seed).setDistanceMeasure("euclidean")
         .setFeaturesCol("fv").setPredictionCol("list_id")
-        .fit(feats)
+        .fit(sampled(feats))
       writeCentroids(spark, indexPath, model.clusterCenters, normalize = false)
       model.transform(feats)
         .select((srcCols :+ "list_id").map(col): _*)
     }
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
+    // ONE writer task per list (repartition on the partition key), so the
+    // lists dataset is |lists| files — without this, partitionBy splits
+    // every upstream partition by every list it holds and the dataset
+    // lands as up to |partitions|·|lists| small files, a read
+    // amplification EVERY probe and every bucketed candidate join then
+    // pays (measured: the sf1 ivf_build/dedup_embedding_ivf read tails
+    // were file-listing-bound, not compute-bound). Oversized lists split
+    // via spark.sql.files.maxRecordsPerFile when configured.
+    assigned.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
     import spark.implicits._
     // metric stays field 0 (metricOf reads by position for legacy metas);
     // vec_col lets the rewrite match a sort to the column the index was

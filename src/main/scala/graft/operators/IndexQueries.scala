@@ -29,19 +29,36 @@ object IndexQueries {
   /** Corpus size up to which the fixed fixture list count applies. */
   val FixedListsMaxRows = 4000L
 
+  /** Target list occupancy past the fixture sizes: the IVF-bucketed
+    * candidate joins (knn_graph_ivf, dedup_embedding_ivf,
+    * semantic_clusters_ivf) generate probes·n·occupancy candidate pairs,
+    * so CONSTANT occupancy is what makes them linear in n — the earlier
+    * √n sizing left occupancy √n and candidate volume n^1.5 (measured
+    * 9.1× at 10× data). Affordable because [[graft.index.IvfIndex.build]]
+    * trains centroids on a bounded sample: the train stage is
+    * O(cap·lists), only the map-side assignment pass is n·lists. */
+  val TargetOccupancy = 64L
+
   /** List count for a corpus of `n` vectors: the fixture constant
-    * ([[Lists]]) through the oracle-fixture sizes, then √n (pgvector's
-    * small-table guidance) — the scale property that keeps LIST OCCUPANCY
-    * √n instead of n/16, so probe cost and the IVF-bucketed candidate
-    * joins (knn_graph_ivf, dedup_embedding) grow linearly with the corpus
-    * rather than quadratically. Deterministic per corpus size. */
+    * ([[Lists]]) through the oracle-fixture sizes, then n/occupancy
+    * (capped at 65536, the faiss-practice ceiling — past the cap
+    * occupancy grows again and the hierarchical-assignment escalation
+    * documented on [[graft.index.IvfIndex.build]] is due). Deterministic
+    * per corpus size. */
   def listsFor(n: Long): Int =
     if (n <= FixedListsMaxRows) Lists
-    else math.min(4096L, math.round(math.sqrt(n.toDouble))).toInt
+    else math.min(65536L, math.max(Lists.toLong, n / TargetOccupancy)).toInt
 
   /** Shards for the NSW graph on the small fixtures (scale guidance:
     * n / [[graft.index.NswIndex.RowsPerShardTarget]]). */
   val NswShards = 4
+
+  /** Actual list count of a built index — the centroid sidecar row count
+    * (one tiny parquet read). The probe-all twins use THIS, not the
+    * fixture constant, so "probe all" stays exact at every corpus size
+    * the occupancy sizing produces. */
+  private def listCount(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/centroids").count().toInt
 
   private val cache = new ConcurrentHashMap[String, String]()
   private val l2Cache = new ConcurrentHashMap[String, String]()
@@ -134,7 +151,8 @@ object IndexQueries {
 
   /** EXACT probe-all twin of [[halfvecIvfKnn]] — see [[ivfKnnProbeAll]]. */
   def halfvecIvfKnnProbeAll(spark: SparkSession, sfDir: String): DataFrame =
-    halfIvfSearch(spark, sfDir, nprobe = Lists)
+    halfIvfSearch(spark, sfDir,
+      nprobe = listCount(spark, halfIndexFor(spark, sfDir)))
 
   /** Build (cached) + cardinality contract for the halfvec IVF index. */
   def halfvecIvfBuild(spark: SparkSession, sfDir: String): DataFrame = {
@@ -193,7 +211,7 @@ object IndexQueries {
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getAs[collection.Seq[Float]]("embedding").toArray
-    IvfIndex.probe(spark, path, q, K, nprobe = Lists)
+    IvfIndex.probe(spark, path, q, K, nprobe = listCount(spark, path))
   }
 
   /** Filtered kNN through the index with iterative probe expansion —
@@ -234,7 +252,7 @@ object IndexQueries {
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getAs[collection.Seq[Float]]("embedding").toArray
-    IvfIndex.probe(spark, path, q, K, nprobe = Lists)
+    IvfIndex.probe(spark, path, q, K, nprobe = listCount(spark, path))
   }
 
   /** Build (cached) + cardinality contract for the IP-opclass IVF index. */
@@ -263,7 +281,7 @@ object IndexQueries {
     val q = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0).select("embedding")
       .head().getAs[collection.Seq[Float]]("embedding").toArray
-    IvfIndex.probe(spark, path, q, K, nprobe = Lists)
+    IvfIndex.probe(spark, path, q, K, nprobe = listCount(spark, path))
   }
 
   /** Build (cached) + the same exactly-once cardinality contract for the

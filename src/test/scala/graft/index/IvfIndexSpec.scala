@@ -144,6 +144,42 @@ class IvfIndexSpec extends SparkSpec {
       s"IP recall@10 $recall below the nprobe/lists floor")
   }
 
+  test("sampled training: same corpus → bit-identical centroids; probe-all stays exact") {
+    // trainCap=64 with lists=8 → effective cap = max(64, 40·8) = 320 < 500
+    // rows, so the id-hash training sample ENGAGES on this fixture; the
+    // full corpus is still assigned (cardinality pinned below)
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    def buildOnce(): (String, Array[(Int, Seq[Float])]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sampled")
+        .resolve("index").toString
+      IvfIndex.build(emb, dir, lists = 8, trainCap = 64)
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .select("list_id", "centroid").collect()
+        .map(r => (r.getInt(0), r.getAs[collection.Seq[Float]](1).toSeq))
+        .sortBy(_._1)
+      (dir, cents)
+    }
+    val (d1, c1) = buildOnce()
+    val (_, c2) = buildOnce()
+    assert(c1.length === 8 && c1 === c2,
+      "sampled KMeans must be deterministic: same corpus, same sample, same centroids")
+    // every vector assigned exactly once — sampling bounds TRAINING only
+    val lists = spark.read.parquet(s"$d1/lists")
+    assert(lists.count() === 500L)
+    assert(lists.select("vec_id").distinct().count() === 500L)
+    // probe-all is exact for ANY centroid set, sampled-trained included
+    val exact = ReferenceQueries.knnTopK(spark, Sf0001, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val all = IvfIndex.probe(spark, d1, queryVec, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all === exact, "probe-all over a sampled-trained index must stay exact")
+    // one writer per list: the lists dataset is ≤ |lists| data files
+    val conf = spark.sessionState.newHadoopConf()
+    val nFiles = graft.util.FsOps.countParquetFiles(conf,
+      new org.apache.hadoop.fs.Path(s"$d1/lists"))
+    assert(nFiles <= 8, s"expected ≤ 8 list files (one per list), got $nFiles")
+  }
+
   test("probeMany matches single-query probe per qid") {
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))

@@ -558,15 +558,29 @@ object IvfIndex {
     * malformed frame — each form then answers from one arbitrary
     * representative vector and the identity between them no longer
     * holds; dedupe upstream (the BM25 serving path's (qid, token)
-    * distinct is the same rule). */
+    * distinct is the same rule).
+    *
+    * `predicate` (optional) filters the INDEXED rows before any distance
+    * is scored — the distributed form of [[filteredKnn]]'s `WHERE pred
+    * ORDER BY dist LIMIT k`, for corpus-sized filtered backfills
+    * ("re-search every query against lang=X"). The filter lands on the
+    * lists scan, so Catalyst pushes it into the parquet read and the
+    * heap never sees a non-qualifying row. With `nprobe` = the full list
+    * count this is EXACT filtered search per query (spec-pinned ≡
+    * [[filteredKnn]]); with fewer probes it is the approximate filtered
+    * form — unlike [[filteredKnn]] it does NOT expand probes when the
+    * predicate starves a query below k (per-query expansion is a serving
+    * pattern; a backfill picks its probe budget up front). */
   def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
-                 qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
+                 qidCol: String, qvecCol: String, k: Int, nprobe: Int,
+                 predicate: Option[Column] = None): DataFrame = {
     import graft.functions.top_k_by_distance
     val dist = metricDistance(metricOf(spark, indexPath)) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val vecCol = columnOf(spark, indexPath).getOrElse("embedding")
     val assigned = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist)
-    spark.read.parquet(s"$indexPath/lists")
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    predicate.fold(lists)(lists.filter)
       .join(assigned, Seq("list_id"))
       .select(col("qid"), col("vec_id"),
         dist(col(vecCol), col("qv")).as("dist"))

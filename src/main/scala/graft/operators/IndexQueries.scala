@@ -113,6 +113,120 @@ object IndexQueries {
       path
     })
 
+  /** pgvector 0.8 builds hnsw over halfvec columns too: the sharded NSW
+    * graph over the RNE-quantized (binary16 round-trip) vectors — exact
+    * widening makes the dense graph kernels the halfvec kernels (the
+    * halfvec_l2_topk lesson), so the whole NSW machinery composes
+    * unchanged and full-beam search is oracle-checkable as brute-force
+    * half-cosine top-k. */
+  private val halfNswCache = new ConcurrentHashMap[String, String]()
+
+  def halfNswIndexFor(spark: SparkSession, sfDir: String): String =
+    halfNswCache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_nsw_half").resolve("index").toString
+      import graft.functions.{half_pack, half_unpack}
+      val halfEmb = Tables.embeddings(spark, sfDir)
+        .withColumn("embedding", half_unpack(half_pack(col("embedding"))))
+      NswIndex.build(halfEmb, path, shards = NswShards)
+      path
+    })
+
+  /** The vec_id=0 query, RNE-quantized like the indexed vectors (pgvector
+    * casts the query to halfvec for an hnsw-over-halfvec scan). */
+  private def halfQueryVec(spark: SparkSession, sfDir: String): Array[Float] = {
+    import graft.functions.{half_pack, half_unpack}
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(half_unpack(half_pack(col("embedding"))).as("hq"))
+      .head().getAs[collection.Seq[Float]]("hq").toArray
+  }
+
+  /** Build (cached) + exactly-once cardinality contract for the halfvec
+    * NSW graph. */
+  def halfvecHnswBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = halfNswIndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/graph")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  /** Approximate halfvec top-k through the NSW graph (public API,
+    * recall-gated in NswIndexSpec). */
+  def halfvecHnswKnn(spark: SparkSession, sfDir: String): DataFrame =
+    NswIndex.search(spark, halfNswIndexFor(spark, sfDir),
+      halfQueryVec(spark, sfDir), K)
+
+  /** EXACT full-beam twin of [[halfvecHnswKnn]] — ef = graph size makes
+    * beam search an exact shard scan (the [[hnswKnnExact]] argument), so
+    * the answer is brute-force half-cosine top-k: fully oracle-checkable
+    * via the RNE round-trip fragment ([[graft.OracleSql.halfList]]). */
+  def halfvecHnswKnnExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = halfNswIndexFor(spark, sfDir)
+    val total = spark.read.parquet(s"$path/graph").count()
+    NswIndex.search(spark, path, halfQueryVec(spark, sfDir), K,
+      ef = math.min(total, Int.MaxValue.toLong).toInt)
+  }
+
+  /** pgvector 0.8's sparsevec-hnsw analog: the NSW graph over the
+    * ZERO-MASKED dense twin of the sparse vectors. The sparse distances
+    * are BIT-EQUAL to dense distances on the masked form (skipped
+    * both-zero positions contribute IEEE +0.0 identities — the pinned
+    * [[graft.functions.SparseVec]] contract), so a graph built and
+    * searched with the dense kernels over masked vectors ranks exactly
+    * as a sparsevec graph would. Honest scale note: at true sparsevec
+    * shape (10k+ dims, <1% density) the masked-dense twin wastes
+    * bandwidth O(dim/nnz) — the escalation is threading the merge-walk
+    * kernels through beamSearch; at fixture dims the composition is
+    * exact and strictly cheaper than maintaining a second kernel set. */
+  private val sparseNswCache = new ConcurrentHashMap[String, String]()
+
+  /** |x| > eps mask matching [[graft.functions.sparse_vectorize]]'s keep
+    * rule (double compare, exactly the oracle's CASE predicate). */
+  private def maskedEmbedding: org.apache.spark.sql.Column = {
+    val eps = SimilarityQueries.SparseEps
+    transform(col("embedding"),
+      x => when(abs(x.cast("double")) > lit(eps), x).otherwise(lit(0.0f)))
+  }
+
+  def sparseNswIndexFor(spark: SparkSession, sfDir: String): String =
+    sparseNswCache.computeIfAbsent(sfDir, { _ =>
+      val path = Files.createTempDirectory("graft_nsw_sparse").resolve("index").toString
+      NswIndex.build(
+        Tables.embeddings(spark, sfDir).withColumn("embedding", maskedEmbedding),
+        path, shards = NswShards)
+      path
+    })
+
+  /** Build (cached) + exactly-once cardinality contract for the sparse
+    * NSW graph. */
+  def sparseHnswBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = sparseNswIndexFor(spark, sfDir)
+    spark.read.parquet(s"$path/graph")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vectors"))
+  }
+
+  private def sparseQueryVec(spark: SparkSession, sfDir: String): Array[Float] =
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(maskedEmbedding.as("mq"))
+      .head().getAs[collection.Seq[Float]]("mq").toArray
+
+  /** Approximate sparsevec top-k through the NSW graph (public API,
+    * recall-gated in NswIndexSpec). */
+  def sparseHnswKnn(spark: SparkSession, sfDir: String): DataFrame =
+    NswIndex.search(spark, sparseNswIndexFor(spark, sfDir),
+      sparseQueryVec(spark, sfDir), K)
+
+  /** EXACT full-beam twin of [[sparseHnswKnn]] — shares sparse_knn_topk's
+    * CASE-masked dense oracle recipe (without the nnz column). */
+  def sparseHnswKnnExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = sparseNswIndexFor(spark, sfDir)
+    val total = spark.read.parquet(s"$path/graph").count()
+    NswIndex.search(spark, path, sparseQueryVec(spark, sfDir), K,
+      ef = math.min(total, Int.MaxValue.toLong).toInt)
+  }
+
   /** Candidate pool the halfvec probe hands to the float rerank. */
   val HalfIvfCandidates = 50
 
@@ -400,6 +514,10 @@ object IndexQueries {
     "ivfpq_knn_probeall" -> ((s, d) => ivfPqKnnProbeAll(s, d)),
     "halfvec_ivf_build" -> ((s, d) => halfvecIvfBuild(s, d)),
     "halfvec_ivf_knn_probeall" -> ((s, d) => halfvecIvfKnnProbeAll(s, d)),
+    "halfvec_hnsw_build" -> ((s, d) => halfvecHnswBuild(s, d)),
+    "halfvec_hnsw_knn_exact" -> ((s, d) => halfvecHnswKnnExact(s, d)),
+    "sparse_hnsw_build" -> ((s, d) => sparseHnswBuild(s, d)),
+    "sparse_hnsw_knn_exact" -> ((s, d) => sparseHnswKnnExact(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -481,6 +599,34 @@ object IndexQueries {
          |SELECT e.vec_id, ${graft.OracleSql.cosDist("e.embedding", "fq.fv")} AS dist
          |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, fq
          |ORDER BY dist, e.vec_id
+         |LIMIT $K""".stripMargin,
+    "halfvec_hnsw_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // full-beam over the half-widened graph = brute-force half-cosine
+    // top-k; the halfList fragment IS the RNE round-trip the graph was
+    // built over (pinned by halfvec_knn), so the hash oracle is exact
+    "halfvec_hnsw_knn_exact" ->
+      s"""WITH h AS (SELECT vec_id, ${graft.OracleSql.halfList("embedding")} AS hv FROM embeddings),
+         |hq AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
+         |SELECT h.vec_id, ${graft.OracleSql.cosDist("h.hv", "hq.qv")} AS dist
+         |FROM h, hq
+         |ORDER BY dist, h.vec_id
+         |LIMIT $K""".stripMargin,
+    "sparse_hnsw_build" ->
+      "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT vec_id) AS n_vectors FROM embeddings",
+    // full-beam over the masked-dense graph = brute-force masked cosine
+    // top-k — sparse_knn_topk's CASE-masked recipe, sans the nnz column
+    "sparse_hnsw_knn_exact" ->
+      s"""WITH sp AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CASE WHEN abs(CAST(x AS DOUBLE)) > CAST(${SimilarityQueries.SparseEps} AS DOUBLE)
+         |           THEN x ELSE CAST(0.0 AS FLOAT) END) AS sv
+         |  FROM embeddings),
+         |q AS (SELECT sv AS qv FROM sp WHERE vec_id = 0)
+         |SELECT sp.vec_id, ${graft.OracleSql.cosDist("sp.sv", "q.qv")} AS dist
+         |FROM sp, q
+         |ORDER BY dist, sp.vec_id
          |LIMIT $K""".stripMargin,
     // ivf_knn: the ONE deliberate no-oracle exception kept in the
     // contract — its answer depends on engine-side structures DuckDB

@@ -163,6 +163,40 @@ class FilteredKnnSpec extends SparkSpec {
     assert(probed < 8, s"bound should terminate before all lists (probed=$probed)")
   }
 
+  test("filtered searchMany at probe-all ≡ per-query filteredKnn over the whole corpus") {
+    // the distributed filtered-backfill form: EVERY corpus vector as a
+    // query, predicate pushed into the lists scan; at nprobe = full list
+    // count it must answer exactly what the per-query exact form does
+    val pred = col("label") === 7
+    val k = 5
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = IvfIndex.searchMany(spark, indexPath, queries,
+        "qid", "embedding", k, nprobe = IndexQueries.Lists, predicate = Some(pred))
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("dist")))
+      .groupBy(_._1)
+    // spot-check a spread of qids against the exact per-query form (the
+    // full sweep would run 500 driver-side iterative searches)
+    Seq(0L, 7L, 123L, 250L, 499L).foreach { qid =>
+      val qv = graft.Tables.embeddings(spark, Sf0001)
+        .filter(col("vec_id") === qid)
+        .head().getAs[collection.Seq[Float]]("embedding").toArray
+      val exact = IvfIndex.filteredKnn(spark, indexPath, qv, k, pred)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = got(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(batch === exact, s"qid $qid: filtered searchMany must match filteredKnn")
+    }
+    // every query answered, every row satisfies the predicate
+    assert(got.size === 500, "every corpus query must be answered")
+    val labels = spark.read.parquet(tablePath)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.values.flatten.forall(t => labels(t._3) == 7),
+      "a non-qualifying row leaked past the pushed predicate")
+  }
+
   test("NSW filtered search: selective filter still returns k rows; recall holds") {
     val nswPath = IndexQueries.nswIndexFor(spark, Sf0001)
     val attrs = spark.read.parquet(tablePath)

@@ -154,6 +154,50 @@ class NswIndexSpec extends SparkSpec {
     assert(rank1.forall(r => r.getLong(0) === r.getLong(1) && r.getDouble(2) < 1e-12))
   }
 
+  test("halfvec NSW: full-beam ≡ brute-force half-cosine; approximate default holds recall") {
+    import graft.functions.{half_cosine_distance, half_pack}
+    // brute-force half-cosine top-k — the oracle's twin, in-engine
+    val e = graft.Tables.embeddings(spark, Sf0001)
+    val packed = e.select(col("vec_id"), half_pack(col("embedding")).as("hv"))
+    val seed = packed.filter(col("vec_id") === 0).select(col("hv").as("qv"))
+    val exact = packed.crossJoin(broadcast(seed))
+      .select(col("vec_id"), half_cosine_distance(col("hv"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = IndexQueries.halfvecHnswKnnExact(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === exact,
+      "full-beam over the half-widened graph must equal brute-force half cosine")
+    val approx = IndexQueries.halfvecHnswKnn(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(approx.head === 0L, "the query's own vector must rank first")
+    val recall = approx.toSet.intersect(exact.toSet).size / 10.0
+    assert(recall >= 0.9, s"halfvec NSW recall@10 was $recall")
+  }
+
+  test("sparse NSW: full-beam ≡ brute-force masked cosine; approximate default holds recall") {
+    import graft.functions.{sparse_cosine_distance, sparse_vectorize}
+    val eps = graft.operators.SimilarityQueries.SparseEps
+    // brute-force SPARSE cosine — the merge-walk kernels, pinned bit-equal
+    // to the masked-dense distances the graph ranks by
+    val e = graft.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), sparse_vectorize(col("embedding"), eps).as("sv"))
+    val seed = e.filter(col("vec_id") === 0).select(col("sv").as("qv"))
+    val exact = e.crossJoin(broadcast(seed))
+      .select(col("vec_id"), sparse_cosine_distance(col("sv"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = IndexQueries.sparseHnswKnnExact(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact,
+      "full-beam over the masked-dense graph must equal brute-force sparse cosine, dist bit-equal")
+    val approx = IndexQueries.sparseHnswKnn(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(approx.head === 0L, "the query's own vector must rank first")
+    val recall = approx.toSet.intersect(exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.9, s"sparse NSW recall@10 was $recall")
+  }
+
   test("rebuilding the graph is bit-reproducible") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw_re").resolve("idx").toString
     NswIndex.build(graft.Tables.embeddings(spark, Sf0001), dir,

@@ -715,8 +715,12 @@ object SimilarityQueries {
     * [[graft.index.IvfIndex.probeMany]], whose per-batch driver-side
     * probe-pair collect is right for query batches and wrong for a
     * corpus-sized self-graph) — then the same bounded-heap top-k.
-    * Candidate volume is Σ_l |l|·(probes assigned to l): linear-ish in n
-    * at fixed list occupancy; hot lists are AQE skew-join territory.
+    * Candidate volume is Σ_l |l|·(probes assigned to l): linear in n at
+    * the constant-occupancy list sizing; hot lists are AQE skew-join
+    * territory — demonstrated, not asserted: SkewJoinSpec builds a
+    * one-dominant-cluster corpus and pins BOTH that OptimizeSkewedJoin
+    * splits the hot list_id partition and that the split plan's rows are
+    * bit-identical to the plain plan's.
     * Approximate (a true neighbor outside every probed list is missed)
     * → rows-only gate, recall vs the exact graph spec-pinned.
     *

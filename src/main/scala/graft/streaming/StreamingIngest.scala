@@ -512,7 +512,49 @@ object StreamingIngest {
                             corpusPath: String, indexPath: String,
                             queriesPath: String, resultPath: String,
                             k: Int, k1: Double, b: Double,
-                            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+                            maxFilesPerTrigger: Int = 1): StreamingQuery =
+    startCurationPipeline(spark, srcDir, schema, storePath, corpusPath,
+      indexPath, queriesPath, resultPath, k, k1, b, maxFilesPerTrigger,
+      vecArm = None)
+
+  /** The embedding/ANN arm of [[startCurationPipeline]]: production
+    * curation also EMBEDS every gated document and maintains the vector
+    * index on the same stream, so the full overload chains three more
+    * stages after BM25 serving —
+    *
+    *  5. EMBED: `embedder` maps the kept docs to vectors (batched
+    *     column expression / mapPartitions — the [[graft.embed.Embedder]]
+    *     contract) and the (vec_id, embedding) rows append to the
+    *     embedded-corpus dataset at `vecPath`;
+    *  6. ANN MAINTENANCE: the ivfflat index at `ivfPath` extends
+    *     incrementally ([[graft.index.IvfIndex.append]] — frozen
+    *     centroids, exactly pgvector's index-on-INSERT; the FIRST
+    *     non-empty batch builds it from the embedded corpus, so
+    *     bootstrap needs no separate job);
+    *  7. ANN SERVING: the standing vector-query table at `queriesPath`
+    *     ((qid, qv) parquet) resolves against the just-maintained index
+    *     per batch — count-routed between the serving probe and the
+    *     distributed [[graft.index.IvfIndex.searchMany]] exactly like
+    *     [[startKnnServing]] — keyed by (batch_id, qid, rank) at
+    *     `resultPath`.
+    *
+    * End-state parity (StreamingPipelineSpec): the maintained index's
+    * PROBE-ALL answers are bit-identical to an index rebuilt from the
+    * gated corpus — probe-all is exact over the indexed rows for ANY
+    * centroid history, so frozen-centroid drift cannot leak into exact
+    * answers; only pruned-probe recall drifts, which is what
+    * [[graft.index.IvfIndex.rebalance]] repairs. */
+  final case class VecArm(embedder: Embedder, vecPath: String,
+                          ivfPath: String, queriesPath: String,
+                          resultPath: String, k: Int, nprobe: Int, lists: Int)
+
+  def startCurationPipeline(spark: SparkSession, srcDir: String,
+                            schema: StructType, storePath: String,
+                            corpusPath: String, indexPath: String,
+                            queriesPath: String, resultPath: String,
+                            k: Int, k1: Double, b: Double,
+                            maxFilesPerTrigger: Int,
+                            vecArm: Option[VecArm]): StreamingQuery = {
     prepareBandStore(spark, storePath)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -532,6 +574,38 @@ object StreamingIngest {
               "qid", "qtext", k, k1, b)
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(resultPath)
+          vecArm.foreach { arm =>
+            // 5. EMBED the gated docs; the embedded corpus is an on-disk
+            // relation like the band store (at 100 TB: the vector column
+            // of the curated dataset)
+            val emb = arm.embedder
+              .embedFrame(kept.filter(col("text").isNotNull))
+              .select(col("doc_id").cast("long").as("vec_id"), col("embedding"))
+            emb.write.mode("append").parquet(arm.vecPath)
+            // 6. MAINTAIN the ivfflat index (bootstrap on first batch)
+            val ivfMeta = new org.apache.hadoop.fs.Path(s"${arm.ivfPath}/meta")
+            val ivfUp =
+              ivfMeta.getFileSystem(sp.sessionState.newHadoopConf()).exists(ivfMeta)
+            if (ivfUp) graft.index.IvfIndex.append(emb, arm.ivfPath)
+            else graft.index.IvfIndex.build(
+              sp.read.parquet(arm.vecPath), arm.ivfPath, lists = arm.lists)
+            // 7. SERVE the standing vector queries against the index as
+            // of this batch — same count-routing as startKnnServing
+            val ivf = graft.index.IvfIndex
+            val queries = sp.read.parquet(arm.queriesPath)
+            val n = queries.count()
+            if (n > 0) {
+              val resolved =
+                if (n <= ivf.MaxServingBatch)
+                  ivf.probeManyUnguarded(sp, arm.ivfPath, queries,
+                    "qid", "qv", arm.k, arm.nprobe)
+                else ivf.searchMany(sp, arm.ivfPath, queries,
+                  "qid", "qv", arm.k, arm.nprobe)
+              resolved
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(arm.resultPath)
+            }
+          }
         }
       }
       .option("checkpointLocation", s"${resultPath}_checkpoint")

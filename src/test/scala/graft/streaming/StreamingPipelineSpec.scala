@@ -89,4 +89,85 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(second.exists(t => t._2 == 20L && t._3 == 4L),
       "after batch 1 the gamma query must surface doc 4")
   }
+
+  test("curation pipeline with ANN arm: embed → maintain IVF → serve; probe-all ≡ rebuild") {
+    import graft.index.IvfIndex
+    val srcDir = tmp("curv_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val store = tmp("curv_store")
+    val corpus = tmp("curv_corpus")
+    val index = tmp("curv_idx")
+    val queriesPath = tmp("curv_q")
+    val results = tmp("curv_res")
+    val vecPath = tmp("curv_vec")
+    val ivfPath = tmp("curv_ivf")
+    val vqPath = tmp("curv_vq")
+    val vres = tmp("curv_vres")
+    val embedder = graft.embed.HashingSentenceEmbedder(dim = 32)
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textA2 = ((1 to 29).map(i => s"alpha$i") :+ "CHANGED").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    // lexical standing queries (the BM25 arm still runs)
+    Seq((10L, "alpha3 alpha7")).toDF("qid", "qtext").coalesce(1).write.parquet(queriesPath)
+    // vector standing queries: doc B's own embedding must find doc 2 at
+    // rank 1, dist ~0, in EVERY serving round after batch 0
+    Seq((100L, textB)).toDF("qid", "text")
+      .select(col("qid"), embedder.embedColumn(col("text")).as("qv"))
+      .coalesce(1).write.parquet(vqPath)
+    val schema = Seq((1L, "")).toDF("doc_id", "text").schema
+    val arm = StreamingIngest.VecArm(embedder, vecPath, ivfPath, vqPath, vres,
+      k = 3, nprobe = 2, lists = 4)
+    def run(): Unit = {
+      val q = StreamingIngest.startCurationPipeline(spark, srcDir, schema,
+        store, corpus, index, queriesPath, results, k = 3, k1 = 1.2, b = 0.75,
+        maxFilesPerTrigger = 1, vecArm = Some(arm))
+      q.awaitTermination(120000)
+    }
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    Seq((3L, textA2), (4L, textC)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+
+    // 1. the embedded corpus covers exactly the gate's keep set
+    val vecIds = spark.read.parquet(vecPath)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vecIds === Seq(1L, 2L, 4L), s"got ${vecIds.mkString(",")}")
+    // ... and the maintained index indexes exactly those rows, once each
+    val indexed = spark.read.parquet(s"$ivfPath/lists")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed === Seq(1L, 2L, 4L))
+
+    // 2. maintained index ≡ rebuild from the gated corpus: PROBE-ALL
+    //    (exact for any centroid history) must answer bit-identically
+    val rebuilt = tmp("curv_ivf_rebuilt")
+    IvfIndex.build(spark.read.parquet(vecPath), rebuilt, lists = 2)
+    val qv = spark.read.parquet(vqPath).head().getAs[collection.Seq[Float]]("qv").toArray
+    def probeAll(idx: String) = {
+      val nLists = spark.read.parquet(s"$idx/centroids").count().toInt
+      IvfIndex.probe(spark, idx, qv, 3, nprobe = nLists)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(probeAll(ivfPath) === probeAll(rebuilt),
+      "maintained IVF probe-all must equal a fresh rebuild bit-exactly")
+
+    // 3. vector serving ran per batch against the index AS OF that batch:
+    //    doc 2 (textB's own vector) at rank 1, dist ~0 in both rounds
+    val vr = spark.read.parquet(vres)
+      .select("batch_id", "qid", "rank", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(vr.map(_._1).distinct.length === 2,
+      s"expected 2 vector serving rounds, got ${vr.map(_._1).distinct.toSeq}")
+    vr.map(_._1).distinct.foreach { bid =>
+      val r1 = vr.filter(t => t._1 == bid && t._3 == 1L)
+      assert(r1.length === 1 && r1.head._4 === 2L && r1.head._5 < 1e-12,
+        s"batch $bid: doc 2 must be the rank-1 hit for its own vector")
+    }
+    // batch-0 serving predates docs 3/4 — no hit may reference doc 4
+    val firstBatch = vr.filter(_._1 == vr.map(_._1).min)
+    assert(firstBatch.forall(t => t._4 == 1L || t._4 == 2L),
+      "batch-0 vector serving must only surface batch-0 docs")
+  }
 }

@@ -275,6 +275,76 @@ object PlanGallery {
       "corpus size."),
   )
 
+  /** Plans that are not contract queries but carry the serving/streaming
+    * trust story: built directly from the index/pipeline APIs. */
+  private def extraEntries(spark: SparkSession, sfDir: String)
+      : Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    import graft.Tables
+    import graft.operators.IndexQueries
+    Seq(
+      ("ivf_searchmany_distributed",
+        "The corpus-sized batch-probe twin (IvfIndex.searchMany — what a " +
+          "bulk kNN backfill runs): per-query centroid ranking is a " +
+          "map-side bounded heap against the BROADCAST sidecar, probe rows " +
+          "flow into ONE list_id equi-join against the list-partitioned " +
+          "index, and per-query top-k is the bounded-heap aggregate. " +
+          "Nothing query-frame-sized touches the driver — contrast " +
+          "probeMany, whose collected probe-pair set buys directory-level " +
+          "pruning for serving batches.",
+        () => {
+          val idx = IndexQueries.indexFor(spark, sfDir)
+          val q = Tables.embeddings(spark, sfDir)
+            .select(col("vec_id").as("qid"), col("embedding"))
+          graft.index.IvfIndex.searchMany(spark, idx, q,
+            "qid", "embedding", k = 10, nprobe = 4)
+        }),
+      ("ivfpq_searchmany_distributed",
+        "IVF-PQ's distributed batch probe (IvfPqIndex.searchMany): same " +
+          "broadcast-centroid assignment + ONE list_id equi-join shape, " +
+          "but candidates are scored by asymmetric-distance subspace dots " +
+          "against the PQ codes — each joined pair pays O(d) multiplies " +
+          "instead of per-query LUT driver state, which is the trade that " +
+          "makes it corpus-batch-safe (bit-identical to probeMany, " +
+          "spec-pinned).",
+        () => {
+          val idx = IndexQueries.ivfPqIndexFor(spark, sfDir)
+          val q = Tables.embeddings(spark, sfDir)
+            .select(col("vec_id").as("qid"), col("embedding"))
+          graft.index.IvfPqIndex.searchMany(spark, idx, q,
+            "qid", "embedding", k = 10, nprobe = 4)
+        }),
+      ("curation_gate_batch",
+        "The streaming curation pipeline's per-batch GATE plan (the shape " +
+          "every micro-batch of startCurationPipeline / startMinhashDedup " +
+          "executes): the batch's 16-band MinHash signatures build in ONE " +
+          "aggregation pass (no 64× explode), collide against the on-disk " +
+          "band store via a left-semi equi-join on (band, band_sig) plus " +
+          "the in-batch lower-id self-semi-join, and survivors leave " +
+          "through a left-anti join — every stage a hash agg or equi-join, " +
+          "state on disk, nothing corpus-sized in executor memory.",
+        () => {
+          val batch = Tables.documents(spark, sfDir)
+          val bands = graft.operators.Dedup.bandsOf(
+            graft.operators.Dedup.hashedShingleRelOf(batch))
+          // the store side: a band relation of previously accepted docs
+          // (here: the same fixture's bands — shape-identical)
+          val store = bands.select(
+            (col("doc_id") + 1000000L).as("doc_id"), col("band"), col("band_sig"))
+          val dupOfStored = bands
+            .join(store, Seq("band", "band_sig"), "left_semi")
+            .select("doc_id").distinct()
+          val dupInBatch = bands.as("x")
+            .join(bands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.band_sig") === col("y.band_sig") &&
+                col("x.doc_id") > col("y.doc_id"), "left_semi")
+            .select("doc_id").distinct()
+          val drop = dupOfStored.union(dupInBatch).distinct()
+          batch.join(drop, Seq("doc_id"), "left_anti")
+        }))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "PLANS.md"
@@ -298,8 +368,13 @@ object PlanGallery {
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
+    val extras = extraEntries(spark, sfDir)
+    extras.foreach { case (name, note, mk) =>
+      val plan = mk().queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name (API, not a contract query)\n\n$note\n\n```\n$plan```\n")
+    }
     Files.write(Paths.get(outFile), sb.toString.getBytes(StandardCharsets.UTF_8))
-    println(s"wrote $outFile (${entries.size} plans)")
+    println(s"wrote $outFile (${entries.size + extras.size} plans)")
     spark.stop()
   }
 }

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale benchmark: synthesizes a ~10× (sf≈1) corpus from the sf0.1
-  * fixture and times the HEADLINE queries on it, writing
-  * `bench/bench_sf1.json` — the committed evidence that the plans the
-  * per-query artifact grades at sf0.1 keep scaling (target: no query
-  * >10× its sf0.1 time on 10× data).
+/** Scale benchmark: synthesizes an N× corpus from the sf0.1 fixture
+  * (SPARK_GRAFT_SCALE_REPS, default 10 → sf≈1) and times the HEADLINE
+  * queries on it, writing `bench/bench_sf<N/10>.json` — the committed
+  * evidence that the plans the per-query artifact grades at sf0.1 keep
+  * scaling (target: ratio vs sf0.1 below the data ratio, i.e. sublinear
+  * or linear). Two committed points (sf1, sf3) make the claim a line.
   *
   * Generation (deterministic, no RNG, hash-derived like every sampling op
   * in the engine): each replica r of the source tables shifts ids by a
@@ -154,7 +155,12 @@ object BenchScale {
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
     java.nio.file.Files.createDirectories(outDir)
-    java.nio.file.Files.write(outDir.resolve("bench_sf1.json"),
+    // reps=10 → bench_sf1.json (10× the sf0.1 source), reps=30 → sf3 —
+    // two committed points make the scaling claim a LINE, not a sample
+    val outName =
+      if (reps % 10 == 0) s"bench_sf${reps / 10}.json"
+      else s"bench_sf0.1x$reps.json"
+    java.nio.file.Files.write(outDir.resolve(outName),
       lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"dir":"$scaleDir"}""")
     results.sortBy(-_._2).foreach { case (k, v) =>

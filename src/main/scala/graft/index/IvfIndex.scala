@@ -591,6 +591,66 @@ object IvfIndex {
         col("s.vec_id").as("vec_id"), col("s.dist").as("dist"))
   }
 
+  /** [[searchMany]] with STARVATION RETRY — the distributed form of
+    * pgvector's `ivfflat.iterative_scan = relaxed_order` for
+    * corpus-sized filtered backfills, where a fixed probe budget can
+    * starve selective queries below k: after the `initProbes` pass,
+    * only the STARVED qids (fewer than k result rows) re-probe with a
+    * doubled budget, until every query has k rows or its probes covered
+    * every list.
+    *
+    * Semantics (exactly pgvector's relaxed_order contract): the k-row
+    * guarantee is hard — a query returns fewer than k rows ONLY when
+    * fewer than k index rows satisfy the predicate at all (its probes
+    * reached full coverage, so the short answer is the TRUE filtered
+    * answer); returned rows carry exact verified distances and rank
+    * correctly among themselves, but a query satisfied before full
+    * coverage may miss a closer row in an unprobed list. The per-query
+    * EXACT sibling is [[filteredKnn]], whose covering-radius bound
+    * proves termination — per-query bounds don't batch, so the
+    * distributed form trades that proof for the k-guarantee, and
+    * `initProbes` ≥ the list count degrades to exact probe-all.
+    *
+    * Scale shape: each round is one [[searchMany]] over the remaining
+    * query frame (fully distributed — broadcast-centroid assignment,
+    * ONE list_id equi-join, bounded heaps) plus one count-agg to split
+    * satisfied from starved; the retry frame shrinks to the starved
+    * tail, so rounds cost geometrically less while probes double —
+    * O(log lists) rounds total, each round's kept rows localCheckpointed
+    * so the final union never re-runs earlier rounds. */
+  def searchManyAdaptive(spark: SparkSession, indexPath: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         k: Int, initProbes: Int,
+                         predicate: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val nLists = spark.read.parquet(s"$indexPath/centroids").count().toInt
+    var remaining = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    var probes = math.max(1, initProbes)
+    var done = false
+    var rounds = List.empty[DataFrame]
+    while (!done) {
+      val res = searchMany(spark, indexPath, remaining, "qid", "qv",
+        k, probes, predicate).localCheckpoint()
+      if (probes >= nLists) {
+        // full coverage: whatever came back IS the exact filtered answer
+        rounds ::= res
+        done = true
+      } else {
+        // a query is satisfied once it has k rows; zero-row qids don't
+        // appear in the result at all, so starved = remaining ∖ satisfied
+        val sat = res.groupBy("qid").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= k).select("qid")
+        rounds ::= res.join(sat, Seq("qid"), "left_semi")
+        remaining = remaining.join(sat, Seq("qid"), "left_anti")
+          .localCheckpoint()
+        if (remaining.isEmpty) done = true
+        else probes = math.min(nLists, probes * 2)
+      }
+    }
+    rounds.reduce(_.unionByName(_))
+  }
+
   /** Filtered kNN with ITERATIVE probe expansion — pgvector 0.8's headline
     * `ivfflat.iterative_scan` (/root/reference/README.md:9), strengthened to
     * an EXACT answer: `WHERE pred ORDER BY dist LIMIT k` keeps probing more

@@ -197,6 +197,60 @@ class FilteredKnnSpec extends SparkSpec {
       "a non-qualifying row leaked past the pushed predicate")
   }
 
+  test("searchManyAdaptive: starved queries expand to exact; short answers are true answers") {
+    val pred = col("vec_id") % 50 === 0 // 10 of 500 survive
+    val k = 5
+    val queries = graft.Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // the fixed-probe pass must actually starve someone at initProbes=1,
+    // or this test demonstrates nothing
+    val fixed = IvfIndex.searchMany(spark, indexPath, queries,
+        "qid", "embedding", k, nprobe = 1, predicate = Some(pred))
+      .collect().groupBy(_.getAs[Long]("qid"))
+    assert(queries.count() === 40L)
+    assert((0L until 40L).exists(q => fixed.getOrElse(q, Array.empty).length < k),
+      "fixture must starve at least one query at nprobe=1")
+    val adaptive = IvfIndex.searchManyAdaptive(spark, indexPath, queries,
+        "qid", "embedding", k, initProbes = 1, predicate = Some(pred))
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("dist")))
+      .groupBy(_._1)
+    // the relaxed_order contract: EVERY query reaches k rows (10
+    // survivors ≥ k) and every returned row satisfies the predicate
+    assert(adaptive.size === 40 && adaptive.values.forall(_.length == k),
+      "the k-row guarantee is the operator's whole point")
+    assert(adaptive.values.flatten.forall(_._3 % 50 == 0),
+      "a non-qualifying row leaked past the predicate")
+    // initProbes = full list count degrades to exact probe-all: ≡ the
+    // per-query exact iterative form, bit-for-bit
+    val exactBatch = IvfIndex.searchManyAdaptive(spark, indexPath, queries,
+        "qid", "embedding", k, initProbes = IndexQueries.Lists,
+        predicate = Some(pred))
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("dist")))
+      .groupBy(_._1)
+    Seq(0L, 7L, 25L, 39L).foreach { qid =>
+      val qv = graft.Tables.embeddings(spark, Sf0001)
+        .filter(col("vec_id") === qid)
+        .head().getAs[collection.Seq[Float]]("embedding").toArray
+      val exact = IvfIndex.filteredKnn(spark, indexPath, qv, k, pred)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = exactBatch(qid).toSeq.sortBy(_._2).map(t => (t._3, t._4))
+      assert(batch === exact, s"qid $qid: full-coverage adaptive must equal filteredKnn")
+    }
+    // k beyond the surviving population: expansion runs to full coverage
+    // and the short answer is the TRUE answer — all 10 survivors
+    val short = IvfIndex.searchManyAdaptive(spark, indexPath,
+        queries.filter(col("qid") < 3), "qid", "embedding",
+        k = 20, initProbes = 1, predicate = Some(pred))
+      .collect().groupBy(_.getAs[Long]("qid"))
+    assert(short.size === 3 && short.values.forall(_.length == 10),
+      "with 10 survivors and k=20, every query must return exactly the 10")
+  }
+
   test("NSW filtered search: selective filter still returns k rows; recall holds") {
     val nswPath = IndexQueries.nswIndexFor(spark, Sf0001)
     val attrs = spark.read.parquet(tablePath)

@@ -144,6 +144,20 @@ class IvfIndexSpec extends SparkSpec {
       s"IP recall@10 $recall below the nprobe/lists floor")
   }
 
+  test("listsFor: fixture constant through 4k rows, then constant occupancy, capped") {
+    import graft.operators.IndexQueries.{listsFor, Lists, TargetOccupancy}
+    assert(listsFor(500L) === Lists)
+    assert(listsFor(4000L) === Lists)
+    // past the fixture sizes: n / occupancy — the linear-candidate-volume
+    // property the co-probe scale paths lean on
+    assert(listsFor(20000L) === (20000L / TargetOccupancy).toInt)
+    assert(listsFor(1000000L) === (1000000L / TargetOccupancy).toInt)
+    // the faiss-practice ceiling: occupancy grows again past the cap
+    assert(listsFor(100L * 1000 * 1000) === 65536)
+    // never below the fixture floor even just past the threshold
+    assert(listsFor(4001L) >= Lists)
+  }
+
   test("sampled training: same corpus → bit-identical centroids; probe-all stays exact") {
     // trainCap=64 with lists=8 → effective cap = max(64, 40·8) = 320 < 500
     // rows, so the id-hash training sample ENGAGES on this fixture; the

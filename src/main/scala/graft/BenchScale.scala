@@ -143,7 +143,7 @@ object BenchScale {
     val total = results.map(_._2).sum
     val lines = new StringBuilder
     lines.append("{\n")
-    lines.append(s"""  "sf": "sf1 (synthetic, ${reps}x $src)",\n""")
+    lines.append(s"""  "sf": "sf${reps / 10.0} (synthetic, ${reps}x $src)",\n""")
     lines.append(s"""  "total_s": ${f3(total)},\n""")
     lines.append(s"""  "n": ${results.size},\n""")
     lines.append("  \"queries\": {\n")

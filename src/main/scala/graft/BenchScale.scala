@@ -101,8 +101,13 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    // the generated corpus lives under a reps-KEYED subdirectory: the
+    // _SUCCESS reuse marker is only valid for the same replica count, and
+    // a reps change against a reused SPARK_GRAFT_SCALE_DIR must never
+    // silently benchmark the old corpus under the new sfN label
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      java.nio.file.Files.createTempDirectory("graft_sf1").toString)
+      java.nio.file.Files.createTempDirectory("graft_sf1").toString) +
+      s"/x$reps"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -128,6 +133,42 @@ object BenchScale {
       name -> times.min
     }
 
+    // RECALL evidence: the occupancy sizing trades candidate volume for
+    // speed, and the fixture-sized recall gates don't see scale corpora —
+    // measure, don't assume: exact top-k neighbors for a deterministic
+    // sample of query nodes vs the timed knn_graph_ivf edges. A speedup
+    // bought by silently answering worse would show up here.
+    val graphRecall: Double = {
+      import graft.functions.{cosine_distance, top_k_by_distance}
+      val k = graft.operators.SimilarityQueries.KnnGraphK
+      val e = Tables.embeddings(spark, scaleDir)
+        .select(col("vec_id"), col("embedding"))
+      val sampleIds = e.select("vec_id")
+        .filter(pmod(xxhash64(col("vec_id")), lit(211L)) === 0L)
+        .orderBy("vec_id").limit(32)
+        .collect().map(_.getLong(0)).toIndexedSeq
+      val q = e.filter(col("vec_id").isin(sampleIds: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine_distance(col("embedding"), col("qv")).as("dist"))
+        .groupBy("qid")
+        .agg(top_k_by_distance(col("dist"), col("vec_id"), k).as("top"))
+        .select(col("qid"), explode(col("top.vec_id")).as("nbr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val approx = graft.operators.SimilarityQueries.knnGraphIvf(spark, scaleDir)
+        .filter(col("vec_id").isin(sampleIds: _*))
+        .select("vec_id", "nbr")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = exact.toSeq.map { case (qid, ex) =>
+        approx.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      if (per.isEmpty) 0.0 else per.sum / per.size
+    }
+
     // scaling evidence: ratio against the committed sf0.1 per-query map
     val sf01: Map[String, Double] =
       try {
@@ -151,7 +192,10 @@ object BenchScale {
       val ratio = sf01.get(k).map(b => f3(v / b)).getOrElse("null")
       s"""    "$k": {"sec": ${f3(v)}, "x_vs_sf0.1": $ratio}"""
     }.mkString(",\n"))
-    lines.append("\n  }\n}\n")
+    lines.append("\n  },\n")
+    lines.append(s"""  "recall": {"knn_graph_ivf@${
+      graft.operators.SimilarityQueries.KnnGraphK}": ${f3(graphRecall)}}\n""")
+    lines.append("}\n")
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
     java.nio.file.Files.createDirectories(outDir)
@@ -162,7 +206,7 @@ object BenchScale {
       else s"bench_sf0.1x$reps.json"
     java.nio.file.Files.write(outDir.resolve(outName),
       lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"dir":"$scaleDir"}""")
+    println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"recall_knn_graph_ivf":${f3(graphRecall)},"dir":"$scaleDir"}""")
     results.sortBy(-_._2).foreach { case (k, v) =>
       val r = sf01.get(k).map(b => f"  (${v / b}%.1fx vs sf0.1)").getOrElse("")
       println(f"  $k%-24s ${v}%8.3f s$r")

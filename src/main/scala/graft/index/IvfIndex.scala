@@ -128,11 +128,17 @@ object IvfIndex {
     // (model.transform — one map-side nearest-centroid pass). This is
     // what keeps build linear in n when list counts scale with the
     // corpus; training on everything would be n·lists per iteration.
-    val n = embeddings.count()
+    // Engagement is decided with a LIMIT-bounded count (the
+    // requireServingBatch trick) — the exact corpus count is only needed
+    // for the keep fraction once sampling actually engages, so
+    // fixture-sized builds never pay a full input scan for it.
     val effCap = math.max(trainCap.toLong, TrainRowsPerList.toLong * lists)
+    val capInt = math.min(effCap, Int.MaxValue.toLong - 1).toInt
+    val engaged = embeddings.limit(capInt + 1).count() > capInt
     def sampled(df: DataFrame): DataFrame =
-      if (n <= effCap) df
+      if (!engaged) df
       else {
+        val n = embeddings.count()
         val keep = math.max(1L, math.ceil(effCap.toDouble / n * 1000000.0).toLong)
         df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < keep)
       }

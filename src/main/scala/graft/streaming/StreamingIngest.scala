@@ -452,25 +452,39 @@ object StreamingIngest {
     * once, while the collision relations stay persisted — a sink may
     * trigger several actions over them), then append the survivors'
     * bands to the store. */
+  /** The gate's PLAN core — the drop set of a batch's band rows against a
+    * band-store relation (doc_ids colliding with the store via the
+    * (band, band_sig) left-semi probe, or with a lower-id batchmate via
+    * the self-semi-join). ONE definition shared by [[gateBatch]] and the
+    * plan gallery's `curation_gate_batch` entry, so the documented plan
+    * can never drift from the executed one. */
+  private[graft] def gateDropSet(bands: DataFrame, store: DataFrame): DataFrame = {
+    val dupOfStored = bands
+      .join(store, Seq("band", "band_sig"), "left_semi")
+      .select("doc_id").distinct()
+    val dupInBatch = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") > col("y.doc_id"), "left_semi")
+      .select("doc_id").distinct()
+    dupOfStored.union(dupInBatch).distinct()
+  }
+
+  /** Schema'd read of a band store directory — shared with the gallery. */
+  private[graft] def bandStoreRel(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.schema(BandStoreSchema).parquet(storePath)
+
   private def gateBatch(batch: DataFrame, storePath: String)
                        (sink: DataFrame => Unit): Unit = {
     val sp = batch.sparkSession
     val bands = graft.operators.Dedup.bandsOf(
       graft.operators.Dedup.hashedShingleRelOf(batch)).persist()
     try {
-      val store = sp.read.schema(BandStoreSchema).parquet(storePath)
-      val dupOfStored = bands
-        .join(store, Seq("band", "band_sig"), "left_semi")
-        .select("doc_id").distinct()
-      val dupInBatch = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.band_sig") === col("y.band_sig") &&
-            col("x.doc_id") > col("y.doc_id"), "left_semi")
-        .select("doc_id").distinct()
+      val store = bandStoreRel(sp, storePath)
       // persist: drop feeds BOTH sink writes, and recomputing it
       // would re-probe the full band store (corpus-scale) per action
-      val drop = dupOfStored.union(dupInBatch).distinct().persist()
+      val drop = gateDropSet(bands, store).persist()
       try {
         sink(batch.join(drop, Seq("doc_id"), "left_anti"))
         bands.join(drop, Seq("doc_id"), "left_anti")
@@ -577,18 +591,30 @@ object StreamingIngest {
           vecArm.foreach { arm =>
             // 5. EMBED the gated docs; the embedded corpus is an on-disk
             // relation like the band store (at 100 TB: the vector column
-            // of the curated dataset)
+            // of the curated dataset). PERSISTED: emb feeds both the
+            // corpus write and the index append — without it the
+            // embedder (the expensive stage this arm exists for) and the
+            // gate's band-store probe would re-execute per consumer.
+            // Delivery caveat (same as startIvfMaintenance): a batch
+            // replayed AFTER these appends but BEFORE the band-store
+            // append re-embeds and double-indexes its rows — duplicates
+            // score identically in probes, the periodic rebuild
+            // ([[graft.index.IvfIndex.rebalance]] / a fresh build over
+            // vecPath after batch dedup) is the cleanup.
             val emb = arm.embedder
               .embedFrame(kept.filter(col("text").isNotNull))
               .select(col("doc_id").cast("long").as("vec_id"), col("embedding"))
-            emb.write.mode("append").parquet(arm.vecPath)
-            // 6. MAINTAIN the ivfflat index (bootstrap on first batch)
-            val ivfMeta = new org.apache.hadoop.fs.Path(s"${arm.ivfPath}/meta")
-            val ivfUp =
-              ivfMeta.getFileSystem(sp.sessionState.newHadoopConf()).exists(ivfMeta)
-            if (ivfUp) graft.index.IvfIndex.append(emb, arm.ivfPath)
-            else graft.index.IvfIndex.build(
-              sp.read.parquet(arm.vecPath), arm.ivfPath, lists = arm.lists)
+              .persist()
+            try {
+              emb.write.mode("append").parquet(arm.vecPath)
+              // 6. MAINTAIN the ivfflat index (bootstrap on first batch)
+              val ivfMeta = new org.apache.hadoop.fs.Path(s"${arm.ivfPath}/meta")
+              val ivfUp = ivfMeta.getFileSystem(
+                sp.sessionState.newHadoopConf()).exists(ivfMeta)
+              if (ivfUp) graft.index.IvfIndex.append(emb, arm.ivfPath)
+              else graft.index.IvfIndex.build(
+                sp.read.parquet(arm.vecPath), arm.ivfPath, lists = arm.lists)
+            } finally emb.unpersist()
             // 7. SERVE the standing vector queries against the index as
             // of this batch — same count-routing as startKnnServing
             val ivf = graft.index.IvfIndex

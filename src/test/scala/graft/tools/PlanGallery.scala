@@ -327,20 +327,16 @@ object PlanGallery {
           val batch = Tables.documents(spark, sfDir)
           val bands = graft.operators.Dedup.bandsOf(
             graft.operators.Dedup.hashedShingleRelOf(batch))
-          // the store side: a band relation of previously accepted docs
-          // (here: the same fixture's bands — shape-identical)
-          val store = bands.select(
-            (col("doc_id") + 1000000L).as("doc_id"), col("band"), col("band_sig"))
-          val dupOfStored = bands
-            .join(store, Seq("band", "band_sig"), "left_semi")
-            .select("doc_id").distinct()
-          val dupInBatch = bands.as("x")
-            .join(bands.as("y"),
-              col("x.band") === col("y.band") &&
-                col("x.band_sig") === col("y.band_sig") &&
-                col("x.doc_id") > col("y.doc_id"), "left_semi")
-            .select("doc_id").distinct()
-          val drop = dupOfStored.union(dupInBatch).distinct()
+          // the store side: an ON-DISK band relation of previously
+          // accepted docs, read exactly as the gate reads it
+          val storeDir = java.nio.file.Files
+            .createTempDirectory("gallery_store").toString
+          bands.select((col("doc_id") + 1000000L).as("doc_id"),
+              col("band"), col("band_sig"))
+            .write.mode("overwrite").parquet(storeDir)
+          // the SHARED plan core — the same definition gateBatch executes
+          val drop = graft.streaming.StreamingIngest.gateDropSet(
+            bands, graft.streaming.StreamingIngest.bandStoreRel(spark, storeDir))
           batch.join(drop, Seq("doc_id"), "left_anti")
         }))
   }

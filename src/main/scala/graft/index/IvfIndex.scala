@@ -63,6 +63,15 @@ object IvfIndex {
   /** Minimum expected training rows per centroid when sampling engages. */
   val TrainRowsPerList = 40
 
+  /** Absolute ceiling on the training sample: the per-centroid minimum
+    * grows the cap with the list count, and at constant occupancy that
+    * would make training Θ(n) rows again (cost quadratic in lists) —
+    * past this ceiling, centroids train on fewer than [[TrainRowsPerList]]
+    * points each (the faiss behavior: a quality warning, not an error),
+    * which is the regime where the hierarchical coarse quantizer
+    * documented on [[build]] is the real escalation anyway. */
+  val MaxTrainCap = 262144
+
   /** Supported opclass metrics (pgvector: vector_cosine_ops /
     * vector_l2_ops / vector_ip_ops). The whole index is keyed to ONE
     * metric, like ivfflat. */
@@ -132,7 +141,8 @@ object IvfIndex {
     // requireServingBatch trick) — the exact corpus count is only needed
     // for the keep fraction once sampling actually engages, so
     // fixture-sized builds never pay a full input scan for it.
-    val effCap = math.max(trainCap.toLong, TrainRowsPerList.toLong * lists)
+    val effCap = math.min(MaxTrainCap.toLong,
+      math.max(trainCap.toLong, TrainRowsPerList.toLong * lists))
     val capInt = math.min(effCap, Int.MaxValue.toLong - 1).toInt
     val engaged = embeddings.limit(capInt + 1).count() > capInt
     def sampled(df: DataFrame): DataFrame =

@@ -190,6 +190,49 @@ class ScaleSmokeSpec extends SparkSpec {
     sub.unpersist()
   }
 
+  test("adaptive filtered backfill holds at 100k vectors: sampled-trained index, k-guarantee, occupancy sizing") {
+    val n = 100000L
+    val sub = spark.range(n).select(
+      col("id").as("vec_id"),
+      hashNoise(col("id"), 64).as("embedding"))
+      .persist()
+    // the DEFAULT production sizing path: occupancy lists + the 8192-row
+    // training cap genuinely ENGAGED (n >> cap) — not a spec override
+    val lists = graft.operators.IndexQueries.listsFor(n)
+    assert(lists === (n / graft.operators.IndexQueries.TargetOccupancy).toInt)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_adaptive_scale").resolve("idx").toString
+    val t0 = System.nanoTime()
+    graft.index.IvfIndex.build(sub, dir, lists = lists)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    info(f"sampled-trained IVF build 100k×$lists%d lists: $buildSecs%.1f s")
+    // one file per list: the layout contract that keeps probe reads
+    // listing-bounded instead of (partitions·lists)-file-bounded
+    val nFiles = graft.util.FsOps.countParquetFiles(
+      spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(s"$dir/lists"))
+    assert(nFiles <= lists, s"expected ≤ $lists list files, got $nFiles")
+    // corpus-sized filtered backfill: 1k queries, 1% predicate — the
+    // fixed-probe pass starves most queries; adaptive must satisfy all
+    val pred = col("vec_id") % 100 === 0
+    val queries = sub.filter(col("vec_id") < 1000)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val t1 = System.nanoTime()
+    val res = graft.index.IvfIndex.searchManyAdaptive(spark, dir, queries,
+      "qid", "embedding", k = 5, initProbes = 4, predicate = Some(pred))
+      .collect()
+    val secs = (System.nanoTime() - t1) / 1e9
+    info(f"adaptive filtered backfill 1k queries over 100k: $secs%.1f s")
+    val byQid = res.groupBy(_.getAs[Long]("qid"))
+    assert(byQid.size === 1000, "every query must be answered")
+    assert(byQid.values.forall(_.length == 5),
+      "1000 surviving rows ≥ k — the k-guarantee must hold for every query")
+    assert(res.forall(_.getAs[Long]("vec_id") % 100 == 0),
+      "a non-qualifying row leaked past the predicate")
+    assert(buildSecs < 420.0 && secs < 180.0)
+    sub.unpersist()
+  }
+
   test("as-of join holds at 1M events: one shuffle, no join node") {
     // 1M events over 10k users: each user's timeline ~100 rows; the as-of
     // union+window shuffles ONCE on user_id regardless of row count

@@ -68,23 +68,10 @@ object Bench {
     // emit them in the JSON, and exit non-zero if any query broke.
     var errors = Map.empty[String, String]
 
-    // Per-query shuffle accounting: a stage-completion listener accumulates
-    // task-level shuffle write bytes (covers EVERY job a query runs,
-    // including iterative operators' internal supersteps); the bus is
-    // drained before reading so the async event queue cannot race the
-    // snapshot.
-    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val m = s.stageInfo.taskMetrics
-        if (m != null) shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
-    def shuffleSnapshot(): Long = {
-      org.apache.spark.GraftSparkShim.drainListenerBus(spark.sparkContext)
-      shuffleAcc.get()
-    }
+    // Per-query shuffle accounting (see ShuffleAccounting: plan-property
+    // bytes, the drift-immune half of the evidence).
+    val shuffle = new graft.util.ShuffleAccounting(spark.sparkContext)
+    def shuffleSnapshot(): Long = shuffle.snapshot()
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).count()

@@ -120,17 +120,27 @@ object BenchScale {
     generate(spark, src, scaleDir, reps)
 
     val fns = Headline.map(q => q -> SparkEntry.queries(q))
+    // Shuffle-byte accounting alongside the wall clock: shared-box timing
+    // drifts ±25% run to run, but the bytes a plan shuffles are a property
+    // of the plan and the data — the byte RATIO vs sf0.1 is the
+    // drift-immune scaling evidence (a super-linear shuffle ratio is a
+    // real scale wall even when a lucky timing run hides it).
+    val shuffle = new graft.util.ShuffleAccounting(spark.sparkContext)
     // warm-up (JIT/codegen/index builds), then min-of-2 timed
     fns.foreach { case (_, fn) => fn(spark, scaleDir).count() }
     System.gc(); Thread.sleep(2000)
     val results = fns.map { case (name, fn) =>
+      var shuffleBytes = 0L
       val times = (1 to 2).map { _ =>
         System.gc()
+        val s0 = shuffle.snapshot()
         val t0 = System.nanoTime()
         fn(spark, scaleDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        shuffleBytes = shuffle.snapshot() - s0 // bus drain stays untimed
+        dt
       }
-      name -> times.min
+      (name, times.min, shuffleBytes)
     }
 
     // RECALL evidence: the occupancy sizing trades candidate volume for
@@ -169,15 +179,20 @@ object BenchScale {
       if (per.isEmpty) 0.0 else per.sum / per.size
     }
 
-    // scaling evidence: ratio against the committed sf0.1 per-query map
-    val sf01: Map[String, Double] =
+    // scaling evidence: ratios against the committed sf0.1 per-query map —
+    // both seconds (noisy) and shuffle MB (drift-immune plan property)
+    val (sf01, sf01Shuffle): (Map[String, Double], Map[String, Double]) =
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
           new java.io.File("bench/bench_sf0.1.json"))
         import scala.jdk.CollectionConverters._
-        root.get("queries").properties().asScala
-          .map(e => e.getKey -> e.getValue.get("sec").asDouble()).toMap
-      } catch { case _: Exception => Map.empty }
+        val entries = root.get("queries").properties().asScala.toSeq
+        (entries.map(e => e.getKey -> e.getValue.get("sec").asDouble()).toMap,
+         entries.flatMap { e =>
+           Option(e.getValue.get("shuffle_mb"))
+             .map(v => e.getKey -> v.asDouble())
+         }.toMap)
+      } catch { case _: Exception => (Map.empty, Map.empty) }
 
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -188,9 +203,14 @@ object BenchScale {
     lines.append(s"""  "total_s": ${f3(total)},\n""")
     lines.append(s"""  "n": ${results.size},\n""")
     lines.append("  \"queries\": {\n")
-    lines.append(results.map { case (k, v) =>
-      val ratio = sf01.get(k).map(b => f3(v / b)).getOrElse("null")
-      s"""    "$k": {"sec": ${f3(v)}, "x_vs_sf0.1": $ratio}"""
+    lines.append(results.map { case (k, v, b) =>
+      val ratio = sf01.get(k).map(s => f3(v / s)).getOrElse("null")
+      val mb = f3(b / 1e6)
+      // shuffle ratio only when the sf0.1 side moved ≥0.05 MB: below that
+      // the denominator is metadata noise and the ratio is meaningless
+      val shRatio = sf01Shuffle.get(k).filter(_ >= 0.05)
+        .map(s => f3(b / 1e6 / s)).getOrElse("null")
+      s"""    "$k": {"sec": ${f3(v)}, "x_vs_sf0.1": $ratio, "shuffle_mb": $mb, "shuffle_x_vs_sf0.1": $shRatio}"""
     }.mkString(",\n"))
     lines.append("\n  },\n")
     lines.append(s"""  "recall": {"knn_graph_ivf@${
@@ -207,9 +227,12 @@ object BenchScale {
     java.nio.file.Files.write(outDir.resolve(outName),
       lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"recall_knn_graph_ivf":${f3(graphRecall)},"dir":"$scaleDir"}""")
-    results.sortBy(-_._2).foreach { case (k, v) =>
-      val r = sf01.get(k).map(b => f"  (${v / b}%.1fx vs sf0.1)").getOrElse("")
-      println(f"  $k%-24s ${v}%8.3f s$r")
+    results.sortBy(-_._2).foreach { case (k, v, b) =>
+      val r = sf01.get(k).map(s => f"  (${v / s}%.1fx vs sf0.1)").getOrElse("")
+      val sh = sf01Shuffle.get(k).filter(_ >= 0.05)
+        .map(s => f"  shuffle ${b / 1e6}%.1f MB (${b / 1e6 / s}%.1fx)")
+        .getOrElse(f"  shuffle ${b / 1e6}%.1f MB")
+      println(f"  $k%-24s ${v}%8.3f s$r$sh")
     }
     spark.stop()
   }

@@ -32,11 +32,13 @@ import graft.util.Timing.timeIt
   * practice, so training stays O(cap·lists) at any corpus size) → assign
   * EVERY vector its nearest-centroid `list_id` (map-side model.transform
   * over the full corpus) → write the index dataset **Hive-partitioned by
-  * list_id, one file per list** + a tiny centroid sidecar. Past ~10⁵
-  * lists the n·lists assignment pass is the next wall — the standard
-  * escalation is a hierarchical coarse quantizer (assign via a small
-  * centroid-over-centroids index); out of scope until list counts get
-  * there.
+  * list_id, one file per list** + a tiny centroid sidecar. The PROBE-side
+  * assignment already escalates to a hierarchical coarse quantizer past
+  * [[HierarchicalAssignLists]] lists ([[assignProbesHierarchical]]);
+  * build's own top-1 transform pass stays flat n·lists (KMeansModel's
+  * norm-pruned predict — measured 51× at 100× data, not the wall the
+  * probe side was) and is the next candidate for the same escalation if
+  * list counts pass ~10⁵.
   *
   * Probe: rank centroids by the opclass distance to the query → read ONLY
   * the `nprobe` nearest list partitions (directory-level partition pruning —
@@ -62,6 +64,17 @@ object IvfIndex {
 
   /** Minimum expected training rows per centroid when sampling engages. */
   val TrainRowsPerList = 40
+
+  /** List count past which KMeans init switches from `k-means||` to
+    * seeded `random` — the faiss practice for coarse quantizers: the
+    * parallel init's candidate-selection passes cost a multiple of a
+    * Lloyd iteration and buy placement quality that a corpus-proportional
+    * list count doesn't need (the scale bench measures recall directly).
+    * Below the threshold (every oracle fixture) init is untouched, so
+    * fixture index layouts stay bit-identical. */
+  val RandomInitLists = 256
+  private def initModeFor(lists: Int): String =
+    if (lists >= RandomInitLists) "random" else "k-means||"
 
   /** Absolute ceiling on the training sample: the per-centroid minimum
     * grows the cap with the list count, and at constant occupancy that
@@ -167,6 +180,7 @@ object IvfIndex {
         .transform(feats)
       val model = new KMeans()
         .setK(lists).setSeed(Seed).setDistanceMeasure("cosine")
+        .setInitMode(initModeFor(lists))
         .setFeaturesCol("nfv").setPredictionCol("list_id")
         .fit(sampled(normed))
       writeCentroids(spark, indexPath, model.clusterCenters, normalize = true)
@@ -184,6 +198,7 @@ object IvfIndex {
         .withColumn("fv", array_to_vector(col(vecCol).cast("array<double>")))
       val model = new KMeans()
         .setK(lists).setSeed(Seed).setDistanceMeasure("euclidean")
+        .setInitMode(initModeFor(lists))
         .setFeaturesCol("fv").setPredictionCol("list_id")
         .fit(sampled(feats))
       writeCentroids(spark, indexPath, model.clusterCenters, normalize = false)
@@ -467,14 +482,65 @@ object IvfIndex {
       s"$what got a query frame past $MaxServingBatch rows: $guidance")
   }
 
+  /** List count at which [[assignProbes]] escalates to the TWO-LEVEL
+    * (coarse-quantizer) assignment. Below it the flat broadcast ranking
+    * is both cheaper and exact; above it the flat form's n·lists distance
+    * evaluations are the measured scale wall (bench_sf10.json:
+    * knn_graph_ivf 112× at 100× data, ~36 s of it the assignment
+    * crossJoin at 200k × 3125 lists). */
+  val HierarchicalAssignLists = 512
+
+  /** Coarse groups each query descends into on the hierarchical path —
+    * the recall knob of the two-level assignment: a list whose coarse
+    * parent is outside the query's top-[[CoarseProbes]] groups cannot be
+    * probed. 8 descends into ~8·√(lists/8) member centroids, which for
+    * every engaging list count comfortably covers typical `probes`. */
+  val CoarseProbes = 8
+
+  /** Ceiling on the coarse group count (keeps the driver-side Lloyd and
+    * the level-1 broadcast bounded at the 65536-list cap). */
+  val CoarseGroupsMax = 256
+
+  /** Fixed Lloyd iterations / training cap for the coarse clustering —
+    * deterministic (evenly-spaced init over the list_id order, no RNG),
+    * bounded driver work: ≤ cap·groups·dim·iters flops over index
+    * METADATA. Grouping quality only shifts which lists co-reside in a
+    * coarse bucket (a recall, never a correctness, effect). */
+  val CoarseLloydIters = 8
+  val CoarseLloydTrainCap = 8192
+
   /** The SHARED probe-assignment stage of [[searchMany]], knn_graph_ivf
-    * and dedup_embedding_ivf: each query row joins the BROADCAST centroid
-    * sidecar map-side and keeps its `probes` nearest lists by `dist` in a
-    * bounded heap — emitting (qid, qv, list_id) probe rows, nothing
-    * driver-side. One definition so tie-breaking and casts cannot drift
-    * between the three consumers. Duplicate qids collapse to one
-    * representative vector (`first`) — see the [[searchMany]] contract. */
+    * and dedup_embedding_ivf: each query row keeps its `probes` nearest
+    * lists by `dist` in a bounded heap — emitting (qid, qv, list_id)
+    * probe rows, nothing query-frame-sized driver-side. One definition so
+    * tie-breaking and casts cannot drift between the consumers. Duplicate
+    * qids collapse to one representative vector (`first`) — see the
+    * [[searchMany]] contract.
+    *
+    * Dispatch: with fewer than [[HierarchicalAssignLists]] lists — or
+    * when `probes` approaches the list count (probe-all / adaptive
+    * escalation territory, where full coverage must stay guaranteed) —
+    * the FLAT form ranks every centroid per query (exact assignment,
+    * broadcast crossJoin, n·lists work). Past both gates it escalates to
+    * [[assignProbesHierarchical]] — the faiss-practice coarse quantizer
+    * (IMI/HNSW-over-centroids family) that caps assignment work at
+    * ~n·√lists: with corpus-proportional list counts the flat form is
+    * n²/occupancy, the measured 100× scale wall. */
   private[graft] def assignProbes(queries: DataFrame, cents: DataFrame,
+      qidCol: String, qvecCol: String, probes: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    // one metadata-count job on the sidecar frame (single-file parquet —
+    // a footer read) decides the path
+    val nLists = cents.count()
+    if (nLists < HierarchicalAssignLists || probes.toLong * 4 >= nLists)
+      assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
+    else
+      assignProbesHierarchical(queries, cents, qidCol, qvecCol, probes, dist)
+  }
+
+  /** Flat assignment: rank ALL centroids per query against the broadcast
+    * sidecar — exact, n·lists work. The small-index and probe-all path. */
+  private[graft] def assignProbesFlat(queries: DataFrame, cents: DataFrame,
       qidCol: String, qvecCol: String, probes: Int,
       dist: (Column, Column) => Column): DataFrame = {
     import graft.functions.top_k_by_distance
@@ -489,6 +555,125 @@ object IvfIndex {
         top_k_by_distance(col("cdist"), col("lid"), probes).as("top"))
       .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
       .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+  }
+
+  /** TWO-LEVEL assignment — the hierarchical coarse quantizer the flat
+    * form escalates to at scale (the standard faiss recipe: assign via a
+    * small centroid-over-centroids index instead of ranking every list).
+    *
+    * Level 0 (driver, once per call): collect the centroid sidecar
+    * (|lists| rows — index METADATA, the writeRadii/filteredKnn budget)
+    * and Lloyd-cluster it into ~√([[CoarseProbes]]·lists) coarse groups
+    * (capped at [[CoarseGroupsMax]]) — deterministic: evenly-spaced init,
+    * fixed iterations, no RNG, so the same sidecar always yields the same
+    * grouping. Euclidean grouping geometry matches [[build]]'s layout for
+    * every metric (cosine sidecar centroids are unit-norm, where Euclidean
+    * and angular order agree; ranking below uses the caller's `dist`,
+    * which for cosine is scale-invariant so un-normalized coarse means
+    * rank correctly).
+    *
+    * Level 1-2 (distributed): each query ranks the BROADCAST coarse
+    * centers in a bounded heap (n·√lists work), descends into its top
+    * [[CoarseProbes]] groups via ONE broadcast equi-join on coarse_id,
+    * and heap-ranks only those groups' member centroids
+    * (n·[[CoarseProbes]]·lists/groups work). Both heaps are the shared
+    * [[graft.functions.top_k_by_distance]]; stage 2 reuses stage 1's
+    * qid hash partitioning, so the whole assignment still shuffles ONCE.
+    *
+    * APPROXIMATE: a true top-`probes` list whose coarse parent is outside
+    * the query's top coarse groups is missed — the same contract (and the
+    * same recall gates) as the probe paths that consume this. Exactness
+    * escape hatches are untouched: probe-all and the adaptive form's
+    * full-coverage round satisfy `probes·4 ≥ lists` and take the flat
+    * path. */
+  private[graft] def assignProbesHierarchical(queries: DataFrame,
+      cents: DataFrame, qidCol: String, qvecCol: String, probes: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    import graft.functions.top_k_by_distance
+    val spark = queries.sparkSession
+    val pts = cents.select("list_id", "centroid").collect().map { r =>
+      (r.getInt(0), r.getAs[collection.Seq[Float]](1).toArray)
+    }
+    val groups = math.min(CoarseGroupsMax,
+      math.ceil(math.sqrt(CoarseProbes.toDouble * pts.length)).toInt)
+    val (centers, grouping) = lloydCoarse(pts.map(_._2), groups)
+    val coarseDf = spark.createDataFrame(
+      centers.zipWithIndex.map { case (v, i) => (i, v) }.toIndexedSeq)
+      .toDF("coarse_id", "ccent")
+    val memberDf = spark.createDataFrame(
+      pts.zip(grouping).map { case ((lid, v), g) => (g, lid, v) }.toIndexedSeq)
+      .toDF("coarse_id", "list_id", "centroid")
+    queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+      .crossJoin(broadcast(coarseDf))
+      .select(col("qid"), col("qv"),
+        col("coarse_id").cast("long").as("cid"),
+        dist(col("ccent"), col("qv")).as("cdist"))
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        top_k_by_distance(col("cdist"), col("cid"), CoarseProbes).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("cid"))
+      .select(col("qid"), col("qv"), col("cid").cast("int").as("coarse_id"))
+      .join(broadcast(memberDf), Seq("coarse_id"))
+      .select(col("qid"), col("qv"),
+        col("list_id").cast("long").as("lid"),
+        dist(col("centroid"), col("qv")).as("cdist"))
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        top_k_by_distance(col("cdist"), col("lid"), probes).as("top"))
+      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
+      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+  }
+
+  /** Deterministic driver-side Lloyd over the centroid sidecar: evenly
+    * spaced init along the list_id order, [[CoarseLloydIters]] fixed
+    * iterations on ≤ [[CoarseLloydTrainCap]] evenly-sampled points, then
+    * one full assignment pass. Ties break to the lower group id; an
+    * emptied group keeps its previous center. Returns (coarse centers,
+    * group per input point). */
+  private[graft] def lloydCoarse(points: Array[Array[Float]],
+      groups: Int): (Array[Array[Float]], Array[Int]) = {
+    val n = points.length
+    val c = math.max(1, math.min(groups, n))
+    val dim = points(0).length
+    val train: Array[Int] =
+      if (n <= CoarseLloydTrainCap) Array.range(0, n)
+      else Array.tabulate(CoarseLloydTrainCap)(i =>
+        ((i.toLong * n) / CoarseLloydTrainCap).toInt)
+    var centers = Array.tabulate(c)(i =>
+      points(train(((i.toLong * train.length) / c).toInt)).clone())
+    def nearest(p: Array[Float], cs: Array[Array[Float]]): Int = {
+      var best = 0; var bd = Double.MaxValue; var g = 0
+      while (g < cs.length) {
+        val cv = cs(g); var s = 0.0; var j = 0
+        while (j < dim) { val d = p(j).toDouble - cv(j).toDouble; s += d * d; j += 1 }
+        if (s < bd) { bd = s; best = g }
+        g += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < CoarseLloydIters) {
+      val sums = Array.ofDim[Double](c, dim)
+      val cnt = new Array[Long](c)
+      var i = 0
+      while (i < train.length) {
+        val p = points(train(i)); val g = nearest(p, centers)
+        val s = sums(g); var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        cnt(g) += 1; i += 1
+      }
+      centers = Array.tabulate(c) { g =>
+        if (cnt(g) == 0L) centers(g)
+        else {
+          val m = new Array[Float](dim); var j = 0
+          while (j < dim) { m(j) = (sums(g)(j) / cnt(g)).toFloat; j += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    (centers, points.map(nearest(_, centers)))
   }
 
   /** Batch probe: many queries in one distributed pass.

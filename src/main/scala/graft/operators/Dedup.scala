@@ -235,23 +235,27 @@ object Dedup {
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
     // the shared assignment stage (IvfIndex.assignProbes — one definition
-    // across the IVF scale paths); qv is not needed here
+    // across the IVF scale paths); qv rides along so the verify stage
+    // scores IN the join — no candidate-sized distinct before scoring and
+    // no re-join against the embeddings table (the first cut distinct'd
+    // the raw pair ids then joined e twice: three candidate-volume
+    // shuffles, measured 2.7 GB / 448× at 100× data)
     val assigned = graft.index.IvfIndex.assignProbes(
-        e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
-      .select(col("qid").as("vec_id"), col("list_id"))
+      e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
     val home = spark.read.parquet(s"$idx/lists")
-      .select(col("vec_id").as("m"), col("list_id"))
-    val candIds = assigned
+      .select(col("vec_id").as("m"), col("embedding").as("mv"), col("list_id"))
+    // a pair survives threshold-first scoring at most twice (x probing
+    // y's home list and y probing x's — elementwise product commutes, so
+    // both directions score BIT-EQUAL sim) → distinct on the thresholded
+    // survivors is exact and survivor-sized, not candidate-sized
+    assigned
       .join(home, Seq("list_id"))
-      .filter(col("vec_id") =!= col("m"))
-      .select(least(col("vec_id"), col("m")).as("a"),
-        greatest(col("vec_id"), col("m")).as("b"))
-      .distinct()
-    candIds
-      .join(e.select(col("vec_id").as("a"), col("embedding").as("v1")), "a")
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("v2")), "b")
-      .select(col("a"), col("b"), cosine_similarity(col("v1"), col("v2")).as("sim"))
+      .filter(col("qid") =!= col("m"))
+      .select(least(col("qid"), col("m")).as("a"),
+        greatest(col("qid"), col("m")).as("b"),
+        cosine_similarity(col("qv"), col("mv")).as("sim"))
       .filter(col("sim") >= EmbeddingThreshold)
+      .distinct()
       .orderBy("a", "b")
   }
 

@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   * data-dependent and the near-uniform synthetic embeddings are its
   * documented adversarial case (80× measured at 10× data — the
   * motivation for the twin).
+  *
+  * READING the shuffle ratios: `shuffle_x_vs_sf0.1` far above the data
+  * ratio is usually the BROADCAST→shuffle-join transition, not
+  * super-linear volume — at sf0.1 a join side fits the auto-broadcast
+  * bound (shuffle ≈ 0), at some scale point it stops fitting and both
+  * sides shuffle their (row-linear) bytes, so the ratio against the
+  * broadcast-era baseline jumps as a step. The discriminating evidence
+  * is the byte growth BETWEEN the two largest committed points past the
+  * transition (e.g. knn_graph_ivf sf3→sf10: 3.4× bytes on 3.33× data —
+  * linear). A genuinely quadratic plan grows super-linearly between
+  * EVERY pair of points, which is what this caught for the flat probe
+  * assignment before [[graft.index.IvfIndex.assignProbesHierarchical]].
   */
 object BenchScale {
 

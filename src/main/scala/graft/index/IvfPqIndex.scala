@@ -347,7 +347,15 @@ object IvfPqIndex {
     * work (the subspace dots are recomputed per row) instead of O(m) LUT
     * lookups — the price of having no per-query driver state. For
     * serving-sized batches the LUT path wins; past [[MaxServingBatch]]
-    * queries, only this form scales. */
+    * queries, only this form scales.
+    *
+    * Stage 1 ranks ALL coarse centroids per query (n·lists flops) — fine
+    * at the serving-style coarse counts IVFPQ is built with here, but a
+    * corpus-proportional `lists` would reproduce the quadratic the dense
+    * family measured at its 100× point; the escalation recipe is
+    * [[IvfIndex.assignProbesHierarchical]] (two-level coarse quantizer),
+    * to be applied here when a PQ deployment sizes lists with the
+    * corpus. */
   def searchMany(spark: SparkSession, indexPath: String, queries: DataFrame,
                  qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._

@@ -158,6 +158,13 @@ package object functions {
   def tri_products_moments(v: Column): Column =
     col(TriProducts(expr(v), withMoments = true))
 
+  /** Single-buffer exact covariance moments: struct(sums, n) where sums is
+    * the d(d+1)/2 upper-triangle DECIMAL product sums followed by the d
+    * first-moment sums — no per-term rows, d learned from the data
+    * ([[CovMomentSums]]). */
+  def cov_moment_sums(v: Column): Column =
+    col(CovMomentSums(expr(v)).toAggregateExpression())
+
   /** Single-pass MinHash signature aggregate (input: pmod'ed hash ∈ [0,P)). */
   def minhash_signature(h: Column, numPerms: Int, prime: Long): Column =
     col(MinhashSignature(expr(h), numPerms, prime).toAggregateExpression())

@@ -866,8 +866,10 @@ object SimilarityQueries {
     } finally cand.unpersist()
   }
 
-  /** Fixture embedding dimensionality (TESTDATA.md); the operator reads it
-    * from the data at runtime when it differs. */
+  /** Fixture embedding dimensionality (TESTDATA.md) — documentation only:
+    * the covariance/PCA family learns d from the data at runtime
+    * ([[graft.functions.CovMomentSums]]), so the reference's default 384
+    * dims (README.md:38) work unchanged. */
   val CovDims = 64
 
   /** Upper-triangle covariance matrix of the embedding columns — the
@@ -880,51 +882,45 @@ object SimilarityQueries {
     * arithmetic — so the oracle matches bit-for-bit with no
     * accumulation-order dependence, unlike a raw double Σ.
     *
-    * Scale shape: ONE pass; per row the d(d+1)/2 products explode from a
-    * generated array and feed a hash agg with map-side combine — the
-    * shuffle carries ≤2080 partial rows per partition regardless of corpus
-    * size. CPU is O(d²/2) per row, inherent to covariance. */
-  /** ONE-pass moment collection: the fused explode
-    * ([[graft.functions.tri_products_moments]]) emits the d(d+1)/2 products
-    * AND the d raw components per row, so a single hash agg (map-side
-    * combined, ≤2144 partial rows per partition at d=64) yields the exact
-    * DECIMAL(28,9) second-moment sums sᵢⱼ, first-moment sums sᵢ and row
-    * count n. The collect is d(d+1)/2 + d rows — model-sized, bounded by
-    * dimensionality, never by corpus size (the centroid-sidecar pattern).
+    * Scale shape: ONE pass; per row the d(d+1)/2 products accumulate into
+    * a single typed map-side buffer ([[graft.functions.CovMomentSums]]) —
+    * the shuffle carries ONE buffer per partition regardless of corpus
+    * size OR dimensionality. CPU is O(d²/2) per row, inherent to
+    * covariance. */
+  /** ONE-pass moment collection: the single-buffer
+    * [[graft.functions.CovMomentSums]] aggregate carries the d(d+1)/2
+    * DECIMAL product sums sᵢⱼ, the d first-moment sums sᵢ and the row count
+    * n in ONE map-side buffer per partition — no per-term rows at all, so
+    * the pass costs the same shuffle (one buffer/partition) at d=64 and at
+    * the reference's default d=384, where the former posexplode emitted
+    * ~74k rows per input row. d is learned from the data; a ragged corpus
+    * (mixed dims) fails loud inside the aggregate. The collect is one
+    * struct row — model-sized, bounded by dimensionality, never by corpus
+    * size (the centroid-sidecar pattern).
     * Returns (sij upper-triangle row-major, si, n). */
   private[operators] def collectMoments(
-      spark: SparkSession, sfDir: String): (Array[JBD], Array[JBD], Long) = {
-    val d = CovDims
-    val t = d * (d + 1) / 2
+      spark: SparkSession, sfDir: String): (Array[JBD], Array[JBD], Long) =
+    collectMomentsOf(Tables.embeddings(spark, sfDir))
+
+  private[operators] def collectMomentsOf(
+      embeddings: DataFrame): (Array[JBD], Array[JBD], Long) = {
+    val spark = embeddings.sparkSession
     val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val rows = Tables.embeddings(spark, sfDir)
-      // pre-explode fan-out: each row becomes d(d+1)/2 + d terms —
-      // parallelism must come from rows, not input splits
+    val row = embeddings
+      // per-row work is O(d²) BigDecimal terms — parallelism must come from
+      // rows, not input splits (a single parquet file is one split)
       .repartition(shuffleParts)
-      .select(posexplode(graft.functions.tri_products_moments(col("embedding")))
-        .as(Seq("pos", "p")))
-      .groupBy("pos")
-      .agg(sum(round(col("p"), 9).cast("decimal(28,9)")).as("s"),
-        count(lit(1)).as("n"))
-      .collect()
-    require(rows.length == t + d,
-      s"collectMoments: expected ${t + d} moment groups, got ${rows.length}")
-    val sij = new Array[JBD](t)
-    val si = new Array[JBD](d)
-    var n = -1L
-    rows.foreach { r =>
-      val pos = r.getInt(0)
-      val s = r.getDecimal(1)
-      if (pos < t) sij(pos) = s else si(pos - t) = s
-      // every moment position must see every row: a mixed-dimensionality
-      // corpus would diverge the per-pos counts and make n depend on
-      // collect order — fail loud instead of returning a silently wrong
-      // covariance
-      if (n == -1L) n = r.getLong(2)
-      else require(n == r.getLong(2),
-        s"collectMoments: ragged embedding dims (pos $pos saw ${r.getLong(2)} rows, others $n)")
-    }
-    (sij, si, n)
+      .agg(graft.functions.cov_moment_sums(col("embedding")).as("m"))
+      .select(col("m.sums"), col("m.n"))
+      .head()
+    val all = row.getSeq[JBD](0).toArray
+    val n = row.getLong(1)
+    // |sums| = d(d+1)/2 + d → invert for d
+    val d = ((math.sqrt(9.0 + 8.0 * all.length) - 3.0) / 2.0).round.toInt
+    val t = d * (d + 1) / 2
+    require(t + d == all.length,
+      s"collectMoments: malformed moment layout (${all.length} slots)")
+    (all.take(t), all.drop(t), n)
   }
 
   /** Driver-side covariance matrix from the collected moments, mirroring
@@ -936,7 +932,7 @@ object SimilarityQueries {
     * driver work, like the Jacobi eigensolve that consumes it. */
   private[operators] def covFromMoments(
       sij: Array[JBD], si: Array[JBD], n: Long): Array[Array[Double]] = {
-    val d = CovDims
+    val d = si.length
     val nd = n.toDouble
     val c = Array.ofDim[Double](d, d)
     var pos = 0
@@ -959,9 +955,9 @@ object SimilarityQueries {
   }
 
   def embeddingCovariance(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = CovDims
     import spark.implicits._
     val (sij, si, n) = collectMoments(spark, sfDir)
+    val d = si.length
     val c = covFromMoments(sij, si, n)
     val rows = for { i <- 0 until d; j <- i until d }
       yield (i.toLong, j.toLong, c(i)(j))
@@ -979,10 +975,10 @@ object SimilarityQueries {
     * [[PcaIters]] unrolled power-iteration rounds, then every embedding
     * projected onto it. Emits (vec_id, pc1 score, eigenvalue estimate).
     *
-    * Scale shape: the covariance relation is d²-sized (≤2080 rows at
-    * d=[[CovDims]]) — bounded, collected to the driver like the centroid
-    * sidecars, where the two matvec+normalize rounds run in exact decimal;
-    * the resulting 64-float eigenvector returns to the cluster as a
+    * Scale shape: the covariance relation is d²-sized (one aggregate
+    * buffer, d learned from the data) — bounded, collected to the driver
+    * like the centroid sidecars, where the two matvec+normalize rounds run
+    * in exact decimal; the resulting d-float eigenvector returns as a
     * LITERAL, so the projection is one shuffle-free codegen'd map over the
     * corpus. The only corpus-sized work is covariance's single pass.
     *
@@ -1000,11 +996,11 @@ object SimilarityQueries {
     def round9(x: Double): JBD = JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
     def round6(x: Double): Double =
       JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
-    val d = CovDims
-    // ONE corpus pass: the fused moment aggregation (bounded d²-sized
+    // ONE corpus pass: the single-buffer moment aggregation (one struct-row
     // collect), covariance derived driver-side — bit-identical to the
     // embedding_covariance relation (covFromMoments mirrors the oracle).
     val (sijM, siM, nM) = collectMoments(spark, sfDir)
+    val d = siM.length
     val c = covFromMoments(sijM, siM, nM)
     var v = Array.fill(d)(1.0f)
     var eig = 0.0

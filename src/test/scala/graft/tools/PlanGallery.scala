@@ -132,10 +132,11 @@ object PlanGallery {
       "top_k_by_distance aggregate over a salted hash — map-side N-heaps " +
       "per cluster × partition, never a row_number window funnelling " +
       "corpus/K rows through one reducer."),
-    "embedding_covariance" -> ("Single-pass covariance: the codegen'd " +
-      "fused tri_products_moments explode (products + raw components) " +
-      "feeds ONE 2144-group hash agg with map-side combine — the shuffle " +
-      "carries ≤ d(d+1)/2 + d partial rows per partition regardless of " +
+    "embedding_covariance" -> ("Single-pass covariance: the single-buffer " +
+      "cov_moment_sums TypedImperativeAggregate holds ALL d(d+1)/2 + d " +
+      "exact DECIMAL partials in one map-side buffer (d learned from the " +
+      "data — no explode rows at any dimensionality) — the shuffle " +
+      "carries ONE buffer per partition regardless of " +
       "corpus size; the bounded moment relation collects and the 6dp cov " +
       "cells derive driver-side (O(d²), the eigensolve's scale class), so " +
       "means cost no second corpus scan. That corpus pass runs EAGERLY " +
@@ -147,7 +148,7 @@ object PlanGallery {
       "covariance+moments agg — runs eagerly at build, like " +
       "embedding_covariance, so it is not in the plan below), " +
       "sidecar-sized collect, power-iteration matvecs in exact decimal " +
-      "on the driver, and the 64-float eigenvector returns as a LITERAL " +
+      "on the driver, and the d-float eigenvector returns as a LITERAL " +
       "— so the per-row score below is one codegen'd inner_product " +
       "inside the scan's WholeStageCodegen span, shuffle-free."),
     "heavy_hitters" -> ("Sketch-then-verify top-k tokens: per-partition " +

@@ -31,8 +31,9 @@ import graft.util.Timing.timeIt
   * deterministic id-hash sample past [[DefaultTrainCap]] — faiss
   * practice, so training stays O(cap·lists) at any corpus size) → assign
   * EVERY vector its nearest-centroid `list_id` (map-side model.transform
-  * over the full corpus) → write the index dataset **Hive-partitioned by
-  * list_id, one file per list** + a tiny centroid sidecar. The PROBE-side
+  * over the full corpus) → write the index dataset **Hive-partitioned into
+  * ≤ [[MaxListDirs]] list-bucket directories, rows sorted by list_id** +
+  * a tiny centroid sidecar. The PROBE-side
   * assignment already escalates to a hierarchical coarse quantizer past
   * [[HierarchicalAssignLists]] lists ([[assignProbesHierarchical]]);
   * build's own top-1 transform pass stays flat n·lists (KMeansModel's
@@ -41,9 +42,10 @@ import graft.util.Timing.timeIt
   * list counts pass ~10⁵.
   *
   * Probe: rank centroids by the opclass distance to the query → read ONLY
-  * the `nprobe` nearest list partitions (directory-level partition pruning —
-  * at 100 TB a probe touches nprobe/lists of the data) → exact top-k in the
-  * same metric within them. `nprobe = lists` degrades to exact search
+  * the `nprobe` nearest lists' bucket directories (directory-level
+  * partition pruning + row-group skipping on the sorted list_id column —
+  * at 100 TB a probe touches ~nprobe/lists of the data) → exact top-k in
+  * the same metric within them. `nprobe = lists` degrades to exact search
   * (tested per metric).
   */
 object IvfIndex {
@@ -89,6 +91,49 @@ object IvfIndex {
     * vector_l2_ops / vector_ip_ops). The whole index is keyed to ONE
     * metric, like ivfflat. */
   val Metrics = Set("cosine", "l2", "ip")
+
+  /** Directory-count ceiling for the lists dataset. One Hive directory per
+    * list was file-METADATA-bound at scale (measured: ivf_build 49.5× at
+    * 100× data, the tail all directory creation/listing at 3,125 lists —
+    * and thousands of tiny directories is an object-store anti-pattern:
+    * S3 LIST costs per probe). Lists land in `bucket = pmod(list_id,
+    * MaxListDirs)` directories instead (the Bm25Index postings recipe),
+    * with `list_id` kept as a DATA column sorted within each bucket file,
+    * so a probe prunes to ≤ nprobe bucket directories and parquet
+    * row-group stats skip non-probed lists inside them. pmod keeps the
+    * bucket derivable from list_id ALONE (no list-count lookup at read
+    * time), and below MaxListDirs lists `pmod(list_id, MaxListDirs) =
+    * list_id` — fixture-scale layouts keep one directory per list. */
+  val MaxListDirs = 512
+
+  private[graft] def bucketOf(listId: Column): Column =
+    pmod(listId, lit(MaxListDirs)).cast("int")
+
+  /** Write `assigned` (…, list_id) as the bucketed lists dataset: one
+    * writer task per bucket (repartition on the partition key — without
+    * it, partitionBy splits every upstream partition by every bucket it
+    * holds and the dataset lands as up to |partitions|·|buckets| small
+    * files), rows sorted by list_id within each file so row-group min/max
+    * stats prune non-probed lists on read. Oversized buckets split via
+    * spark.sql.files.maxRecordsPerFile when configured. */
+  private[graft] def writeLists(assigned: DataFrame, listsPath: String,
+                                mode: String): Unit =
+    assigned.withColumn("bucket", bucketOf(col("list_id")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("list_id")
+      .write.mode(mode).partitionBy("bucket").parquet(listsPath)
+
+  /** The lists dataset pruned to `listIds`: bucket-directory pruning plus
+    * the list_id row filter (row-group skipping within a bucket). Adapts
+    * to the legacy one-directory-per-list layout (no bucket column),
+    * where the list_id filter itself is the directory pruner. */
+  private[graft] def pruneLists(lists: DataFrame, listIds: Seq[Int]): DataFrame = {
+    val base = lists.filter(col("list_id").isin(listIds: _*))
+    if (lists.columns.contains("bucket"))
+      base.filter(col("bucket").isin(
+        listIds.map(i => math.floorMod(i, MaxListDirs)).distinct: _*))
+    else base
+  }
 
   /** The metric an index at `indexPath` was built with ("cosine" for
     * pre-metric indexes without a meta sidecar). */
@@ -205,16 +250,7 @@ object IvfIndex {
       model.transform(feats)
         .select((srcCols :+ "list_id").map(col): _*)
     }
-    // ONE writer task per list (repartition on the partition key), so the
-    // lists dataset is |lists| files — without this, partitionBy splits
-    // every upstream partition by every list it holds and the dataset
-    // lands as up to |partitions|·|lists| small files, a read
-    // amplification EVERY probe and every bucketed candidate join then
-    // pays (measured: the sf1 ivf_build/dedup_embedding_ivf read tails
-    // were file-listing-bound, not compute-bound). Oversized lists split
-    // via spark.sql.files.maxRecordsPerFile when configured.
-    assigned.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/lists")
+    writeLists(assigned, s"$indexPath/lists", "overwrite")
     import spark.implicits._
     // metric stays field 0 (metricOf reads by position for legacy metas);
     // vec_col lets the rewrite match a sort to the column the index was
@@ -322,8 +358,15 @@ object IvfIndex {
         .select((srcCols :+ "list_id").map(col): _*)
         .persist() // single execution across write + count
       try {
-        assigned.write.mode("append").partitionBy("list_id")
-          .parquet(s"$indexPath/lists")
+        // match the EXISTING layout (one schema read): a bucketed index
+        // appends into bucket directories, a legacy per-list index keeps
+        // its per-list layout — mixing the two would strand rows outside
+        // the probe paths' pruning filters
+        if (spark.read.parquet(s"$indexPath/lists").columns.contains("bucket"))
+          writeLists(assigned, s"$indexPath/lists", "append")
+        else
+          assigned.write.mode("append").partitionBy("list_id")
+            .parquet(s"$indexPath/lists")
         // a new member can only GROW its list's covering radius: merge the
         // appended rows' max radius per list into the sidecar so the
         // filtered probe's termination bound stays sound after appends
@@ -366,12 +409,15 @@ object IvfIndex {
       val conf = spark.sessionState.newHadoopConf()
       val lists = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
       val nBefore = FsOps.countParquetFiles(conf, lists)
-      // one output file per list directory: list partitions are sized by
-      // the build's KMeans fanout, well under one executor's file target
+      // one output file per bucket directory: buckets are sized by the
+      // build's KMeans fanout, well under one executor's file target
       FsOps.swapDir(conf, lists) { (live, staging) =>
-        spark.read.parquet(live)
-          .repartition(col("list_id"))
-          .write.partitionBy("list_id").parquet(staging)
+        val rows = spark.read.parquet(live)
+        if (rows.columns.contains("bucket"))
+          writeLists(rows.drop("bucket"), staging, "overwrite")
+        else // legacy per-list layout: preserve it (probe pruning adapts)
+          rows.repartition(col("list_id"))
+            .write.partitionBy("list_id").parquet(staging)
       }
       (nBefore, FsOps.countParquetFiles(conf, lists))
     }
@@ -430,7 +476,7 @@ object IvfIndex {
         graft.util.FsOps.swapDir(
           spark.sessionState.newHadoopConf(),
           new org.apache.hadoop.fs.Path(indexPath)) { (live, staging) =>
-          val rows = spark.read.parquet(s"$live/lists").drop("list_id")
+          val rows = spark.read.parquet(s"$live/lists").drop("list_id", "bucket")
           build(rows, staging, idCol, vc, nLists, metric)
         }
         true
@@ -449,8 +495,7 @@ object IvfIndex {
       .orderBy(col("cdist"), col("list_id"))
       .limit(nprobe)
       .collect().map(_.getInt(0))
-    spark.read.parquet(s"$indexPath/lists")
-      .filter(col("list_id").isin(centroids.toIndexedSeq: _*)) // partition pruning
+    pruneLists(spark.read.parquet(s"$indexPath/lists"), centroids.toIndexedSeq)
       .select(col("vec_id"),
         dist(col("embedding"), typedLit(query)).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -726,8 +771,7 @@ object IvfIndex {
     val probeSide = pairs.toIndexedSeq.toDF("qid", "list_id")
       .join(queries.select(col(qidCol).cast("long").as("qid"),
         col(qvecCol).as("qv")), "qid")
-    spark.read.parquet(s"$indexPath/lists")
-      .filter(col("list_id").isin(listIds: _*)) // directory-level pruning
+    pruneLists(spark.read.parquet(s"$indexPath/lists"), listIds)
       .join(broadcast(probeSide), Seq("list_id"))
       .select(col("qid"), col("vec_id"),
         dist(col("embedding"), col("qv")).as("dist"))
@@ -943,8 +987,7 @@ object IvfIndex {
     var done = ranked.isEmpty
     while (!done) {
       val newIds = ranked.slice(probed, p).map(_._1).toIndexedSeq
-      best ++= lists
-        .filter(col("list_id").isin(newIds: _*)) // directory-level pruning
+      best ++= pruneLists(lists, newIds)
         .filter(predicate)
         .select(col(idCol).cast("long").as("vec_id"),
           dist(col(vecCol), typedLit(query)).as("dist"))

@@ -38,7 +38,8 @@ object IvfPqIndex {
 
   /** Build at `indexPath`: `coarse` (list_id, centroid array<double>),
     * `codebook` (sub, code, centroid array<double>) over residuals, and
-    * `codes` (vec_id, codes) Hive-partitioned by list_id. */
+    * `codes` (vec_id, codes) in the bucketed lists layout
+    * ([[IvfIndex.MaxListDirs]] — ≤ 512 directories, list_id-sorted rows). */
   def build(embeddings: DataFrame, indexPath: String,
             lists: Int, m: Int = PqIndex.DefaultM, codes: Int = PqIndex.DefaultCodes,
             idCol: String = "vec_id", vecCol: String = "embedding",
@@ -121,7 +122,7 @@ object IvfPqIndex {
         codebook.filter(_._1 == s).sortBy(_._2).map(_._3).toArray
       }
       val bcCb = spark.sparkContext.broadcast(cb)
-      residuals.as[(Int, Long, Array[Double])]
+      val coded = residuals.as[(Int, Long, Array[Double])]
         .map { case (list, id, r) =>
           val out = new Array[Byte](m)
           var s = 0
@@ -140,8 +141,9 @@ object IvfPqIndex {
           }
           ListCode(list, id, out)
         }
-        .toDF()
-        .write.mode("overwrite").partitionBy("list_id").parquet(s"$indexPath/codes")
+      // bucketed lists layout (see IvfIndex.MaxListDirs): ≤ 512 code
+      // directories regardless of the coarse list count
+      IvfIndex.writeLists(coded.toDF(), s"$indexPath/codes", "overwrite")
       residuals.unpersist(); unitR.unpersist(); unit0.unpersist()
       spark.read.parquet(s"$indexPath/codes").count()
     }
@@ -206,8 +208,7 @@ object IvfPqIndex {
     val bcDot = spark.sparkContext.broadcast(dotLut)
     val bcConst = spark.sparkContext.broadcast(listConst)
     val bcNrm = spark.sparkContext.broadcast(nrmLuts)
-    spark.read.parquet(s"$indexPath/codes")
-      .filter(col("list_id").isin(probed: _*)) // directory-level pruning
+    IvfIndex.pruneLists(spark.read.parquet(s"$indexPath/codes"), probed)
       .select(col("list_id").cast("int").as("list_id"), col("vec_id"), col("codes"))
       .as[ListCode]
       .map { e =>
@@ -303,8 +304,7 @@ object IvfPqIndex {
       }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val listIds = byList.keys.toIndexedSeq
     val bc = spark.sparkContext.broadcast(byList)
-    spark.read.parquet(s"$indexPath/codes")
-      .filter(col("list_id").isin(listIds: _*)) // directory-level pruning
+    IvfIndex.pruneLists(spark.read.parquet(s"$indexPath/codes"), listIds)
       .select(col("list_id").cast("int").as("list_id"), col("vec_id"), col("codes"))
       .as[ListCode]
       .flatMap { e =>

@@ -200,8 +200,8 @@ object AnnIndexRegistry {
         var p = math.min(math.max(1, entry.nprobe), cap)
         var done = ranked.isEmpty
         while (!done) {
-          val survivors = idx
-            .filter(col("list_id").isin(ranked.take(p): _*))
+          val survivors = graft.index.IvfIndex
+            .pruneLists(idx, ranked.take(p))
             .filter(condCol).limit(k).count()
           if (survivors >= k || p >= cap) done = true
           else p = math.min(cap, p * 2)
@@ -457,8 +457,8 @@ case class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             AnnIndexRegistry.iterativeProbedLists(
               spark, entry, q, kLimit, filterConds)
           else AnnIndexRegistry.probedLists(spark, entry, q)
-        idxPlan = spark.read.parquet(s"${entry.indexPath}/lists")
-          .filter(col("list_id").isin(lists: _*))
+        idxPlan = graft.index.IvfIndex
+          .pruneLists(spark.read.parquet(s"${entry.indexPath}/lists"), lists)
           .queryExecution.analyzed
         byName = idxPlan.output.map(a => a.name -> a).toMap
         // schema drift (index built before a base-table column was added):

@@ -97,7 +97,7 @@ class FilteredKnnSpec extends SparkSpec {
     spark.read.parquet(s"$indexPath/centroids").drop("radius")
       .coalesce(1).write.parquet(s"$legacy/centroids")
     // lists + meta reused via copy
-    spark.read.parquet(s"$indexPath/lists")
+    spark.read.parquet(s"$indexPath/lists").drop("bucket")
       .write.partitionBy("list_id").parquet(s"$legacy/lists")
     spark.read.parquet(s"$indexPath/meta").coalesce(1).write.parquet(s"$legacy/meta")
     val pred = col("label") === 7
@@ -116,7 +116,7 @@ class FilteredKnnSpec extends SparkSpec {
       .createTempDirectory("graft_legacy_app").resolve("idx").toString
     spark.read.parquet(s"$indexPath/centroids").drop("radius")
       .coalesce(1).write.parquet(s"$legacy/centroids")
-    spark.read.parquet(s"$indexPath/lists")
+    spark.read.parquet(s"$indexPath/lists").drop("bucket")
       .write.partitionBy("list_id").parquet(s"$legacy/lists")
     spark.read.parquet(s"$indexPath/meta").coalesce(1).write.parquet(s"$legacy/meta")
     val extra = spark.read.parquet(tablePath).filter(col("vec_id") < 5)

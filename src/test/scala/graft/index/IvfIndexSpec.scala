@@ -236,4 +236,41 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("searchMany"))
   }
+
+  test("bucketed layout past MaxListDirs: ≤ MaxListDirs dirs, probe reads only probed buckets") {
+    // layout mechanics without a 1200-centroid KMeans: a synthetic
+    // assignment frame straight through writeLists/pruneLists — the exact
+    // code path build and every probe share
+    val nLists = 1200
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").resolve("lists").toString
+    val assigned = spark.range(12000).select(
+      col("id").as("vec_id"),
+      hashNoise(col("id"), 4).as("embedding"),
+      (col("id") % nLists).cast("int").as("list_id"))
+    IvfIndex.writeLists(assigned, dir, "overwrite")
+    // ≤ MaxListDirs bucket directories regardless of the list count
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("bucket="))
+    assert(dirs.length <= IvfIndex.MaxListDirs,
+      s"${dirs.length} bucket dirs for $nLists lists")
+    assert(dirs.length === IvfIndex.MaxListDirs, "1200 lists fill every bucket")
+    // pruned read: rows identical to the plain list_id filter, and the
+    // scan lists ONLY the probed lists' bucket directories
+    val probed = Seq(3, 7, 515, 519, 1027) // buckets {3, 7, 515-512=3, ...}
+    val expectBuckets = probed.map(_ % IvfIndex.MaxListDirs).distinct.toSet
+    val lists = spark.read.parquet(dir)
+    val pruned = IvfIndex.pruneLists(lists, probed)
+    val got = pruned.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = assigned.filter(col("list_id").isin(probed: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === want, "pruned read must return exactly the probed lists' rows")
+    pruned.collect()
+    val scan = fileScans(pruned.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.nonEmpty, "bucket filter must be a partition filter")
+    assert(scan.selectedPartitions.partitionCount === expectBuckets.size,
+      s"scan must list exactly the ${expectBuckets.size} probed buckets")
+  }
 }

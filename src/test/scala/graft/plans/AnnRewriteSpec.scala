@@ -139,7 +139,7 @@ class AnnRewriteSpec extends SparkSpec {
     // an index built before `label` existed on the base table
     val stale = java.nio.file.Files
       .createTempDirectory("graft_stale_idx").resolve("idx").toString
-    spark.read.parquet(s"$indexPath/lists").drop("label")
+    spark.read.parquet(s"$indexPath/lists").drop("label", "bucket")
       .write.partitionBy("list_id").parquet(s"$stale/lists")
     spark.read.parquet(s"$indexPath/centroids")
       .coalesce(1).write.parquet(s"$stale/centroids")

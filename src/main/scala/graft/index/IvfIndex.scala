@@ -535,16 +535,34 @@ object IvfIndex {
     * crossJoin at 200k × 3125 lists). */
   val HierarchicalAssignLists = 512
 
-  /** Coarse groups each query descends into on the hierarchical path —
-    * the recall knob of the two-level assignment: a list whose coarse
-    * parent is outside the query's top-[[CoarseProbes]] groups cannot be
-    * probed. 8 descends into ~8·√(lists/8) member centroids, which for
-    * every engaging list count comfortably covers typical `probes`. */
+  /** MINIMUM coarse groups each query descends into on the hierarchical
+    * path — the recall knob of the two-level assignment: a list whose
+    * coarse parent is outside the query's descended groups cannot be
+    * probed. The actual descent count scales with the probe budget
+    * (max(this, ⌈probes·groups/lists⌉·[[CoarseDescendSlack]])) so a large
+    * budget is never coverage-capped at ~CoarseProbes·lists/groups lists —
+    * the band where a fixed descent silently returned fewer than `probes`
+    * lists and made the adaptive retry burn no-progress rounds. */
   val CoarseProbes = 8
+
+  /** Slack multiplier on the budget-proportional descent count: each
+    * descended group holds ~lists/groups member centroids ON AVERAGE, so
+    * covering `probes` lists needs ≥ probes·groups/lists groups; ×2
+    * absorbs group-occupancy variance. */
+  val CoarseDescendSlack = 2
 
   /** Ceiling on the coarse group count (keeps the driver-side Lloyd and
     * the level-1 broadcast bounded at the 65536-list cap). */
   val CoarseGroupsMax = 256
+
+  /** Member-sidecar bytes past which the descent stops BROADCASTING the
+    * full |lists| centroid set (IvfIndex.scala's one per-executor copy is
+    * ~100 MB at 384 dims × 65,536 lists — past sane broadcast sizes, and
+    * stacked on the driver-side sidecar collect) and instead ships members
+    * through a SHUFFLED equi-join on coarse_id. The coarse-center
+    * broadcast (≤ [[CoarseGroupsMax]] rows) stays a broadcast either
+    * way. */
+  val MemberBroadcastMaxBytes: Long = 16L << 20
 
   /** Fixed Lloyd iterations / training cap for the coarse clustering —
     * deterministic (evenly-spaced init over the list_id order, no RNG),
@@ -573,14 +591,16 @@ object IvfIndex {
     * n²/occupancy, the measured 100× scale wall. */
   private[graft] def assignProbes(queries: DataFrame, cents: DataFrame,
       qidCol: String, qvecCol: String, probes: Int,
-      dist: (Column, Column) => Column): DataFrame = {
+      dist: (Column, Column) => Column,
+      metric: String = "cosine"): DataFrame = {
     // one metadata-count job on the sidecar frame (single-file parquet —
     // a footer read) decides the path
     val nLists = cents.count()
     if (nLists < HierarchicalAssignLists || probes.toLong * 4 >= nLists)
       assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
     else
-      assignProbesHierarchical(queries, cents, qidCol, qvecCol, probes, dist)
+      assignProbesHierarchical(queries, cents, qidCol, qvecCol, probes, dist,
+        metric)
   }
 
   /** Flat assignment: rank ALL centroids per query against the broadcast
@@ -619,47 +639,95 @@ object IvfIndex {
     *
     * Level 1-2 (distributed): each query ranks the BROADCAST coarse
     * centers in a bounded heap (n·√lists work), descends into its top
-    * [[CoarseProbes]] groups via ONE broadcast equi-join on coarse_id,
-    * and heap-ranks only those groups' member centroids
-    * (n·[[CoarseProbes]]·lists/groups work). Both heaps are the shared
+    * `descend` groups (budget-scaled — see [[CoarseProbes]] /
+    * [[CoarseDescendSlack]]) via ONE equi-join on coarse_id, and
+    * heap-ranks only those groups' member centroids
+    * (n·descend·lists/groups work). Both heaps are the shared
     * [[graft.functions.top_k_by_distance]]; stage 2 reuses stage 1's
-    * qid hash partitioning, so the whole assignment still shuffles ONCE.
+    * qid hash partitioning. The member side is BROADCAST while the
+    * sidecar fits [[MemberBroadcastMaxBytes]] (one shuffle total) and a
+    * shuffled hash join past it (the 384-dim × 65k-list regime, where a
+    * ~100 MB broadcast would be the new hazard).
+    *
+    * For the `ip` opclass the coarse ranking uses the MIPS-safe group
+    * bound −(⟨q, mean_g⟩ + ‖q‖·r_g) (r_g = max member distance from the
+    * group mean): a plain ⟨q, mean⟩ ranking systematically misses
+    * large-norm lists sitting in low-dot groups — inner product is not a
+    * metric, so unlike cosine/l2 the unadjusted mean is not even an
+    * approximate surrogate for the best member.
     *
     * APPROXIMATE: a true top-`probes` list whose coarse parent is outside
-    * the query's top coarse groups is missed — the same contract (and the
+    * the query's descended groups is missed — the same contract (and the
     * same recall gates) as the probe paths that consume this. Exactness
     * escape hatches are untouched: probe-all and the adaptive form's
     * full-coverage round satisfy `probes·4 ≥ lists` and take the flat
     * path. */
   private[graft] def assignProbesHierarchical(queries: DataFrame,
       cents: DataFrame, qidCol: String, qvecCol: String, probes: Int,
-      dist: (Column, Column) => Column): DataFrame = {
+      dist: (Column, Column) => Column,
+      metric: String = "cosine",
+      // overridable so the join path is spec-testable without a 65k-row
+      // sidecar; production callers always use the default
+      memberBroadcastMax: Long = MemberBroadcastMaxBytes): DataFrame = {
     import graft.functions.top_k_by_distance
     val spark = queries.sparkSession
     val pts = cents.select("list_id", "centroid").collect().map { r =>
       (r.getInt(0), r.getAs[collection.Seq[Float]](1).toArray)
     }
+    val nLists = pts.length
+    val dim = pts(0)._2.length
     val groups = math.min(CoarseGroupsMax,
-      math.ceil(math.sqrt(CoarseProbes.toDouble * pts.length)).toInt)
+      math.ceil(math.sqrt(CoarseProbes.toDouble * nLists)).toInt)
+    // budget-scaled descent: a fixed count caps coverage at
+    // ~CoarseProbes·lists/groups lists, starving probe budgets above it
+    val descend = math.max(CoarseProbes,
+      math.ceil(probes.toDouble * groups / nLists).toInt * CoarseDescendSlack)
+    if (descend >= groups) // no pruning left at this budget — flat is exact
+      return assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
     val (centers, grouping) = lloydCoarse(pts.map(_._2), groups)
+    // per-group covering radius over MEMBER CENTROIDS (driver-side, one
+    // pass over index metadata) — only the ip ranking consumes it
+    val radii = new Array[Double](centers.length)
+    pts.zip(grouping).foreach { case ((_, v), g) =>
+      var s = 0.0; var j = 0
+      while (j < dim) {
+        val d = v(j).toDouble - centers(g)(j).toDouble; s += d * d; j += 1
+      }
+      val r = math.sqrt(s)
+      if (r > radii(g)) radii(g) = r
+    }
     val coarseDf = spark.createDataFrame(
-      centers.zipWithIndex.map { case (v, i) => (i, v) }.toIndexedSeq)
-      .toDF("coarse_id", "ccent")
+      centers.zipWithIndex.map { case (v, i) => (i, v, radii(i)) }.toIndexedSeq)
+      .toDF("coarse_id", "ccent", "cradius")
     val memberDf = spark.createDataFrame(
       pts.zip(grouping).map { case ((lid, v), g) => (g, lid, v) }.toIndexedSeq)
       .toDF("coarse_id", "list_id", "centroid")
-    queries
+    // coarse rank: the opclass distance to the group mean, except ip's
+    // norm-aware lower bound (neg_inner_product(mean, q) − ‖q‖·r_g —
+    // ascending order = best-potential-first, the ball-tree MIPS bound)
+    val coarseRank: Column =
+      if (metric == "ip")
+        dist(col("ccent"), col("qv")) -
+          sqrt(graft.functions.inner_product(col("qv"), col("qv"))) * col("cradius")
+      else dist(col("ccent"), col("qv"))
+    val descended = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
       .crossJoin(broadcast(coarseDf))
       .select(col("qid"), col("qv"),
         col("coarse_id").cast("long").as("cid"),
-        dist(col("ccent"), col("qv")).as("cdist"))
+        coarseRank.as("cdist"))
       .groupBy("qid")
       .agg(first(col("qv")).as("qv"),
-        top_k_by_distance(col("cdist"), col("cid"), CoarseProbes).as("top"))
+        top_k_by_distance(col("cdist"), col("cid"), descend).as("top"))
       .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("cid"))
       .select(col("qid"), col("qv"), col("cid").cast("int").as("coarse_id"))
-      .join(broadcast(memberDf), Seq("coarse_id"))
+    val memberBytes = nLists.toLong * (4L * dim + 24L)
+    val withMembers =
+      if (memberBytes <= memberBroadcastMax)
+        descended.join(broadcast(memberDf), Seq("coarse_id"))
+      else // oversize sidecar: shuffled hash join, members as build side
+        descended.join(memberDf.hint("shuffle_hash"), Seq("coarse_id"))
+    withMembers
       .select(col("qid"), col("qv"),
         col("list_id").cast("long").as("lid"),
         dist(col("centroid"), col("qv")).as("cdist"))
@@ -756,10 +824,11 @@ object IvfIndex {
       spark: SparkSession, indexPath: String, queries: DataFrame,
       qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     import graft.functions.top_k_by_distance
-    val dist = metricDistance(metricOf(spark, indexPath)) _
+    val metric = metricOf(spark, indexPath)
+    val dist = metricDistance(metric) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
     // the shared assignment stage — same definition as searchMany's
-    val probed = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist)
+    val probed = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist, metric)
     // ONE driver-side action computes the centroid ranking (|queries|×nprobe
     // (qid, list_id) pairs — index metadata); the join side is then rebuilt
     // from the collected pairs + the original queries frame, so the ranking
@@ -820,10 +889,11 @@ object IvfIndex {
                  qidCol: String, qvecCol: String, k: Int, nprobe: Int,
                  predicate: Option[Column] = None): DataFrame = {
     import graft.functions.top_k_by_distance
-    val dist = metricDistance(metricOf(spark, indexPath)) _
+    val metric = metricOf(spark, indexPath)
+    val dist = metricDistance(metric) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val vecCol = columnOf(spark, indexPath).getOrElse("embedding")
-    val assigned = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist)
+    val assigned = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist, metric)
     val lists = spark.read.parquet(s"$indexPath/lists")
     predicate.fold(lists)(lists.filter)
       .join(assigned, Seq("list_id"))
@@ -871,6 +941,7 @@ object IvfIndex {
     val nLists = spark.read.parquet(s"$indexPath/centroids").count().toInt
     var remaining = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
+    var prevRemaining: DataFrame = null // checkpointed frame of the prior round
     var probes = math.max(1, initProbes)
     var done = false
     var rounds = List.empty[DataFrame]
@@ -889,12 +960,31 @@ object IvfIndex {
         rounds ::= res.join(sat, Seq("qid"), "left_semi")
         remaining = remaining.join(sat, Seq("qid"), "left_anti")
           .localCheckpoint()
+        // the PRIOR round's remaining-frame checkpoint is dead the moment
+        // this round's is materialized (the kept result rows have their
+        // own checkpoints) — free it now instead of letting the blocks
+        // pile up in executor storage for the rest of a long backfill
+        freeLocalCheckpoint(prevRemaining)
+        prevRemaining = remaining
         if (remaining.isEmpty) done = true
         else probes = math.min(nLists, probes * 2)
       }
     }
+    // the final remaining frame is dead too once the last round returned
+    freeLocalCheckpoint(prevRemaining)
     rounds.reduce(_.unionByName(_))
   }
+
+  /** Unpersist the checkpoint RDD behind a localCheckpoint()ed frame —
+    * Dataset.unpersist only covers cacheManager entries, so the blocks of
+    * an intermediate checkpoint otherwise linger until driver GC triggers
+    * the ContextCleaner. Non-blocking; null/uncheckpointed frames no-op. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    if (df != null) df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Filtered kNN with ITERATIVE probe expansion — pgvector 0.8's headline
     * `ivfflat.iterative_scan` (/root/reference/README.md:9), strengthened to

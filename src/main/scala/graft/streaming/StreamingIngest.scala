@@ -606,20 +606,34 @@ object StreamingIngest {
               .select(col("doc_id").cast("long").as("vec_id"), col("embedding"))
               .persist()
             try {
-              emb.write.mode("append").parquet(arm.vecPath)
-              // 6. MAINTAIN the ivfflat index (bootstrap on first batch)
-              val ivfMeta = new org.apache.hadoop.fs.Path(s"${arm.ivfPath}/meta")
-              val ivfUp = ivfMeta.getFileSystem(
-                sp.sessionState.newHadoopConf()).exists(ivfMeta)
-              if (ivfUp) graft.index.IvfIndex.append(emb, arm.ivfPath)
-              else graft.index.IvfIndex.build(
-                sp.read.parquet(arm.vecPath), arm.ivfPath, lists = arm.lists)
+              // poison-batch guard: a gated batch whose kept docs ALL
+              // lack text embeds to ZERO rows — IvfIndex.build would run
+              // KMeans over an empty/zero-row vecPath and throw, and
+              // under the checkpoint the failed batch replays forever
+              // (exactly the failure the startNswServing chunking comment
+              // warns about). Skip index maintenance for such a batch and
+              // defer bootstrap to the first batch that actually embeds.
+              if (emb.limit(1).count() > 0) {
+                emb.write.mode("append").parquet(arm.vecPath)
+                // 6. MAINTAIN the ivfflat index (bootstrap on first batch)
+                val ivfMeta = new org.apache.hadoop.fs.Path(s"${arm.ivfPath}/meta")
+                val ivfUp = ivfMeta.getFileSystem(
+                  sp.sessionState.newHadoopConf()).exists(ivfMeta)
+                if (ivfUp) graft.index.IvfIndex.append(emb, arm.ivfPath)
+                else graft.index.IvfIndex.build(
+                  sp.read.parquet(arm.vecPath), arm.ivfPath, lists = arm.lists)
+              }
             } finally emb.unpersist()
             // 7. SERVE the standing vector queries against the index as
-            // of this batch — same count-routing as startKnnServing
+            // of this batch — same count-routing as startKnnServing.
+            // Guarded on the index actually existing: bootstrap may have
+            // been deferred by the empty-embedding guard above.
             val ivf = graft.index.IvfIndex
+            val ivfMetaNow = new org.apache.hadoop.fs.Path(s"${arm.ivfPath}/meta")
             val queries = sp.read.parquet(arm.queriesPath)
-            val n = queries.count()
+            val n = if (ivfMetaNow.getFileSystem(
+                sp.sessionState.newHadoopConf()).exists(ivfMetaNow))
+              queries.count() else 0L
             if (n > 0) {
               val resolved =
                 if (n <= ivf.MaxServingBatch)

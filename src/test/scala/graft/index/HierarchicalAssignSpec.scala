@@ -151,6 +151,81 @@ class HierarchicalAssignSpec extends SparkSpec {
     assert(hier16 >= 0.9, s"hierarchical searchMany recall@4 was $hier16 at nprobe=16")
   }
 
+  test("budget-scaled descent: a probe budget past the fixed-descent " +
+      "coverage band still gets its full probe count") {
+    val (e, _) = fixture
+    import graft.functions.cosine_distance
+    // probes=100 at 640 lists / 72 groups sits in the band a FIXED
+    // 8-group descent coverage-capped (~8·640/72 ≈ 71 reachable lists):
+    // the budget-scaled descent (24 groups here) must deliver the full
+    // budget so the adaptive retry never burns a no-progress round.
+    // Gate stays under the flat dispatch (100·4 < 640 → hierarchical).
+    val q = e.limit(64)
+    val assigned = IvfIndex.assignProbesHierarchical(
+      q, cents, "vec_id", "embedding", 100, cosine_distance(_, _))
+    val perQid = assigned.groupBy("qid").agg(countDistinct("list_id").as("n"))
+      .select("n").as[Long].collect()
+    assert(perQid.length === 64)
+    val full = perQid.count(_ == 100L)
+    assert(full >= 61, // ≥95%: occupancy variance may starve a straggler
+      s"only $full/64 queries got the full 100-list budget: " +
+        s"min=${perQid.min} (fixed-descent band regression)")
+  }
+
+  test("oversize member sidecar: shuffled-join descent ≡ broadcast descent") {
+    val (e, _) = fixture
+    import graft.functions.cosine_distance
+    val q = e.limit(128)
+    def run(maxBytes: Long) = collectAssign(IvfIndex.assignProbesHierarchical(
+      q, cents, "vec_id", "embedding", 4, cosine_distance(_, _),
+      memberBroadcastMax = maxBytes))
+    // 1-byte cap forces the shuffle-hash-join path; rows must be IDENTICAL
+    assert(run(1L) === run(Long.MaxValue),
+      "join-path descent must be row-identical with the broadcast path")
+  }
+
+  test("ip opclass at the engaging list count: MIPS-aware coarse ranking " +
+      "holds recall near the flat assignment") {
+    import graft.functions.{neg_inner_product, top_k_by_distance}
+    // same clustered geometry, but cluster MAGNITUDE varies 1×–5× with the
+    // label: under inner product the best lists are the large-norm ones,
+    // exactly what a plain ⟨q, group-mean⟩ ranking misses
+    val center = transform(sequence(lit(0), lit(Dim - 1)), d =>
+      when(pmod(d, lit(Clusters)) === pmod(col("label"), lit(Dim)),
+        lit(4.0) * (lit(1.0) + pmod(col("label"), lit(5)))).otherwise(lit(0.0)))
+    val emb = zip_with(center, hashNoise(col("vec_id"), Dim),
+      (ct, nz) => (ct + nz).cast("float"))
+    val e = spark.range(N)
+      .select(col("id").as("vec_id"), (col("id") % Clusters).cast("int").as("label"))
+      .select(col("vec_id"), col("label"), emb.as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_hier_ip")
+      .resolve("index").toString
+    IvfIndex.build(e, path, lists = Lists, metric = "ip")
+    val ipCents = spark.read.parquet(s"$path/centroids").select("list_id", "centroid")
+    val q = e.filter(pmod(xxhash64(col("vec_id")), lit(16L)) === 0L).limit(200)
+    def topOf(assigned: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      spark.read.parquet(s"$path/lists")
+        .join(assigned, Seq("list_id"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          neg_inner_product(col("embedding"), col("qv")).as("d"))
+        .groupBy("qid")
+        .agg(top_k_by_distance(col("d"), col("vec_id"), 5).as("top"))
+        .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val flat = topOf(IvfIndex.assignProbesFlat(
+      q, ipCents, "vec_id", "embedding", 16, neg_inner_product(_, _)))
+    val hier = topOf(IvfIndex.assignProbesHierarchical(
+      q, ipCents, "vec_id", "embedding", 16, neg_inner_product(_, _),
+      metric = "ip"))
+    val agree = flat.map { case (qid, f) =>
+      hier.getOrElse(qid, Set.empty).intersect(f).size.toDouble / f.size
+    }.sum / flat.size
+    assert(agree >= 0.9,
+      s"ip hierarchical assignment agreement with flat was $agree at nprobe=16")
+  }
+
   test("lloydCoarse: partitions every point, deterministic, survives " +
       "an emptied group") {
     val pts = Array.tabulate(600)(i =>

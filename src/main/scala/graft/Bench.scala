@@ -68,10 +68,11 @@ object Bench {
     // emit them in the JSON, and exit non-zero if any query broke.
     var errors = Map.empty[String, String]
 
-    // Per-query shuffle accounting (see ShuffleAccounting: plan-property
-    // bytes, the drift-immune half of the evidence).
+    // Per-query shuffle + spill + peak-memory accounting (see
+    // ShuffleAccounting: plan-property bytes, the drift-immune half of
+    // the evidence; spill bytes name memory-pressure regressions that
+    // sec+shuffle_mb alone can't distinguish from box noise).
     val shuffle = new graft.util.ShuffleAccounting(spark.sparkContext)
-    def shuffleSnapshot(): Long = shuffle.snapshot()
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).count()
@@ -89,18 +90,27 @@ object Bench {
     queries.foreach { case (name, fn) => runOnce(name, fn) }
     System.gc(); Thread.sleep(2000)
 
+    case class QRes(name: String, sec: Double, shuffleBytes: Long,
+                    spillBytes: Long, peakBytes: Long)
     val results = queries.filterNot(q => errors.contains(q._1)).map { case (name, fn) =>
       var shuffleBytes = 0L
+      var spillBytes = 0L
+      var peakBytes = 0L
       val times = (1 to 3).map { _ =>
         System.gc() // steady-state: GC debt from prior queries stays untimed
-        val s0 = shuffleSnapshot()
+        val (s0, m0, d0) = shuffle.snapshotAll()
+        shuffle.resetPeak()
         val t0 = System.nanoTime()
         runOnce(name, fn)
         val dt = (System.nanoTime() - t0) / 1e9
-        shuffleBytes = shuffleSnapshot() - s0 // bus drain stays OUTSIDE the timer
+        // bus drain stays OUTSIDE the timer
+        val (s1, m1, d1) = shuffle.snapshotAll()
+        shuffleBytes = s1 - s0
+        spillBytes = (m1 - m0) + (d1 - d0)
+        peakBytes = shuffle.peakSinceReset()
         dt
       }
-      (name, times.min, shuffleBytes)
+      QRes(name, times.min, shuffleBytes, spillBytes, peakBytes)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -114,17 +124,25 @@ object Bench {
     // longer than that window arrives truncated and unparseable.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f3(v) }
+    def f2mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e6))
+    val qs = results.map(r => jstr(r.name) + ":" + f3(r.sec))
       .mkString("{", ",", "}")
-    val sh = results.filter(_._3 >= 50000L).map { case (k, _, b) =>
-      jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e6))
-    }.mkString("{", ",", "}")
+    val sh = results.filter(_.shuffleBytes >= 50000L)
+      .map(r => jstr(r.name) + ":" + f2mb(r.shuffleBytes))
+      .mkString("{", ",", "}")
+    // spill is EXCEPTIONAL at fixture scale — the sparse map stays tiny,
+    // and any entry here is itself the signal (a plan whose partitions
+    // stopped fitting execution memory)
+    val sp = results.filter(_.spillBytes >= 50000L)
+      .map(r => jstr(r.name) + ":" + f2mb(r.spillBytes))
+      .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val skp = skipped
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errs,"skipped":$skp,"sf":"$sfDir"}""")
+    val total = results.map(_.sec).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb":$sp,"errors":$errs,"skipped":$skp,"sf":"$sfDir"}""")
     // Durability: the consumer keeps only a bounded tail of the build log,
     // and the full line above has been observed to arrive truncated at the
     // HEAD of that window. Emit a second, much smaller summary line LAST —
@@ -145,9 +163,10 @@ object Bench {
       lines.append(s"""  "n": ${results.size},\n""")
       lines.append(s"""  "n_errors": ${errors.size},\n""")
       lines.append("  \"queries\": {\n")
-      lines.append(results.map { case (k, v, b) =>
-        s"""    ${jstr(k)}: {"sec": ${f3(v)}, "shuffle_mb": ${
-          String.format(java.util.Locale.ROOT, "%.2f", Double.box(b / 1e6))}}"""
+      lines.append(results.map { r =>
+        s"""    ${jstr(r.name)}: {"sec": ${f3(r.sec)}, "shuffle_mb": ${
+          f2mb(r.shuffleBytes)}, "spill_mb": ${f2mb(r.spillBytes)
+          }, "peak_mem_mb": ${f2mb(r.peakBytes)}}"""
       }.mkString(",\n"))
       lines.append("\n  },\n")
       lines.append(s"""  "errors": $errs,\n""")
@@ -158,8 +177,8 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
-    val slowest = results.sortBy(-_._2).take(15)
-      .map { case (k, v, _) => "[" + jstr(k) + "," + f3(v) + "]" }
+    val slowest = results.sortBy(-_.sec).take(15)
+      .map(r => "[" + jstr(r.name) + "," + f3(r.sec) + "]")
       .mkString("[", ",", "]")
     println(s"""{"metric":"summary","total_s":${f3(total)},"n":${results.size},"n_errors":${errors.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()

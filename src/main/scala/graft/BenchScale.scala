@@ -131,7 +131,19 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, scaleDir, reps)
 
-    val fns = Headline.map(q => q -> SparkEntry.queries(q))
+    // optional headline subset (comma-separated names) for the largest
+    // scale points, where timing the full set would dominate the round's
+    // wall clock — NEVER silently: the artifact's "n" names the subset
+    // size and the queries map lists exactly what ran
+    val subset = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    subset.foreach { qs =>
+      val unknown = qs.filterNot(Headline.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_QUERIES not in Headline: ${unknown.mkString(", ")}")
+    }
+    val chosen = subset.getOrElse(Headline)
+    val fns = chosen.map(q => q -> SparkEntry.queries(q))
     // Shuffle-byte accounting alongside the wall clock: shared-box timing
     // drifts ±25% run to run, but the bytes a plan shuffles are a property
     // of the plan and the data — the byte RATIO vs sf0.1 is the
@@ -141,18 +153,27 @@ object BenchScale {
     // warm-up (JIT/codegen/index builds), then min-of-2 timed
     fns.foreach { case (_, fn) => fn(spark, scaleDir).count() }
     System.gc(); Thread.sleep(2000)
+    case class QRes(name: String, sec: Double, shuffleBytes: Long,
+                    spillBytes: Long, peakBytes: Long)
     val results = fns.map { case (name, fn) =>
       var shuffleBytes = 0L
+      var spillBytes = 0L
+      var peakBytes = 0L
       val times = (1 to 2).map { _ =>
         System.gc()
-        val s0 = shuffle.snapshot()
+        val (s0, m0, d0) = shuffle.snapshotAll()
+        shuffle.resetPeak()
         val t0 = System.nanoTime()
         fn(spark, scaleDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        shuffleBytes = shuffle.snapshot() - s0 // bus drain stays untimed
+        // bus drain stays untimed
+        val (s1, m1, d1) = shuffle.snapshotAll()
+        shuffleBytes = s1 - s0
+        spillBytes = (m1 - m0) + (d1 - d0)
+        peakBytes = shuffle.peakSinceReset()
         dt
       }
-      (name, times.min, shuffleBytes)
+      QRes(name, times.min, shuffleBytes, spillBytes, peakBytes)
     }
 
     // RECALL evidence: the occupancy sizing trades candidate volume for
@@ -208,21 +229,22 @@ object BenchScale {
 
     def f3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.map(_._2).sum
+    val total = results.map(_.sec).sum
     val lines = new StringBuilder
     lines.append("{\n")
     lines.append(s"""  "sf": "sf${reps / 10.0} (synthetic, ${reps}x $src)",\n""")
     lines.append(s"""  "total_s": ${f3(total)},\n""")
     lines.append(s"""  "n": ${results.size},\n""")
     lines.append("  \"queries\": {\n")
-    lines.append(results.map { case (k, v, b) =>
-      val ratio = sf01.get(k).map(s => f3(v / s)).getOrElse("null")
-      val mb = f3(b / 1e6)
+    lines.append(results.map { r =>
+      val ratio = sf01.get(r.name).map(s => f3(r.sec / s)).getOrElse("null")
+      val mb = f3(r.shuffleBytes / 1e6)
       // shuffle ratio only when the sf0.1 side moved ≥0.05 MB: below that
       // the denominator is metadata noise and the ratio is meaningless
-      val shRatio = sf01Shuffle.get(k).filter(_ >= 0.05)
-        .map(s => f3(b / 1e6 / s)).getOrElse("null")
-      s"""    "$k": {"sec": ${f3(v)}, "x_vs_sf0.1": $ratio, "shuffle_mb": $mb, "shuffle_x_vs_sf0.1": $shRatio}"""
+      val shRatio = sf01Shuffle.get(r.name).filter(_ >= 0.05)
+        .map(s => f3(r.shuffleBytes / 1e6 / s)).getOrElse("null")
+      s"""    "${r.name}": {"sec": ${f3(r.sec)}, "x_vs_sf0.1": $ratio, "shuffle_mb": $mb, "shuffle_x_vs_sf0.1": $shRatio, "spill_mb": ${
+        f3(r.spillBytes / 1e6)}, "peak_mem_mb": ${f3(r.peakBytes / 1e6)}}"""
     }.mkString(",\n"))
     lines.append("\n  },\n")
     lines.append(s"""  "recall": {"knn_graph_ivf@${
@@ -239,12 +261,15 @@ object BenchScale {
     java.nio.file.Files.write(outDir.resolve(outName),
       lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"recall_knn_graph_ivf":${f3(graphRecall)},"dir":"$scaleDir"}""")
-    results.sortBy(-_._2).foreach { case (k, v, b) =>
-      val r = sf01.get(k).map(s => f"  (${v / s}%.1fx vs sf0.1)").getOrElse("")
-      val sh = sf01Shuffle.get(k).filter(_ >= 0.05)
-        .map(s => f"  shuffle ${b / 1e6}%.1f MB (${b / 1e6 / s}%.1fx)")
-        .getOrElse(f"  shuffle ${b / 1e6}%.1f MB")
-      println(f"  $k%-24s ${v}%8.3f s$r$sh")
+    results.sortBy(-_.sec).foreach { r =>
+      val x = sf01.get(r.name)
+        .map(s => f"  (${r.sec / s}%.1fx vs sf0.1)").getOrElse("")
+      val sh = sf01Shuffle.get(r.name).filter(_ >= 0.05)
+        .map(s => f"  shuffle ${r.shuffleBytes / 1e6}%.1f MB (${r.shuffleBytes / 1e6 / s}%.1fx)")
+        .getOrElse(f"  shuffle ${r.shuffleBytes / 1e6}%.1f MB")
+      val sp = if (r.spillBytes > 0)
+        f"  spill ${r.spillBytes / 1e6}%.1f MB" else ""
+      println(f"  ${r.name}%-24s ${r.sec}%8.3f s$x$sh$sp")
     }
     spark.stop()
   }

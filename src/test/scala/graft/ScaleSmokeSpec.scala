@@ -448,6 +448,125 @@ class ScaleSmokeSpec extends SparkSpec {
     timeGuard(secs < 240.0, s"unreasonably slow: $secs s")
   }
 
+  test("full curation pipeline with the ANN arm soaks at 1M docs: gate → BM25 → embed → IVF → serve") {
+    import graft.streaming.StreamingIngest
+    import graft.index.IvfIndex
+    // 1M docs over two 500k micro-batch rounds, identical-copy duplicate
+    // mass so gate drops are deterministic (Jaccard 1.0 → every band
+    // collides). uniq is applied to the SOURCE id, so a copy band must
+    // reference ids whose own text is uniq(id) — i.e. ids in a uniq band:
+    //  batch 1: ids 0..499,999 unique                          → all kept
+    //  batch 2: ids 500,000..524,999 copy (id − 500,000)       → cross-batch drop
+    //           ids 525,000..899,999 unique                    → kept
+    //           ids 900,000..924,999 copy (id − 25,000),       → in-batch drop
+    //             sources 875,000..899,999 keep (lower id wins)
+    //           ids 925,000..999,999 unique                    → kept
+    // end-state: 1M − 50k = 950k curated docs, minus a tiny LSH
+    // false-positive tail (unique docs whose 16 band signatures collide —
+    // measured ~50 at 1M, the same banded-LSH property the 1M dedup-chain
+    // test bounds).
+    def uniq(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+      concat(lit("w"), idCol, lit("a")), concat(lit("w"), idCol, lit("b")),
+      concat(lit("w"), idCol, lit("cc")), concat(lit("w"), idCol, lit("d")),
+      concat(lit("w"), idCol, lit("e")), concat(lit("w"), idCol, lit("f")))
+    val batch1 = spark.range(500000L)
+      .select(col("id").as("doc_id"), uniq(col("id")).as("text"))
+    val batch2 = spark.range(500000L, 1000000L).select(col("id").as("doc_id"),
+      when(col("id") < 525000L, uniq(col("id") - 500000L))
+        .when(col("id") >= 900000L && col("id") < 925000L, uniq(col("id") - 25000L))
+        .otherwise(uniq(col("id"))).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("cur_soak")
+    val srcDir = tmp.resolve("src").toString
+    val store = tmp.resolve("store").toString
+    val corpusP = tmp.resolve("corpus").toString
+    val index = tmp.resolve("bm25").toString
+    val queriesPath = tmp.resolve("q").toString
+    val results = tmp.resolve("res").toString
+    val vecPath = tmp.resolve("vec").toString
+    val ivfPath = tmp.resolve("ivf").toString
+    val vqPath = tmp.resolve("vq").toString
+    val vres = tmp.resolve("vres").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val embedder = graft.embed.HashingSentenceEmbedder(dim = 32)
+    // standing queries: doc 42's own vocabulary (BM25) and its own
+    // embedding (ANN) — it must stay the rank-1 hit in every round
+    import spark.implicits._
+    Seq((10L, "w42a w42b w42cc")).toDF("qid", "qtext")
+      .coalesce(1).write.parquet(queriesPath)
+    batch1.filter(col("doc_id") === 42L)
+      .select(lit(100L).as("qid"), embedder.embedColumn(col("text")).as("qv"))
+      .coalesce(1).write.parquet(vqPath)
+    val schema = batch1.schema
+    val arm = StreamingIngest.VecArm(embedder, vecPath, ivfPath, vqPath, vres,
+      k = 5, nprobe = 4, lists = 64)
+    def run(): Unit = {
+      val q = StreamingIngest.startCurationPipeline(spark, srcDir, schema,
+        store, corpusP, index, queriesPath, results, k = 5, k1 = 1.2, b = 0.75,
+        maxFilesPerTrigger = 8, vecArm = Some(arm))
+      q.awaitTermination(600000)
+    }
+    val t0 = System.nanoTime()
+    batch1.coalesce(8).write.mode("append").parquet(srcDir)
+    run()
+    batch2.coalesce(8).write.mode("append").parquet(srcDir)
+    run()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M-doc curation pipeline (gate+BM25+embed+IVF+serve): $secs%.2f s")
+
+    // 1. gate end-state: every copy dropped (deterministic — Jaccard 1.0
+    //    collides in every band), everything else curated minus the
+    //    bounded false-positive tail — and the embedded corpus + IVF
+    //    lists cover exactly the keep set
+    val nKept = spark.read.parquet(corpusP).count()
+    assert(nKept >= 949500L && nKept <= 950000L, s"curated $nKept")
+    assert(spark.read.parquet(vecPath).count() === nKept)
+    assert(spark.read.parquet(s"$ivfPath/lists").count() === nKept)
+    val leaked = spark.read.parquet(corpusP)
+      .filter((col("doc_id") >= 500000L && col("doc_id") < 525000L) ||
+        (col("doc_id") >= 900000L && col("doc_id") < 925000L))
+      .count()
+    assert(leaked === 0L, s"$leaked duplicates leaked past the gate at soak scale")
+
+    // 2. maintained IVF ≡ rebuild from the embedded corpus: probe-all is
+    //    exact over the indexed rows for ANY centroid history, so the
+    //    answers must be bit-identical
+    val rebuilt = tmp.resolve("ivf_rebuilt").toString
+    IvfIndex.build(spark.read.parquet(vecPath), rebuilt, lists = 64)
+    val qv = spark.read.parquet(vqPath)
+      .head().getAs[collection.Seq[Float]]("qv").toArray
+    def probeAll(idx: String) = {
+      val nLists = spark.read.parquet(s"$idx/centroids").count().toInt
+      IvfIndex.probe(spark, idx, qv, 5, nprobe = nLists)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(probeAll(ivfPath) === probeAll(rebuilt),
+      "maintained IVF probe-all must equal a fresh rebuild after the 1M soak")
+
+    // 3. serving ran each round; doc 42 is the rank-1 ANN hit (dist ~0)
+    //    and the rank-1 BM25 hit in BOTH rounds
+    val vr = spark.read.parquet(vres)
+      .select("batch_id", "qid", "rank", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val vRounds = vr.map(_._1).distinct
+    assert(vRounds.length === 2, s"expected 2 ANN serving rounds, got ${vRounds.toSeq}")
+    vRounds.foreach { bid =>
+      val r1 = vr.filter(t => t._1 == bid && t._3 == 1L)
+      assert(r1.length === 1 && r1.head._4 === 42L && r1.head._5 < 1e-12,
+        s"round $bid: doc 42 must be the rank-1 ANN hit")
+    }
+    val br = spark.read.parquet(results)
+      .select("batch_id", "qid", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bRounds = br.map(_._1).distinct
+    assert(bRounds.length === 2, s"expected 2 BM25 serving rounds, got ${bRounds.toSeq}")
+    bRounds.foreach { bid =>
+      val r1 = br.filter(t => t._1 == bid && t._3 == 1L)
+      assert(r1.length === 1 && r1.head._4 === 42L,
+        s"round $bid: doc 42 must be the rank-1 BM25 hit")
+    }
+    timeGuard(secs < 900.0, s"soak unreasonably slow: $secs s")
+  }
+
   test("distributed dedup primitives hold at 1M rows (fingerprint group)") {
     val texts = spark.range(N).select(
       concat(lit("doc "), (col("id") % 500000).cast("string")).as("text"))

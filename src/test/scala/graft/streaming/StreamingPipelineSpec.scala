@@ -170,4 +170,65 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(firstBatch.forall(t => t._4 == 1L || t._4 == 2L),
       "batch-0 vector serving must only surface batch-0 docs")
   }
+
+  test("ANN arm poison-batch guard: an all-null-text first batch defers IVF bootstrap") {
+    import graft.index.IvfIndex
+    val srcDir = tmp("curp_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val store = tmp("curp_store")
+    val corpus = tmp("curp_corpus")
+    val index = tmp("curp_idx")
+    val queriesPath = tmp("curp_q")
+    val results = tmp("curp_res")
+    val vecPath = tmp("curp_vec")
+    val ivfPath = tmp("curp_ivf")
+    val vqPath = tmp("curp_vq")
+    val vres = tmp("curp_vres")
+    val embedder = graft.embed.HashingSentenceEmbedder(dim = 32)
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    Seq((10L, "beta3 beta7")).toDF("qid", "qtext").coalesce(1).write.parquet(queriesPath)
+    Seq((100L, textB)).toDF("qid", "text")
+      .select(col("qid"), embedder.embedColumn(col("text")).as("qv"))
+      .coalesce(1).write.parquet(vqPath)
+    val schema = Seq((1L, "")).toDF("doc_id", "text").schema
+    val arm = StreamingIngest.VecArm(embedder, vecPath, ivfPath, vqPath, vres,
+      k = 2, nprobe = 1, lists = 2)
+    def run(): Unit = {
+      val q = StreamingIngest.startCurationPipeline(spark, srcDir, schema,
+        store, corpus, index, queriesPath, results, k = 3, k1 = 1.2, b = 0.75,
+        maxFilesPerTrigger = 1, vecArm = Some(arm))
+      q.awaitTermination(120000)
+    }
+    // batch 1: docs with NULL text — the gate keeps them (no shingles, no
+    // collisions), BM25 builds (null-text rows are legal, build scaladoc),
+    // but the embed stage yields ZERO rows. Without the guard IvfIndex
+    // .build would KMeans an empty vecPath, throw, and replay forever
+    // under the checkpoint.
+    Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    run() // must complete, not throw
+    val hc = spark.sessionState.newHadoopConf()
+    def ivfUp = new org.apache.hadoop.fs.Path(s"$ivfPath/meta")
+      .getFileSystem(hc).exists(new org.apache.hadoop.fs.Path(s"$ivfPath/meta"))
+    assert(spark.read.parquet(corpus).count() === 2L,
+      "null-text docs still pass the gate into the corpus")
+    assert(!ivfUp, "IVF bootstrap must be deferred on a zero-embedding batch")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(vres)),
+      "vector serving must not run before the index exists")
+    // batch 2: real texts — bootstrap fires from the embedded corpus (the
+    // batch-2 vectors; batch-1 nulls never embed), serving runs
+    Seq((3L, textB), (4L, textC))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(ivfUp, "the first embedding-producing batch must bootstrap the index")
+    val indexed = spark.read.parquet(s"$ivfPath/lists")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed === Seq(3L, 4L))
+    val vr = spark.read.parquet(vres)
+      .select("qid", "rank", "vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(vr.exists(t => t._1 == 100L && t._2 == 1L && t._3 == 3L && t._4 < 1e-12),
+      "doc 3 (textB) must be the rank-1 hit for its own vector")
+  }
 }

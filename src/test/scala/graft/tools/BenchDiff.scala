@@ -27,6 +27,16 @@ object BenchDiff {
       .map(e => e.getKey -> e.getValue.get("sec").asDouble()).toMap
   }
 
+  /** Per-query spill MB — absent in pre-spill-column artifacts → empty. */
+  private def spillOf(json: String): Map[String, Double] = {
+    val root = new ObjectMapper().readTree(json)
+    val q = root.get("queries")
+    if (q == null) Map.empty
+    else q.properties().asScala.flatMap { e =>
+      Option(e.getValue.get("spill_mb")).map(v => e.getKey -> v.asDouble())
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val artifact = if (args.length > 0) args(0) else "bench/bench_sf0.1.json"
     val committed = {
@@ -55,6 +65,18 @@ object BenchDiff {
     val totB = base.values.sum
     val totN = now.filterKeys(base.contains).values.sum
     println(f"shared-query total: committed $totB%.1f s -> fresh $totN%.1f s (${now.size} fresh / ${base.size} committed)")
+    // Spill drift is FLAGGED, never failed: spill bytes vary with box
+    // memory pressure (the 12.3x-vs-4.5x dedup_ngram_capped variance this
+    // column exists to make visible), so a hard gate would be flaky —
+    // but a query that STARTS spilling, or spills ≥2x more, deserves a
+    // line in the round log.
+    val spillBase = spillOf(committed)
+    val spillNow = spillOf(fresh)
+    spillNow.toSeq.sortBy(_._1).foreach { case (q, mb) =>
+      val b = spillBase.getOrElse(q, 0.0)
+      if (mb > 10.0 && mb > b * 2.0)
+        println(f"SPILL (informational) $q: $b%.1f MB -> $mb%.1f MB")
+    }
     if (regressed.isEmpty) println(s"OK: no query >${((RatioGate - 1) * 100).toInt}% and >$AbsGateSec s slower")
     else {
       regressed.foreach { case (q, b, n) =>

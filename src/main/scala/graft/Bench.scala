@@ -30,6 +30,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.tuneSession(spark)
 
     // O(n²) reference-parity forms: oracle anchors whose COMPUTE is
     // quadratic by documented design (each has a timed linear/sampled/

@@ -129,6 +129,7 @@ object BenchScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.tuneSession(spark)
     generate(spark, src, scaleDir, reps)
 
     // optional headline subset (comma-separated names) for the largest

@@ -17,6 +17,7 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.tuneSession(spark)
     graft.functions.registerAll(spark)
 
     import graft.operators.ReferenceQueries._

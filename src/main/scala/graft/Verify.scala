@@ -15,6 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.tuneSession(spark)
     new java.io.File(outDir).mkdirs()
     // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 restricts the dump (the
     // driver sets no env, so its full-contract run is unaffected)

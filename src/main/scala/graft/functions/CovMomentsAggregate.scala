@@ -121,7 +121,7 @@ final class CovMomentsBuffer {
 
   /** Scale-9 unscaled value of Spark's `cast(round(p, 9) as decimal(28,9))`,
     * or null for the NaN/Inf → NULL path. */
-  private def term9(p: Double): BigInteger = {
+  private[graft] def term9(p: Double): BigInteger = {
     if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) return null
     // Round(double, 9): shortest-string decimal, HALF_UP, back to double
     val r9 = JBD.valueOf(p).setScale(9, RoundingMode.HALF_UP).doubleValue
@@ -129,16 +129,58 @@ final class CovMomentsBuffer {
     JBD.valueOf(r9).setScale(9, RoundingMode.HALF_UP).unscaledValue()
   }
 
+  /** Double-arithmetic fast path for [[term9]], or [[CovMomentsBuffer.NoFast]]
+    * to demand the exact BigDecimal route. `BigDecimal.valueOf` stringifies
+    * the double per call — ~2.1k terms/row at d=64 made the aggregate
+    * allocation-bound at corpus scale (measured: the 300× scale bench sat
+    * in term9 for 20+ minutes). The fast value is returned ONLY when it is
+    * PROVABLY the term9 value:
+    *
+    *   - |p| < 2²⁰, so the scale-9 unscaled value |p·10⁹| < 2⁵⁰ is exact in
+    *     double AND the intermediate r9 (the 9-rounded double term9 routes
+    *     through) round-trips: |r9 − u·10⁻⁹| ≤ ½ulp(r9) < ½·10⁻⁹, so the
+    *     second HALF_UP setScale lands on the same u; and
+    *   - the fractional part of p·10⁹ sits further than 4 ulp from the ½
+    *     rounding boundary, covering the ×10⁹ multiplication error and the
+    *     shortest-string-vs-binary gap (BigDecimal.valueOf sees
+    *     Double.toString's value, within ½ulp of binary p). Away from the
+    *     boundary, floor+(frac>½) equals HALF_UP for either sign; exact
+    *     halves (where HALF_UP's away-from-zero tie matters) always fall
+    *     inside the guard and take the slow path.
+    *
+    * Boundary/NaN/huge inputs all fall back — CovMomentsAggregateSpec
+    * sweeps the guard with exact-half and near-half grids. */
+  private[graft] def term9FastOr(p: Double): Long = {
+    if (p > -1048576.0 && p < 1048576.0) { // NaN-safe: NaN fails both
+      val scaled = p * 1e9
+      val fl = math.floor(scaled)
+      val frac = scaled - fl
+      if (math.abs(frac - 0.5) > math.ulp(scaled) * 4.0 + 4.9e-324)
+        return fl.toLong + (if (frac > 0.5) 1L else 0L)
+    }
+    CovMomentsBuffer.NoFast
+  }
+
+  @inline private def addLong(slot: Int, l: Long): Unit = {
+    val s = lo(slot) + l
+    if (((lo(slot) ^ s) & (l ^ s)) < 0L) { // two's-complement overflow
+      hi(slot) = orZero(hi(slot)).add(BigInteger.valueOf(lo(slot)))
+      lo(slot) = l
+    } else lo(slot) = s
+  }
+
   @inline private def add(slot: Int, u: BigInteger): Unit = {
     if (u == null) return // NULL term: sum() skips it
-    if (u.bitLength <= 62) {
-      val l = u.longValue()
-      val s = lo(slot) + l
-      if (((lo(slot) ^ s) & (l ^ s)) < 0L) { // two's-complement overflow
-        hi(slot) = orZero(hi(slot)).add(BigInteger.valueOf(lo(slot)))
-        lo(slot) = l
-      } else lo(slot) = s
-    } else hi(slot) = orZero(hi(slot)).add(u)
+    if (u.bitLength <= 62) addLong(slot, u.longValue())
+    else hi(slot) = orZero(hi(slot)).add(u)
+  }
+
+  /** One product/moment term: fast integer path when provably identical,
+    * exact BigDecimal path otherwise. */
+  @inline private def addTerm(slot: Int, p: Double): Unit = {
+    val f = term9FastOr(p)
+    if (f != CovMomentsBuffer.NoFast) addLong(slot, f)
+    else add(slot, term9(p))
   }
 
   @inline private def orZero(b: BigInteger): BigInteger =
@@ -154,7 +196,7 @@ final class CovMomentsBuffer {
       val xi = x(i).toDouble
       var j = i
       while (j < d) {
-        add(slot, term9(xi * x(j).toDouble)) // float·float exact in double
+        addTerm(slot, xi * x(j).toDouble) // float·float exact in double
         slot += 1
         j += 1
       }
@@ -162,7 +204,7 @@ final class CovMomentsBuffer {
     }
     var k = 0
     while (k < d) {
-      add(slot + k, term9(x(k).toDouble))
+      addTerm(slot + k, x(k).toDouble)
       k += 1
     }
     n += 1
@@ -212,6 +254,10 @@ final class CovMomentsBuffer {
 }
 
 object CovMomentsBuffer {
+  /** [[CovMomentsBuffer.term9FastOr]]'s "no provable fast value" sentinel —
+    * unreachable as a real fast value (those satisfy |u| < 2⁵⁰). */
+  private[graft] val NoFast: Long = Long.MinValue
+
   def fromBytes(bytes: Array[Byte]): CovMomentsBuffer = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = new CovMomentsBuffer

@@ -69,9 +69,22 @@ object SqQuantize {
       while (i < n) {
         val x = v.getFloat(i).toDouble / s * 127.0
         // BigDecimal HALF_UP — bit-compatible with Spark's Round(double)
-        // and DuckDB's round(), incl. the ties floor(x+0.5) gets wrong
-        codes(i) = JBigDecimal.valueOf(x).setScale(0, RoundingMode.HALF_UP)
-          .doubleValue().toLong.toByte
+        // and DuckDB's round(), incl. the ties floor(x+0.5) gets wrong.
+        // Double fast path when provably identical (|x| ≤ 127 by
+        // construction, so the only hazard is the shortest-string-vs-binary
+        // ½-ulp gap near a .5 tie — BigDecimal.valueOf rounds
+        // Double.toString's value): per-element BigDecimal stringification
+        // was the scan's allocation wall at corpus scale, the same disease
+        // CovMomentsBuffer.term9FastOr cures at scale 9. Ties and
+        // near-ties take the exact slow path; SqKernelSpec sweeps the
+        // guard.
+        val fl = math.floor(x)
+        val frac = x - fl
+        codes(i) =
+          (if (math.abs(frac - 0.5) > math.ulp(x) * 2.0 + 4.9e-324)
+            fl.toLong + (if (frac > 0.5) 1L else 0L)
+          else JBigDecimal.valueOf(x).setScale(0, RoundingMode.HALF_UP)
+            .doubleValue().toLong).toByte
         i += 1
       }
     }

@@ -234,10 +234,36 @@ package object functions {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
 
+  /** Spark's ObjectHashAggregate abandons hash aggregation for a full
+    * SORT of the input once a task sees this many distinct group keys
+    * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold, default
+    * 128 — sized for giant buffers like collect_list). Every bounded-heap
+    * aggregate in this engine ([[top_k_by_distance]] and friends) keeps
+    * ≤ k entries per key (~hundreds of bytes), so the default turns the
+    * corpus-sized co-probe stages into corpus-sized SORTS: measured at
+    * 300× scale, knn_graph_ivf spent 88 s spilling 79 GB under the
+    * default and 14 s with zero spill at this threshold. 2²⁰ keys ×
+    * ~300 B ≈ 300 MB per task ceiling keeps the guard meaningful for
+    * genuinely huge buffers. */
+  val ObjectHashFallbackKeys: Int = 1 << 20
+
+  /** Apply the session defaults the engine's bounded-buffer aggregates
+    * assume (currently just [[ObjectHashFallbackKeys]]). Leaves any value
+    * the user explicitly changed from Spark's default alone. Called from
+    * [[registerAll]] — the extension-bootstrap analog of pgvector setting
+    * its GUCs at CREATE EXTENSION — and from the engine's own mains. */
+  def tuneSession(spark: SparkSession): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_NO_TUNE")) return // A/B escape hatch
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(key).forall(_ == "128"))
+      spark.conf.set(key, ObjectHashFallbackKeys.toString)
+  }
+
   /** Idempotently register the vector functions in `spark`'s session
     * function registry so `spark.sql("... cosine_distance(a,b) ...")` works. */
   def registerAll(spark: SparkSession): Unit = {
     if (registered.add(spark.sessionState)) {
+      tuneSession(spark)
       val r = spark.sessionState.functionRegistry
       r.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es(0), es(1)), "scala_udf")
       r.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")

@@ -68,6 +68,36 @@ object Dedup {
     packed.select(shiftright(col("pk"), 32).as("a"),
       col("pk").bitwiseAND(lit(4294967295L)).as("b"), col("c"))
 
+  /** Does the corpus use doc ids outside [0, 2³¹)? Decides the pair-key
+    * representation below. One column-pruned scan of the id column — at
+    * any scale this is footer-stat-cheap next to the pair expansion it
+    * guards. Nulls count as wide (the packed path would throw on them
+    * anyway). */
+  private[graft] def idsWide(docs: DataFrame): Boolean = {
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    r.isNullAt(0) || r.getLong(0) < 0L || r.getLong(1) >= (1L << 31)
+  }
+
+  /** Per-pair co-occurrence counts over posting lists (`ids` array<long>
+    * column): explode each list into its (a < b) pairs, count per pair.
+    * REPRESENTATION DISPATCH on the id range: ids in [0, 2³¹) pack each
+    * pair into one 8-byte bigint ([[graft.functions.sorted_pair_keys]]) —
+    * the groupBy on the packed key is the pipeline's measured wall, so
+    * halving the key width pays; wider id spaces (replica strides,
+    * snowflake-style ids, corpora past 2³¹ documents — the regime the
+    * 300× scale bench runs in) take [[graft.functions.sorted_pairs]]'s
+    * 16-byte struct form. Same pair multiset, same counts, same schema
+    * out; DedupSpec pins row-identity of the two paths. */
+  private[graft] def pairCounts(postings: DataFrame, wide: Boolean): DataFrame =
+    if (!wide)
+      unpackPairCounts(postings
+        .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c")))
+    else postings
+      .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+
   /** All candidate pairs sharing ≥1 shingle, with exact Jaccard over the
     * hashed shingle space. Inverted-index formulation: group the hashed
     * shingle relation ONCE into posting lists and expand pairs with the
@@ -78,10 +108,9 @@ object Dedup {
     // recompute-per-consumer, not localCheckpoint — see minhashPairs
     val sh = hashedShingleRel(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = unpackPairCounts(
-      sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
-        .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("c")))
+    val common = pairCounts(
+      sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids")),
+      idsWide(Tables.documents(spark, sfDir)))
     common
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
@@ -132,10 +161,7 @@ object Dedup {
       .localCheckpoint()
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = unpackPairCounts(
-      postings
-        .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("c")))
+    val common = pairCounts(postings, idsWide(Tables.documents(spark, sfDir)))
     common
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
@@ -282,8 +308,24 @@ object Dedup {
     * recall with no test failing). */
   private[graft] def bandsOf(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"), pmod(col("h"), lit(MinhashPrime)).as("h"))
-    val sig = hashed.groupBy("doc_id")
-      .agg(graft.functions.minhash_signature(col("h"), NumPerms, MinhashPrime).as("sig"))
+    // [[graft.functions.minhash_signature]]'s 64 lanes as 64 DECLARATIVE
+    // min() aggregates — bit-identical values (same per-lane affine hash,
+    // P² < 2⁶³ so the products never overflow, min is order-free), but the
+    // aggregate becomes a codegen'd HashAggregate over a flat 64-long
+    // buffer: map-side partials pipeline into the shuffle and the plan is
+    // insensitive to the ObjectHashAggregate fallback threshold, which a
+    // TypedImperativeAggregate here is hostage to in BOTH directions
+    // (default 128: corpus-sized SORT fallback; raised: a giant object
+    // hash map — measured 1.3× slower than the sort at 300× scale). The
+    // SQL-facing minhash_signature function keeps the single-buffer form.
+    val lanes = (0 until NumPerms).map { i =>
+      val a = ((i.toLong * 2654435761L) | 1L) % MinhashPrime
+      val b = i.toLong * 40503L + 7L
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"_m$i")
+    }
+    val sig = hashed.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"_m$i")): _*).as("sig"))
     sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(NumPerms / BandRows - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),

@@ -44,4 +44,22 @@ class TopKAggregateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(rows === Seq((2L, 1.0), (1L, 2.0), (0L, 3.0)))
   }
+
+  test("tuneSession raises the ObjectHashAggregate fallback, never tramples an explicit value") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.getOption(key)
+    try {
+      // SparkSpec's session already ran tuneSession — many-distinct-key
+      // bounded-heap aggregates must not hit the 128-key sort fallback
+      assert(spark.conf.get(key) === graft.functions.ObjectHashFallbackKeys.toString)
+      // an explicit user setting survives a re-tune
+      spark.conf.set(key, "777")
+      graft.functions.tuneSession(spark)
+      assert(spark.conf.get(key) === "777")
+      // the Spark default (or an explicit 128) is raised
+      spark.conf.set(key, "128")
+      graft.functions.tuneSession(spark)
+      assert(spark.conf.get(key) === graft.functions.ObjectHashFallbackKeys.toString)
+    } finally before.foreach(spark.conf.set(key, _))
+  }
 }

@@ -71,6 +71,44 @@ class CovMomentsAggregateSpec extends SparkSpec {
     }
   }
 
+  test("term9 fast path: provably-identical-or-fallback across boundary grids") {
+    val buf = new CovMomentsBuffer
+    def check(p: Double): Boolean = {
+      val f = buf.term9FastOr(p)
+      if (f != CovMomentsBuffer.NoFast) {
+        val slow = buf.term9(p)
+        assert(slow !== null, s"fast path fired on a NULL term: $p")
+        assert(java.math.BigInteger.valueOf(f) === slow,
+          s"fast path diverged at p=$p: fast=$f slow=$slow")
+        true
+      } else false
+    }
+    // adversarial grid: exact decimal halves (HALF_UP's away-from-zero tie
+    // must never take the fast path wrong), their ±1-ulp neighbors, tiny
+    // magnitudes, negatives, the classic shortest-string values, and the
+    // >2^20 band where the 9-decimal round-trip through double stops being
+    // faithful (must fall back or agree)
+    val halves = (-2000 to 2000).map(k => k * 0.5e-9) ++
+      Seq(1.5e-9, 2.5e-9, -1.5e-9, 0.5, 1.5, -2.5, 12345.0000000005)
+    val neighbors = halves.flatMap(h => Seq(math.nextUp(h), math.nextDown(h)))
+    val classics = Seq(0.1, 0.3, 0.7, -0.1, 1.0 / 3.0, math.Pi, -math.E,
+      1e-30, -1e-30, 4.9e-324, 0.0, -0.0)
+    val big = Seq(1048575.9, 1048576.0, 2e6, 1e9, 1e15, -3e7)
+    (halves ++ neighbors ++ classics ++ big).foreach(check)
+    assert(!check(Double.NaN) && !check(Double.PositiveInfinity) &&
+      !check(Double.NegativeInfinity), "non-finite terms must fall back")
+    // deterministic pseudo-random sweep in the embedding regime, plus the
+    // coverage claim: the fast path actually fires there (the speedup is
+    // real, not a fallback in disguise)
+    val rnd = new scala.util.Random(20260815L)
+    val hits = (1 to 200000).count { _ =>
+      val x = (rnd.nextFloat() - 0.5f) * 20.0f
+      val y = (rnd.nextFloat() - 0.5f) * 20.0f
+      check(x.toDouble * y.toDouble)
+    }
+    assert(hits > 199000, s"fast path fired only $hits/200000 in the embedding regime")
+  }
+
   test("buffer: long fast path escalates to BigInteger exactly on overflow") {
     // 4e9 · 1.0 slots would overflow scale-9 longs (2⁶³/10⁹ ≈ 9.2e9) — use
     // few huge terms instead: 1e30f² = 1e60 products, unscaled 1e69

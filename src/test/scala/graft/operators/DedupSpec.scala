@@ -312,4 +312,60 @@ class DedupSpec extends SparkSpec {
       assert(rows.forall(_.getLong(2) === rows.length)) // size consistent
     }
   }
+
+  test("bandsOf declarative min lanes ≡ the minhash_signature aggregate, bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the band relation drives EVERY minhash gate (batch + streaming), so
+    // the declarative-lane rewrite must reproduce the aggregate exactly
+    val docs = (1 to 50).map { i =>
+      (i.toLong, (1 to 40).map(t => s"tok${(i * 7 + t * 13) % 97}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.hashedShingleRelOf(docs)
+    val viaLanes = Dedup.bandsOf(sh)
+      .select("doc_id", "band", "band_sig")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val viaAggregate = {
+      val hashed = sh.select(col("doc_id"), pmod(col("h"), lit(2038074743L)).as("h"))
+      hashed.groupBy("doc_id")
+        .agg(graft.functions.minhash_signature(col("h"), 64, 2038074743L).as("sig"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * 4 + 1, lit(4))
+            .cast("array<string>")).as("band_sig"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    }
+    assert(viaLanes === viaAggregate)
+  }
+
+  test("pairCounts: wide-id struct path is row-identical to the packed fast path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // posting lists with repeated co-occurrence so counts exceed 1
+    val postings = Seq(
+      Array(1L, 5L, 9L), Array(5L, 1L), Array(9L, 5L, 1L, 7L), Array(7L))
+      .toDF("ids")
+    def collected(wide: Boolean) =
+      Dedup.pairCounts(postings, wide)
+        .orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val packed = collected(wide = false)
+    assert(packed === collected(wide = true),
+      "the two pair-key representations must produce identical counts")
+    assert(packed.contains((1L, 5L, 3L))) // co-occur in all three lists
+    // ids past 2^31 (replica strides, snowflake ids, >2B-doc corpora):
+    // the packed path throws by contract, the struct path serves
+    val wideIds = Seq(Array(3000000000L, 1L, 3000000007L)).toDF("ids")
+    intercept[org.apache.spark.SparkException] {
+      Dedup.pairCounts(wideIds, wide = false).collect()
+    }
+    val got = Dedup.pairCounts(wideIds, wide = true)
+      .orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3000000000L, 1L), (1L, 3000000007L, 1L),
+      (3000000000L, 3000000007L, 1L)))
+    // ... and the dispatcher routes such a corpus to the struct path
+    assert(Dedup.idsWide(Seq((3000000000L, "t")).toDF("doc_id", "text")))
+    assert(!Dedup.idsWide(Seq((7L, "t")).toDF("doc_id", "text")))
+  }
 }

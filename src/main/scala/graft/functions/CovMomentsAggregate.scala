@@ -78,7 +78,9 @@ case class CovMomentSums(
   }
 
   override def eval(buf: CovMomentsBuffer): Any = {
-    require(buf.dims > 0, s"$prettyName: no rows aggregated")
+    require(buf.dims > 0,
+      s"$prettyName: no input rows — covariance/PCA over an empty corpus " +
+        "(every embedding was null or the input relation is empty)")
     val decs = buf.totals.map { u =>
       // throws if a sum ever outgrew 38 digits — fail loud, never truncate
       Decimal(new JBD(u, 9), 38, 9)

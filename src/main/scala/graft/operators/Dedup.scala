@@ -298,7 +298,24 @@ object Dedup {
     * ([[graft.functions.MinhashSignature]]) — the naive form explodes every
     * shingle into 64 rows (64× shuffle amplification). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairs(hashedShingleRel(spark, sfDir))
+    minhashPairs(hashedShingleRel(spark, sfDir), corpusIsBig(spark, sfDir))
+
+  /** Corpus-size gate for the LSH pipeline's join-strategy hints: below
+    * this documents.parquet size (~50× the sf0.1 fixture) the band/verify
+    * relations are small enough that Spark's own selection — AQE runtime
+    * auto-broadcast of the tiny candidate side — beats a forced
+    * shuffle-hash join (an unconditional hint BLOCKS auto-broadcast: hints
+    * outrank size-based selection in JoinSelection, so the r12 blanket
+    * hint shuffled the whole shingle relation at fixture scale where a
+    * broadcast of a few hundred candidate pairs was free). Past the gate
+    * the broadcast is impossible anyway and shuffle_hash-over-sort-merge
+    * is the measured −23% at 300× data. One FileSystem metadata call —
+    * footer-stat-cheap next to the pipeline it steers. */
+  private[graft] val ShuffleHashMinDocBytes: Long = 32L << 20
+
+  private def corpusIsBig(spark: SparkSession, sfDir: String): Boolean =
+    graft.CatalogOps.relationSize(spark, s"$sfDir/documents.parquet") >=
+      ShuffleHashMinDocBytes
 
   /** LSH band rows `(doc_id, band, band_sig)` of a hashed-shingle relation
     * — the banding stage shared by [[minhashPairs]] and the streaming
@@ -336,7 +353,11 @@ object Dedup {
   /** The MinHash-LSH pipeline over an arbitrary hashed-shingle relation
     * ((doc_id, h) rows, [[hashedShingleRelOf]]) — shared by the fixture
     * query and the 1M-doc scale smoke. */
-  private[graft] def minhashPairs(sh: DataFrame): DataFrame = {
+  private[graft] def minhashPairs(sh: DataFrame, big: Boolean = true): DataFrame = {
+    // join-strategy hints only at scale (see ShuffleHashMinDocBytes); the
+    // 1M-doc smoke and any caller that doesn't know its size default to
+    // the scale plan — this engine is scale-first
+    def hinted(df: DataFrame): DataFrame = if (big) df.hint("shuffle_hash") else df
     // NOTE: sh feeds four consumers (signatures, sizes, both verification
     // sides) with no plan-level CSE. Recompute-per-consumer is kept over
     // localCheckpoint deliberately: measured at sf0.1 and the 1M-doc
@@ -347,7 +368,10 @@ object Dedup {
     // build, which is itself a shuffle and DOES pay to materialize).
     val bands = bandsOf(sh)
     // shuffle_hash over sort-merge for the band self-join and the
-    // candidate-restricted verify joins: neither side benefits from
+    // candidate-restricted verify joins — AT SCALE ONLY (`hinted`; below
+    // ShuffleHashMinDocBytes the hint is omitted so AQE's runtime
+    // auto-broadcast of the tiny candidate side keeps the fixture plan
+    // shuffle-free): neither side benefits from
     // sorted output, the build sides are partition-bounded (bands:
     // n·16/partitions rows; cand: the LSH survivor pairs — tiny next to
     // the shingle relation it probes), and skipping both sort passes
@@ -356,7 +380,7 @@ object Dedup {
     // graceful degradation when a partition outgrows memory — is the
     // shuffle-partition sizing contract every operator in this engine
     // already documents.
-    val cand = bands.as("x").join(bands.hint("shuffle_hash").as("y"),
+    val cand = bands.as("x").join(hinted(bands).as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -365,7 +389,7 @@ object Dedup {
     // via two candidate-restricted joins — never the all-pairs self-join.
     // Joins flow over the 8-byte hashed shingles, not the strings.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val commons = cand.hint("shuffle_hash")
+    val commons = hinted(cand)
       .join(sh.as("cx"), col("a") === col("cx.doc_id"))
       .join(sh.as("cy"),
         col("b") === col("cy.doc_id") && col("cx.h") === col("cy.h"))

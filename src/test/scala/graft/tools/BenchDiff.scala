@@ -65,19 +65,31 @@ object BenchDiff {
     val totB = base.values.sum
     val totN = now.filterKeys(base.contains).values.sum
     println(f"shared-query total: committed $totB%.1f s -> fresh $totN%.1f s (${now.size} fresh / ${base.size} committed)")
-    // Spill drift is FLAGGED, never failed: spill bytes vary with box
-    // memory pressure (the 12.3x-vs-4.5x dedup_ngram_capped variance this
-    // column exists to make visible), so a hard gate would be flaky —
-    // but a query that STARTS spilling, or spills ≥2x more, deserves a
-    // line in the round log.
+    // Spill policy (VERDICT r12 item 5): moderate drift is FLAGGED (spill
+    // bytes vary with box memory pressure — the 12.3x-vs-4.5x
+    // dedup_ngram_capped variance this column exists to make visible),
+    // but a query that goes from essentially-no-spill to >1 GB at fixture
+    // scale is a PLAN regression, not noise — that is the class the
+    // ObjectHashAggregate threshold fix repaired a round late because the
+    // gate only printed. Fail it.
+    val SpillFailFreshMb = 1024.0
+    val SpillFailBaseMb = 100.0
     val spillBase = spillOf(committed)
     val spillNow = spillOf(fresh)
-    spillNow.toSeq.sortBy(_._1).foreach { case (q, mb) =>
+    val spillFailed = spillNow.toSeq.sortBy(_._1).flatMap { case (q, mb) =>
       val b = spillBase.getOrElse(q, 0.0)
-      if (mb > 10.0 && mb > b * 2.0)
-        println(f"SPILL (informational) $q: $b%.1f MB -> $mb%.1f MB")
+      if (b < SpillFailBaseMb && mb > SpillFailFreshMb) Some((q, b, mb))
+      else {
+        if (mb > 10.0 && mb > b * 2.0)
+          println(f"SPILL (informational) $q: $b%.1f MB -> $mb%.1f MB")
+        None
+      }
     }
-    if (regressed.isEmpty) println(s"OK: no query >${((RatioGate - 1) * 100).toInt}% and >$AbsGateSec s slower")
+    spillFailed.foreach { case (q, b, mb) =>
+      println(f"SPILL REGRESSED $q: $b%.1f MB -> $mb%.1f MB (started spilling >1 GB)")
+    }
+    if (regressed.isEmpty && spillFailed.isEmpty)
+      println(s"OK: no query >${((RatioGate - 1) * 100).toInt}% and >$AbsGateSec s slower; no 0->1GB spill onset")
     else {
       regressed.foreach { case (q, b, n) =>
         println(f"REGRESSED $q: $b%.3f s -> $n%.3f s (${(n / b - 1) * 100}%.0f%%)")

@@ -26,6 +26,10 @@ object SpillProbe {
       println(f"PROBE ${args(0)} $tag%-8s ${dt}%8.2f s  memSpill ${(m1 - m0) / 1e6}%9.1f MB  diskSpill ${(d1 - d0) / 1e6}%9.1f MB")
     }
     run("warm")
+    // the warm run invoked registerAll -> tuneSession, which raised the
+    // threshold — pin it back to Spark's default BEFORE the default leg,
+    // or "default" silently measures the raised setting (ADVICE r12)
+    spark.conf.set(key, "128")
     run("default")
     spark.conf.set(key, graft.functions.ObjectHashFallbackKeys.toString)
     run("raised")

@@ -1,0 +1,65 @@
+// Stage-level time/shuffle/spill breakdown of the capped-ngram dedup
+// pipeline at a scale dir — finds WHERE the sf30 spill wall lives:
+//   SPARK_DRIVER_MEM=64g sbt "Test/runMain graft.tools.ProfileNgramScale /tmp/graft_scale/x300"
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+object ProfileNgramScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/graft_scale/x300"
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+    import graft.functions.TextFunctions._
+    val acc = new graft.util.ShuffleAccounting(spark.sparkContext)
+
+    def time(name: String)(f: => Long): Unit = {
+      System.gc()
+      val (s0, m0, d0) = acc.snapshotAll()
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (s1, m1, d1) = acc.snapshotAll()
+      println(f"[pfl] $name%-46s ${dt}%8.2f s  rows=$n%,14d  shuffle ${(s1 - s0) / 1e6}%9.1f MB  spill ${(m1 - m0 + d1 - d0) / 1e6}%9.1f MB")
+    }
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sh = graft.Tables.rowParallel(docs)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+      .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
+
+    time("docs scan")(docs.count())
+    time("hashedShingleRel")(sh.count())
+    val postingsNoCk = sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= graft.operators.Dedup.MaxShingleDf)
+    time("postings (groupBy h collect_list, no ckpt)")(postingsNoCk.count())
+    val postings = postingsNoCk.localCheckpoint()
+    time("postings localCheckpoint (already built)")(postings.count())
+    val sizes = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    time("sizes from postings")(sizes.count())
+    val wide = graft.operators.Dedup.idsWide(docs)
+    println(s"[pfl] idsWide=$wide")
+    val common = graft.operators.Dedup.pairCounts(postings, wide)
+    time("pairCounts (explode pairs + groupBy)")(common.count())
+    val joined = common
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= graft.operators.Dedup.NgramThreshold)
+    time("jaccard join + filter")(joined.count())
+    time("FULL dedup_ngram_capped")(
+      graft.operators.Dedup.dedupNgramCapped(spark, sfDir).count())
+    time("FULL dedup_clean")(
+      graft.operators.Dedup.dedupClean(spark, sfDir).count())
+    spark.stop()
+  }
+}

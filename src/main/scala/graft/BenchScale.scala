@@ -62,8 +62,23 @@ object BenchScale {
       (((pmod(xxhash64(concat(idCol, lit("_"), d)), lit(2000001)) - 1000000)
         / 1000000.0) * 0.05).cast("float"))
 
+  /** Widen `embedding` from its native dim to `dim` by TILING the base
+    * vector and adding the per-(id, dim) hash noise: tiling multiplies
+    * every dot product by ⌈dim/base⌉ and every norm by its square root,
+    * so COSINE geometry (cluster structure, neighbor ranks) is preserved
+    * exactly while the bytes-per-vector — what stresses the member
+    * broadcast bound, ADC LUT width and co-probe shuffle volume at the
+    * reference's default 384 dims — is real. */
+  private def widen(emb: org.apache.spark.sql.Column,
+                    idCol: org.apache.spark.sql.Column,
+                    base: Int, dim: Int) = {
+    val tiles = (dim + base - 1) / base
+    val tiled = slice(flatten(array_repeat(emb, tiles)), 1, dim)
+    zip_with(tiled, noise(idCol, dim), (a, b) => (a + b).cast("float"))
+  }
+
   private def generate(spark: SparkSession, src: String, out: String,
-                       reps: Int): Unit = {
+                       reps: Int, dimOverride: Option[Int]): Unit = {
     def replicate(make: Int => DataFrame, name: String): Unit = {
       val done = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
       val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
@@ -88,18 +103,25 @@ object BenchScale {
     // derive the embedding dimension from the data — a hard-coded dim on a
     // mismatched fixture would make zip_with null-pad the shorter array and
     // silently corrupt the synthetic corpus benchmarked as scale evidence
-    val dim = Tables.embeddings(spark, src)
+    val baseDim = Tables.embeddings(spark, src)
       .select(size(col("embedding"))).head().getInt(0)
-    require(dim > 0, s"source embeddings at $src have empty vectors")
+    require(baseDim > 0, s"source embeddings at $src have empty vectors")
+    dimOverride.foreach(d => require(d >= baseDim,
+      s"SPARK_GRAFT_SCALE_DIM=$d below the source's native dim $baseDim"))
+    val dim = dimOverride.getOrElse(baseDim)
     replicate({ r =>
       val e = Tables.embeddings(spark, src)
-      if (r == 0) e
-      else e.select(
-        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
-        zip_with(col("embedding"),
-          noise(col("vec_id") + lit(r * IdStride), dim),
-          (a, b) => (a + b).cast("float")).as("embedding"),
-        col("label"))
+      val id = col("vec_id") + lit(r * IdStride)
+      val vec =
+        if (dim != baseDim) widen(col("embedding"), id, baseDim, dim)
+        else if (r == 0) col("embedding")
+        else zip_with(col("embedding"), noise(id, dim),
+          (a, b) => (a + b).cast("float"))
+      // replica 0 stays untouched ONLY at the native dim; a widened corpus
+      // perturbs every replica so no vector is a pure tile (degenerate
+      // duplicate-coordinate patterns would flatter the quantizers)
+      if (r == 0 && dim == baseDim) e
+      else e.select(id.as("vec_id"), vec.as("embedding"), col("label"))
     }, "embeddings")
     replicate({ r =>
       val ev = Tables.events(spark, src)
@@ -117,9 +139,10 @@ object BenchScale {
     // _SUCCESS reuse marker is only valid for the same replica count, and
     // a reps change against a reused SPARK_GRAFT_SCALE_DIR must never
     // silently benchmark the old corpus under the new sfN label
+    val dimOverride = sys.env.get("SPARK_GRAFT_SCALE_DIM").map(_.toInt)
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       java.nio.file.Files.createTempDirectory("graft_sf1").toString) +
-      s"/x$reps"
+      s"/x$reps" + dimOverride.map(d => s"_d$d").getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -130,7 +153,7 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.tuneSession(spark)
-    generate(spark, src, scaleDir, reps)
+    generate(spark, src, scaleDir, reps, dimOverride)
 
     // optional headline subset (comma-separated names) for the largest
     // scale points, where timing the full set would dominate the round's
@@ -233,7 +256,8 @@ object BenchScale {
     val total = results.map(_.sec).sum
     val lines = new StringBuilder
     lines.append("{\n")
-    lines.append(s"""  "sf": "sf${reps / 10.0} (synthetic, ${reps}x $src)",\n""")
+    lines.append(s"""  "sf": "sf${reps / 10.0} (synthetic, ${reps}x $src${
+      dimOverride.map(d => s", widened to d=$d").getOrElse("")})",\n""")
     lines.append(s"""  "total_s": ${f3(total)},\n""")
     lines.append(s"""  "n": ${results.size},\n""")
     lines.append("  \"queries\": {\n")
@@ -256,9 +280,10 @@ object BenchScale {
     java.nio.file.Files.createDirectories(outDir)
     // reps=10 → bench_sf1.json (10× the sf0.1 source), reps=30 → sf3 —
     // two committed points make the scaling claim a LINE, not a sample
+    val dimSuffix = dimOverride.map(d => s"_d$d").getOrElse("")
     val outName =
-      if (reps % 10 == 0) s"bench_sf${reps / 10}.json"
-      else s"bench_sf0.1x$reps.json"
+      if (reps % 10 == 0) s"bench_sf${reps / 10}$dimSuffix.json"
+      else s"bench_sf0.1x$reps$dimSuffix.json"
     java.nio.file.Files.write(outDir.resolve(outName),
       lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"recall_knn_graph_ivf":${f3(graphRecall)},"dir":"$scaleDir"}""")

@@ -247,16 +247,56 @@ package object functions {
     * genuinely huge buffers. */
   val ObjectHashFallbackKeys: Int = 1 << 20
 
+  /** Reduce-side shuffle sizing is INPUT-scaled, not constant: every
+    * shuffle starts at this many partitions and AQE coalescing
+    * (`spark.sql.adaptive.coalescePartitions`, on by default) merges them
+    * back to the advisory size, so fixture-scale stages still run ~one
+    * task per core while a 300×-corpus sort-merge join or sort-fallback
+    * aggregate gets partitions its per-task memory can actually sort
+    * without spilling. A CONSTANT `spark.sql.shuffle.partitions` is the
+    * documented scale-killer shape the r12 sf30 artifact measured: the
+    * dedup family's band/posting sorts at 32 partitions spilled ~90 GB
+    * per query because per-partition sort volume grows with the corpus.
+    * 16× the session's shuffle parallelism (capped at 8192) keeps the
+    * pre-coalesce map-block count trivial while giving AQE room to hold
+    * post-shuffle partitions near the advisory size at 2-3 orders of
+    * magnitude more data. */
+  def InitialShufflePartitionsFor(parts: Int): Int = math.min(parts * 16, 8192)
+
+  /** Run `body` with session-conf overrides applied, restoring the prior
+    * values (or unsetting) afterwards — the engine's statement-scoped GUC
+    * analog. Only meaningful when `body` EXECUTES a job (an eager
+    * localCheckpoint / write / collect): Spark reads SQLConf at execution,
+    * not DataFrame-build, time. Scoping is per-session, so concurrent
+    * queries in the same session observe the override for `body`'s
+    * duration — the same caveat as any session GUC. */
+  def withSqlConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Apply the session defaults the engine's bounded-buffer aggregates
-    * assume (currently just [[ObjectHashFallbackKeys]]). Leaves any value
-    * the user explicitly changed from Spark's default alone. Called from
-    * [[registerAll]] — the extension-bootstrap analog of pgvector setting
-    * its GUCs at CREATE EXTENSION — and from the engine's own mains. */
+    * and scale-sized shuffles assume ([[ObjectHashFallbackKeys]] and
+    * [[InitialShufflePartitionsFor]]). Leaves any value the user
+    * explicitly set alone. Called from [[registerAll]] — the
+    * extension-bootstrap analog of pgvector setting its GUCs at CREATE
+    * EXTENSION — and from the engine's own mains. Session-wide by design
+    * (documented in docs/QUICKSTART.md with both opt-outs). */
   def tuneSession(spark: SparkSession): Unit = {
     if (sys.env.contains("SPARK_GRAFT_NO_TUNE")) return // A/B escape hatch
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     if (spark.conf.getOption(key).forall(_ == "128"))
       spark.conf.set(key, ObjectHashFallbackKeys.toString)
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    if (spark.conf.getOption(initKey).isEmpty) {
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      spark.conf.set(initKey, InitialShufflePartitionsFor(parts).toString)
+    }
   }
 
   /** Idempotently register the vector functions in `spark`'s session

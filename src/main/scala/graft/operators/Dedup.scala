@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{OracleSql => O, Tables}
-import graft.functions.cosine_similarity
+import graft.functions.{cosine_similarity, withSqlConf}
 import graft.functions.TextFunctions._
 
 /** Deduplication operators over `documents` / `embeddings` — the core
@@ -96,6 +96,17 @@ object Dedup {
     else postings
       .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      // co-partition BEFORE counting: pair keys are near-unique (dup pairs
+      // repeat ~|shared shingles| times, random collisions once), so the
+      // default map-side partial aggregate gets ~zero reduction while its
+      // per-task hash map spans the task's whole pair slice — measured
+      // 66 GB of spill at 300× data. Behind an explicit hash exchange the
+      // partial+final pair both run post-shuffle over AQE-sized
+      // partitions (bounded keys per task), same shuffle volume (nothing
+      // was combining anyway), no corpus-sized hash map. The packed
+      // (narrow-id) branch above keeps map-side combine: its 8-byte keys
+      // spill-cap at fixture scale where combine is free.
+      .repartition(col("a"), col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
 
   /** All candidate pairs sharing ≥1 shingle, with exact Jaccard over the
@@ -150,21 +161,52 @@ object Dedup {
     * millions). */
   val MaxShingleDf = 20
   def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = corpusIsBig(spark, sfDir)
     // ONE posting-list pass serves the df-cap, the per-doc sizes over the
     // capped space, and the pair expansion. Both consumers (sizes, pairs)
     // branch off `postings`, and Spark has no plan-level CSE across join
     // branches — localCheckpoint materializes the posting build once
     // instead of re-tokenizing + re-grouping the corpus per branch.
-    val postings = hashedShingleRel(spark, sfDir)
-      .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= MaxShingleDf)
-      .localCheckpoint()
+    //
+    // The build runs SCOPED to Spark's default ObjectHashAggregate
+    // fallback threshold: collect_list over a corpus-sized near-unique
+    // key space is exactly the giant-buffer aggregate the default 128 is
+    // sized for — under the engine's raised session threshold each task
+    // holds ~10⁶ live list buffers before falling back anyway (measured
+    // at 300× data: 242 s GC-bound vs the immediate sort fallback's
+    // streamed merge, ProfileNgramScale). The localCheckpoint is EAGER,
+    // so the override provably covers this job only (single-session
+    // sequential execution, like any GUC-scoped statement).
+    // single-live checkpoint: a re-invocation (bench reps, notebook
+    // re-runs) frees the previous postings blocks instead of stacking
+    // corpus-sized dead copies in the block manager
+    val postings = graft.util.CheckpointOps.trackSingleLive(
+      s"dedup_ngram_postings:$sfDir",
+      withSqlConf(spark,
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128") {
+        hashedShingleRel(spark, sfDir)
+          .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= MaxShingleDf)
+          .localCheckpoint()
+      })
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = pairCounts(postings, idsWide(Tables.documents(spark, sfDir)))
+    // The sizes joins are TIERED on corpus size: `sizes` is one 16-byte
+    // row per doc, so up to [[SizesBroadcastMaxDocBytes]] of source docs
+    // it broadcasts — the corpus-sized pair relation then streams through
+    // both joins with NO exchange at all (at 300× data the forced
+    // shuffle_hash alternative moved the 336M-row pair relation through
+    // two more full shuffles, ~10 GB). Past the tier — doc counts where a
+    // per-executor hash of all docs stops being sane — shuffle_hash keeps
+    // the joins sort-free; plain sort-merge is never the right shape here.
+    def sized(df: DataFrame): DataFrame =
+      if (!big) broadcast(df) // fixture scale: same BHJ AQE picks, pinned
+      else if (docBytes(spark, sfDir) <= SizesBroadcastMaxDocBytes) broadcast(df)
+      else df.hint("shuffle_hash")
     common
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .join(sized(sizes.as("sa")), col("a") === col("sa.doc_id"))
+      .join(sized(sizes.as("sb")), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"),
         (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= NgramThreshold)
@@ -313,9 +355,18 @@ object Dedup {
     * footer-stat-cheap next to the pipeline it steers. */
   private[graft] val ShuffleHashMinDocBytes: Long = 32L << 20
 
+  /** Upper corpus-size tier for BROADCASTING the per-doc `sizes` relation
+    * in the Jaccard pipelines: 512 MB of documents.parquet is ~4M fixture
+    * docs → a ~64 MB one-long-per-doc hashed relation per executor, well
+    * inside sane broadcast budgets. Past it, every-doc broadcast is the
+    * thing that stops scaling, and the joins fall back to shuffle_hash. */
+  private[graft] val SizesBroadcastMaxDocBytes: Long = 512L << 20
+
+  private def docBytes(spark: SparkSession, sfDir: String): Long =
+    graft.CatalogOps.relationSize(spark, s"$sfDir/documents.parquet")
+
   private def corpusIsBig(spark: SparkSession, sfDir: String): Boolean =
-    graft.CatalogOps.relationSize(spark, s"$sfDir/documents.parquet") >=
-      ShuffleHashMinDocBytes
+    docBytes(spark, sfDir) >= ShuffleHashMinDocBytes
 
   /** LSH band rows `(doc_id, band, band_sig)` of a hashed-shingle relation
     * — the banding stage shared by [[minhashPairs]] and the streaming

@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The session-tuning surface added for the scale fixes: statement-scoped
+  * conf overrides ([[withSqlConf]]), the AQE initial-partition default
+  * ([[tuneSession]]), and the single-live checkpoint registry
+  * ([[graft.util.CheckpointOps]]). */
+class SessionTuningSpec extends SparkSpec {
+
+  test("withSqlConf applies for the body and restores prior values") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.get(key) // tuneSession already raised it
+    val seen = withSqlConf(spark, key -> "128") { spark.conf.get(key) }
+    assert(seen === "128")
+    assert(spark.conf.get(key) === before)
+  }
+
+  test("withSqlConf restores on exception and unsets keys that were unset") {
+    val key = "spark.sql.graft.test.ephemeral"
+    assert(spark.conf.getOption(key).isEmpty)
+    intercept[RuntimeException] {
+      withSqlConf(spark, key -> "x") { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.getOption(key).isEmpty, "unset key must be unset again")
+  }
+
+  test("tuneSession sets the AQE initial partition count, respecting explicit values") {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val before = spark.conf.getOption(key)
+    try {
+      // SparkSpec's session ran tuneSession: 4 shuffle partitions -> 64
+      assert(spark.conf.get(key) ===
+        InitialShufflePartitionsFor(4).toString)
+      spark.conf.set(key, "99")
+      tuneSession(spark)
+      assert(spark.conf.get(key) === "99", "explicit value survives re-tune")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    assert(InitialShufflePartitionsFor(1000) === 8192, "cap applies")
+  }
+
+  test("CheckpointOps.trackSingleLive frees the previous checkpoint's blocks") {
+    import graft.util.CheckpointOps
+    def ck() = spark.range(1000).toDF("id").localCheckpoint()
+    def rddOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.head
+    val first = CheckpointOps.trackSingleLive("spec:ck", ck())
+    val firstRdd = rddOf(first)
+    assert(first.count() === 1000L)
+    assert(firstRdd.getStorageLevel.useMemory || firstRdd.getStorageLevel.useDisk)
+    val second = CheckpointOps.trackSingleLive("spec:ck", ck())
+    assert(second.count() === 1000L)
+    // the first frame's blocks are scheduled for removal (non-blocking
+    // unpersist -> storage level reset is immediate on the RDD handle)
+    assert(firstRdd.getStorageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    // re-registering the SAME frame must not free it
+    val again = CheckpointOps.trackSingleLive("spec:ck", second)
+    assert(rddOf(again).getStorageLevel !==
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(again.count() === 1000L)
+  }
+
+  test("dedupNgramCapped re-invocation keeps exactly one live postings checkpoint") {
+    import graft.operators.Dedup
+    val r1 = Dedup.dedupNgramCapped(spark, Sf0001)
+    val n1 = r1.count()
+    val r2 = Dedup.dedupNgramCapped(spark, Sf0001)
+    assert(r2.count() === n1, "same corpus, same pairs")
+    // scoped threshold restored after the eager postings build
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") ===
+      ObjectHashFallbackKeys.toString)
+  }
+}

@@ -178,10 +178,17 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
+    // The LAST stdout line is the driver-contract one —
+    // {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…} — kept
+    // under ~700 chars (queries = the 15 slowest) so it survives WHOLE in
+    // a bounded log tail: the full per-query line above is ~5 KB and has
+    // only ever reached the consumer truncated (BENCH_r01–r13 all record
+    // parsed:null), which is why this line now carries the contract shape
+    // rather than an ad-hoc "summary" record.
     val slowest = results.sortBy(-_.sec).take(15)
-      .map(r => "[" + jstr(r.name) + "," + f3(r.sec) + "]")
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"summary","total_s":${f3(total)},"n":${results.size},"n_errors":${errors.size},"slowest":$slowest,"sf":"$sfDir"}""")
+      .map(r => jstr(r.name) + ":" + f3(r.sec))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

@@ -106,8 +106,18 @@ object BenchScale {
     val baseDim = Tables.embeddings(spark, src)
       .select(size(col("embedding"))).head().getInt(0)
     require(baseDim > 0, s"source embeddings at $src have empty vectors")
-    dimOverride.foreach(d => require(d >= baseDim,
-      s"SPARK_GRAFT_SCALE_DIM=$d below the source's native dim $baseDim"))
+    dimOverride.foreach { d =>
+      require(d >= baseDim,
+        s"SPARK_GRAFT_SCALE_DIM=$d below the source's native dim $baseDim")
+      // widen() preserves cosine geometry EXACTLY only for whole tiles: a
+      // slice-truncated last tile scales dot products non-uniformly, which
+      // would silently weaken the geometry argument the recall evidence
+      // rests on (ADVICE r13)
+      require(d % baseDim == 0,
+        s"SPARK_GRAFT_SCALE_DIM=$d must be a multiple of the source's " +
+          s"native dim $baseDim (partial tiles break exact cosine-geometry " +
+          "preservation)")
+    }
     val dim = dimOverride.getOrElse(baseDim)
     replicate({ r =>
       val e = Tables.embeddings(spark, src)

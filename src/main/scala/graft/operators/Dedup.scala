@@ -154,6 +154,15 @@ object Dedup {
     * both filtered — a consistent, well-defined similarity), which the
     * oracle mirrors exactly.
     *
+    * LIFECYCLE: the posting build is a SINGLE-LIVE localCheckpoint
+    * ([[graft.util.CheckpointOps.trackSingleLive]]) — re-invoking this
+    * operator (or [[dedupClean]], which composes it) on the same `sfDir`
+    * frees the previous invocation's checkpoint blocks, so a frame
+    * returned by an EARLIER call must not be executed after a newer call
+    * completes (missing-block failure: the lineage was truncated). Hold
+    * one live result per input, or set
+    * `spark.graft.singleLiveCheckpoints=false` to manage blocks yourself.
+    *
     * Honest caveat measured at sf0.1: the fixtures have max df = 25, so the
     * cap removes almost nothing and costs about the same as the uncapped
     * form (~1.7 s both, round 3). The technique pays only when real
@@ -193,8 +202,8 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = pairCounts(postings, idsWide(Tables.documents(spark, sfDir)))
     // The sizes joins are TIERED on corpus size: `sizes` is one 16-byte
-    // row per doc, so up to [[SizesBroadcastMaxDocBytes]] of source docs
-    // it broadcasts — the corpus-sized pair relation then streams through
+    // row per doc, so up to [[SizesBroadcastMaxDocs]] documents it
+    // broadcasts — the corpus-sized pair relation then streams through
     // both joins with NO exchange at all (at 300× data the forced
     // shuffle_hash alternative moved the 336M-row pair relation through
     // two more full shuffles, ~10 GB). Past the tier — doc counts where a
@@ -202,7 +211,7 @@ object Dedup {
     // the joins sort-free; plain sort-merge is never the right shape here.
     def sized(df: DataFrame): DataFrame =
       if (!big) broadcast(df) // fixture scale: same BHJ AQE picks, pinned
-      else if (docBytes(spark, sfDir) <= SizesBroadcastMaxDocBytes) broadcast(df)
+      else if (docCount(spark, sfDir) <= SizesBroadcastMaxDocs) broadcast(df)
       else df.hint("shuffle_hash")
     common
       .join(sized(sizes.as("sa")), col("a") === col("sa.doc_id"))
@@ -356,14 +365,24 @@ object Dedup {
   private[graft] val ShuffleHashMinDocBytes: Long = 32L << 20
 
   /** Upper corpus-size tier for BROADCASTING the per-doc `sizes` relation
-    * in the Jaccard pipelines: 512 MB of documents.parquet is ~4M fixture
-    * docs → a ~64 MB one-long-per-doc hashed relation per executor, well
-    * inside sane broadcast budgets. Past it, every-doc broadcast is the
-    * thing that stops scaling, and the joins fall back to shuffle_hash. */
-  private[graft] val SizesBroadcastMaxDocBytes: Long = 512L << 20
+    * in the Jaccard pipelines: 4M docs ≈ a 64 MB one-long-per-doc hashed
+    * relation per executor, well inside sane broadcast budgets. Past it,
+    * every-doc broadcast is the thing that stops scaling, and the joins
+    * fall back to shuffle_hash. Gated on the DOC COUNT — the relation
+    * being broadcast is one row per doc, so rows, not file bytes, size
+    * the hashed relation (a corpus of many short documents would blow a
+    * bytes-proxied tier; ADVICE r13). The count is footer-cheap on
+    * parquet (no columns read) and cached per path. */
+  private[graft] val SizesBroadcastMaxDocs: Long = 4L * 1000 * 1000
 
   private def docBytes(spark: SparkSession, sfDir: String): Long =
     graft.CatalogOps.relationSize(spark, s"$sfDir/documents.parquet")
+
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCount(spark: SparkSession, sfDir: String): Long =
+    docCountCache.computeIfAbsent(s"$sfDir/documents.parquet",
+      p => Long.box(spark.read.parquet(p).count()))
 
   private def corpusIsBig(spark: SparkSession, sfDir: String): Boolean =
     docBytes(spark, sfDir) >= ShuffleHashMinDocBytes
@@ -512,7 +531,13 @@ object Dedup {
     * set is unchanged in practice; DedupSpec pins capped ≡ uncapped drop
     * sets on the fixtures, and the oracle below intentionally keeps the
     * exact uncapped pipeline so any future divergence fails the gate
-    * instead of hiding. */
+    * instead of hiding.
+    *
+    * LIFECYCLE: composes [[dedupNgramCapped]] and inherits its single-live
+    * checkpoint contract — a frame returned by an earlier invocation on
+    * the same `sfDir` is not re-executable after a newer invocation of
+    * either operator completes (opt out via
+    * `spark.graft.singleLiveCheckpoints=false`). */
   def dedupClean(spark: SparkSession, sfDir: String): DataFrame = {
     val cleaned = dropNearDuplicates(
       Tables.documents(spark, sfDir),

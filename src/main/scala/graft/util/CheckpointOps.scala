@@ -28,10 +28,28 @@ object CheckpointOps {
     * invocations of a checkpoint-building query (bench reps, notebook
     * re-runs) bounded block-manager footprint, with the statement-scoped
     * contract that the PREVIOUS invocation's returned frame is no longer
-    * re-executable once a new one is built. */
+    * re-executable once a new one is built.
+    *
+    * CONTRACT (also stated on every public operator that uses this —
+    * [[graft.operators.Dedup.dedupNgramCapped]],
+    * [[graft.operators.Dedup.dedupClean]]): a frame returned by an
+    * EARLIER invocation of the same operator on the same input dies when
+    * a new invocation completes — executing the stale frame afterwards
+    * fails with a missing-checkpoint-block error (its lineage was
+    * truncated by localCheckpoint, so Spark cannot recompute it). Hold at
+    * most one live result per (operator, input), or disable the registry
+    * with `spark.conf.set("spark.graft.singleLiveCheckpoints", "false")`
+    * — then every invocation's blocks stay resident until session end and
+    * the CALLER owns the block-manager footprint (the pre-r13 behavior:
+    * corpus-sized dead block sets stack up across bench reps). The same
+    * conf is the escape hatch for CONCURRENT re-invocation on one session
+    * (two threads racing here could free a frame mid-consumption). */
   private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def trackSingleLive(key: String, fresh: DataFrame): DataFrame = {
+    val enabled = fresh == null ||
+      fresh.sparkSession.conf.get("spark.graft.singleLiveCheckpoints", "true").toBoolean
+    if (!enabled) return fresh
     val prev = live.put(key, fresh)
     if (prev ne fresh) freeLocalCheckpoint(prev)
     fresh

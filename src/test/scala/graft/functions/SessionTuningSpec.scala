@@ -69,6 +69,27 @@ class SessionTuningSpec extends SparkSpec {
     assert(again.count() === 1000L)
   }
 
+  test("trackSingleLive honors the singleLiveCheckpoints=false opt-out") {
+    import graft.util.CheckpointOps
+    def ck() = spark.range(1000).toDF("id").localCheckpoint()
+    def rddOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.head
+    val first = CheckpointOps.trackSingleLive("spec:optout", ck())
+    val firstRdd = rddOf(first)
+    assert(first.count() === 1000L)
+    spark.conf.set("spark.graft.singleLiveCheckpoints", "false")
+    try {
+      val second = CheckpointOps.trackSingleLive("spec:optout", ck())
+      assert(second.count() === 1000L)
+      // opt-out: the earlier frame's blocks stay resident (caller-owned)
+      assert(firstRdd.getStorageLevel !==
+        org.apache.spark.storage.StorageLevel.NONE)
+      assert(first.count() === 1000L, "stale frame still executable")
+    } finally spark.conf.unset("spark.graft.singleLiveCheckpoints")
+  }
+
   test("dedupNgramCapped re-invocation keeps exactly one live postings checkpoint") {
     import graft.operators.Dedup
     val r1 = Dedup.dedupNgramCapped(spark, Sf0001)

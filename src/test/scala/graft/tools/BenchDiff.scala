@@ -74,11 +74,16 @@ object BenchDiff {
     // gate only printed. Fail it.
     val SpillFailFreshMb = 1024.0
     val SpillFailBaseMb = 100.0
+    // The hard gate is calibrated for the sf0.1 fixture artifact, where
+    // ANY GB-scale spill is a plan regression. Scale artifacts
+    // (bench_sf1/3/10/30) legitimately carry GB-level spill with
+    // box-dependent variance — there the gate only REPORTS (ADVICE r13).
+    val hardGate = artifact.endsWith("bench_sf0.1.json")
     val spillBase = spillOf(committed)
     val spillNow = spillOf(fresh)
     val spillFailed = spillNow.toSeq.sortBy(_._1).flatMap { case (q, mb) =>
       val b = spillBase.getOrElse(q, 0.0)
-      if (b < SpillFailBaseMb && mb > SpillFailFreshMb) Some((q, b, mb))
+      if (hardGate && b < SpillFailBaseMb && mb > SpillFailFreshMb) Some((q, b, mb))
       else {
         if (mb > 10.0 && mb > b * 2.0)
           println(f"SPILL (informational) $q: $b%.1f MB -> $mb%.1f MB")

@@ -247,20 +247,26 @@ package object functions {
     * genuinely huge buffers. */
   val ObjectHashFallbackKeys: Int = 1 << 20
 
-  /** Reduce-side shuffle sizing is INPUT-scaled, not constant: every
-    * shuffle starts at this many partitions and AQE coalescing
-    * (`spark.sql.adaptive.coalescePartitions`, on by default) merges them
-    * back to the advisory size, so fixture-scale stages still run ~one
-    * task per core while a 300×-corpus sort-merge join or sort-fallback
-    * aggregate gets partitions its per-task memory can actually sort
-    * without spilling. A CONSTANT `spark.sql.shuffle.partitions` is the
-    * documented scale-killer shape the r12 sf30 artifact measured: the
-    * dedup family's band/posting sorts at 32 partitions spilled ~90 GB
-    * per query because per-partition sort volume grows with the corpus.
-    * 16× the session's shuffle parallelism (capped at 8192) keeps the
-    * pre-coalesce map-block count trivial while giving AQE room to hold
-    * post-shuffle partitions near the advisory size at 2-3 orders of
-    * magnitude more data. */
+  /** Wide-start shuffle sizing for the STATEMENT-scoped big-aggregate
+    * paths (the dedup family's posting/signature builds): shuffles start
+    * at this many partitions and AQE coalescing merges small stages back
+    * to the advisory size, so per-task sort/aggregate volume stays
+    * bounded as the corpus grows. A CONSTANT shuffle-partition count is
+    * the documented scale-killer shape the r12 sf30 artifact measured
+    * (~90 GB of per-partition sort spill at 32 partitions), and the
+    * pair-count aggregate re-measured it after the r13 fixes: 56 GB of
+    * hash-agg spill and 1.6-2× the wall at 32-wide starts vs zero spill
+    * at 16×-wide (AbPairStages, 300× data).
+    *
+    * Scoped per statement, NOT session-wide: r13 set this as a session
+    * default and the r14 A/B (AbInitParts, 300×) measured the tax on
+    * queries whose shuffles are small enough to never need it — the
+    * co-probe ANN family ran 12-40% slower under session-wide 16× starts
+    * (knn_graph_ivf 29.7 s vs 17.1 s) with identical results and zero
+    * spill either way. The operators that need width know their own
+    * input sizes; they scope it with [[withSqlConf]] around their eager
+    * builds or pass explicit partition counts computed from measured
+    * row counts (see Dedup.pairCounts). */
   def InitialShufflePartitionsFor(parts: Int): Int = math.min(parts * 16, 8192)
 
   /** Run `body` with session-conf overrides applied, restoring the prior
@@ -280,23 +286,21 @@ package object functions {
     }
   }
 
-  /** Apply the session defaults the engine's bounded-buffer aggregates
-    * and scale-sized shuffles assume ([[ObjectHashFallbackKeys]] and
-    * [[InitialShufflePartitionsFor]]). Leaves any value the user
+  /** Apply the session default the engine's bounded-buffer aggregates
+    * assume ([[ObjectHashFallbackKeys]]). Leaves any value the user
     * explicitly set alone. Called from [[registerAll]] — the
     * extension-bootstrap analog of pgvector setting its GUCs at CREATE
     * EXTENSION — and from the engine's own mains. Session-wide by design
-    * (documented in docs/QUICKSTART.md with both opt-outs). */
+    * (documented in docs/QUICKSTART.md with both opt-outs).
+    *
+    * The r13 session-wide `initialPartitionNum` raise is GONE: wide
+    * shuffle starts are now scoped to the operators that need them
+    * ([[InitialShufflePartitionsFor]] explains the measured reason). */
   def tuneSession(spark: SparkSession): Unit = {
     if (sys.env.contains("SPARK_GRAFT_NO_TUNE")) return // A/B escape hatch
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     if (spark.conf.getOption(key).forall(_ == "128"))
       spark.conf.set(key, ObjectHashFallbackKeys.toString)
-    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    if (spark.conf.getOption(initKey).isEmpty) {
-      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      spark.conf.set(initKey, InitialShufflePartitionsFor(parts).toString)
-    }
   }
 
   /** Idempotently register the vector functions in `spark`'s session

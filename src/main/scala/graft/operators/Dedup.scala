@@ -87,27 +87,58 @@ object Dedup {
     * snowflake-style ids, corpora past 2³¹ documents — the regime the
     * 300× scale bench runs in) take [[graft.functions.sorted_pairs]]'s
     * 16-byte struct form. Same pair multiset, same counts, same schema
-    * out; DedupSpec pins row-identity of the two paths. */
-  private[graft] def pairCounts(postings: DataFrame, wide: Boolean): DataFrame =
+    * out; DedupSpec pins row-identity of the two paths. (A densified
+    * packed alternative for the wide regime — zipWithIndex ids into
+    * [0, n), run the narrow path — measured EQUAL to the struct form at
+    * 300× data, 27-31 s vs 26-34 s interleaved, AbPairStages: the explode
+    * is ~1 s either way and the count cost is the shuffle + near-unique
+    * hash aggregate, which key width does not move. Not adopted.)
+    *
+    * `numParts`: explicit width for the pair-count exchange, computed by
+    * callers that know the exact pair volume (dedupNgramCapped counts it
+    * on the materialized postings). The aggregate is the engine's
+    * widest-relation hash agg and its per-partition footprint is the
+    * measured spill driver — 56 GB / 1.6-2× wall at 32 partitions vs
+    * zero spill at ~16× wider (300× data, AbPairStages) — so its width
+    * must scale with the pair count, not sit at the session constant. */
+  private[graft] def pairCounts(postings: DataFrame, wide: Boolean,
+                                numParts: Option[Int] = None): DataFrame =
     if (!wide)
       unpackPairCounts(postings
         .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("c")))
-    else postings
-      .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    else {
+      val pairs = postings
+        .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
       // co-partition BEFORE counting: pair keys are near-unique (dup pairs
       // repeat ~|shared shingles| times, random collisions once), so the
       // default map-side partial aggregate gets ~zero reduction while its
       // per-task hash map spans the task's whole pair slice — measured
       // 66 GB of spill at 300× data. Behind an explicit hash exchange the
-      // partial+final pair both run post-shuffle over AQE-sized
+      // partial+final pair both run post-shuffle over right-sized
       // partitions (bounded keys per task), same shuffle volume (nothing
       // was combining anyway), no corpus-sized hash map. The packed
       // (narrow-id) branch above keeps map-side combine: its 8-byte keys
       // spill-cap at fixture scale where combine is free.
-      .repartition(col("a"), col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val parted = numParts match {
+        case Some(n) => pairs.repartition(n, col("a"), col("b"))
+        case None => pairs.repartition(col("a"), col("b"))
+      }
+      parted.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    }
+
+  /** Exchange width for [[pairCounts]] from the EXACT pair count:
+    * ~[[PairAggRowsPerPartition]] pair rows per post-shuffle partition
+    * (≈ 50-80 MB of 24-byte unsafe rows — comfortably inside task
+    * execution memory with the aggregate's ~40 B/entry map on top),
+    * never below the session parallelism, capped at 8192 like every
+    * wide start in this engine. */
+  private[graft] val PairAggRowsPerPartition = 2L * 1000 * 1000
+  private[graft] def pairAggPartitions(nPairs: Long, sessionParts: Int): Int =
+    math.min(8192L,
+      math.max(sessionParts.toLong,
+        (nPairs + PairAggRowsPerPartition - 1) / PairAggRowsPerPartition)).toInt
 
   /** All candidate pairs sharing ≥1 shingle, with exact Jaccard over the
     * hashed shingle space. Inverted-index formulation: group the hashed
@@ -189,10 +220,18 @@ object Dedup {
     // single-live checkpoint: a re-invocation (bench reps, notebook
     // re-runs) frees the previous postings blocks instead of stacking
     // corpus-sized dead copies in the block manager
+    // The build's own shuffles start WIDE (statement-scoped, not the r13
+    // session-wide setting — see InitialShufflePartitionsFor for the
+    // measured tax that moved it here): the sort-fallback aggregate's
+    // per-task volume is what the width bounds, and the eager
+    // localCheckpoint means the scope provably covers this job.
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
     val postings = graft.util.CheckpointOps.trackSingleLive(
       s"dedup_ngram_postings:$sfDir",
       withSqlConf(spark,
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128") {
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+          graft.functions.InitialShufflePartitionsFor(sessionParts).toString) {
         hashedShingleRel(spark, sfDir)
           .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
           .filter(size(col("ids")) <= MaxShingleDf)
@@ -200,7 +239,19 @@ object Dedup {
       })
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = pairCounts(postings, idsWide(Tables.documents(spark, sfDir)))
+    // exact pair volume off the materialized postings (one sub-second
+    // column scan) sizes the pair-count exchange; fixture scale keeps the
+    // session width (the narrow packed path doesn't take numParts anyway)
+    val wide = idsWide(Tables.documents(spark, sfDir))
+    val pairParts =
+      if (!big || !wide) None
+      else {
+        val sz = size(col("ids")).cast("long")
+        val nPairs = postings
+          .agg(sum(sz * (sz - lit(1L)) / lit(2L)).cast("long")).head().getLong(0)
+        Some(pairAggPartitions(nPairs, sessionParts))
+      }
+    val common = pairCounts(postings, wide, pairParts)
     // The sizes joins are TIERED on corpus size: `sizes` is one 16-byte
     // row per doc, so up to [[SizesBroadcastMaxDocs]] documents it
     // broadcasts — the corpus-sized pair relation then streams through

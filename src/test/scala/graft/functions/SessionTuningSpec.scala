@@ -26,23 +26,26 @@ class SessionTuningSpec extends SparkSpec {
     assert(spark.conf.getOption(key).isEmpty, "unset key must be unset again")
   }
 
-  test("tuneSession sets the AQE initial partition count, respecting explicit values") {
+  test("tuneSession leaves the AQE initial partition count to its statement scopes") {
+    // the r13 session-wide raise measurably taxed small-shuffle scale
+    // queries (AbInitParts: co-probe family 12-40% slower at 300x data),
+    // so the wide start is now scoped inside the operators that need it
+    // (dedupNgramCapped's postings build) — the session must NOT carry it
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    val before = spark.conf.getOption(key)
-    try {
-      // SparkSpec's session ran tuneSession: 4 shuffle partitions -> 64
-      assert(spark.conf.get(key) ===
-        InitialShufflePartitionsFor(4).toString)
-      spark.conf.set(key, "99")
-      tuneSession(spark)
-      assert(spark.conf.get(key) === "99", "explicit value survives re-tune")
-    } finally {
-      before match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
+    assert(spark.conf.getOption(key).isEmpty,
+      "tuneSession must not set a session-wide initialPartitionNum")
+    tuneSession(spark)
+    assert(spark.conf.getOption(key).isEmpty, "re-tune must not add it")
     assert(InitialShufflePartitionsFor(1000) === 8192, "cap applies")
+    assert(InitialShufflePartitionsFor(32) === 512, "16x width")
+  }
+
+  test("pairAggPartitions scales with the exact pair count") {
+    import graft.operators.Dedup
+    assert(Dedup.pairAggPartitions(0L, 32) === 32, "floor at session width")
+    assert(Dedup.pairAggPartitions(336L * 1000 * 1000, 32) === 168,
+      "~2M pair rows per partition")
+    assert(Dedup.pairAggPartitions(Long.MaxValue / 4, 32) === 8192, "cap")
   }
 
   test("CheckpointOps.trackSingleLive frees the previous checkpoint's blocks") {

@@ -78,6 +78,59 @@ object AbPairStages {
       time(s"pairCounts STRUCT         rep$r")(agg(structPairs))
       time(s"pairCounts NESTED         rep$r")(agg(nestedPairs))
     }
+
+    // ---- 3. DENSE-PACKED wide-id alternative --------------------------
+    // Densify doc ids to [0, n) (zipWithIndex over the sorted id set —
+    // distributed, deterministic), then run the NARROW packed-key pair
+    // count even though the raw id space is wide: explode emits primitive
+    // longs instead of 2-long structs (smaller shuffle rows, half-size
+    // aggregate hash maps, no per-pair struct allocation). Survivor
+    // mapping back to raw ids is pair-result-sized (tiny) and untimed
+    // here; the densify join on the shingle relation IS timed.
+    {
+      import spark.implicits._
+      val t0 = System.nanoTime()
+      val dmap = docs.select("doc_id").orderBy("doc_id").rdd
+        .map(_.getLong(0)).zipWithIndex()
+        .toDF("doc_id", "dense")
+        .localCheckpoint()
+      println(f"[ab2] dense map built: ${dmap.count()}%,d docs in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      def shD = graft.Tables.rowParallel(docs)
+        .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+        .select(col("doc_id"), graft.functions.md5_long(col("shingle")).as("h"))
+        .join(broadcast(dmap), "doc_id")
+        .select(col("dense").as("doc_id"), col("h"))
+      def postDf = shD.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= graft.operators.Dedup.MaxShingleDf)
+      spark.conf.set(thKey, "128")
+      time("dense postings build TH=128 (w/ densify join)")(postDf.count())
+      val postD = postDf.localCheckpoint()
+      println(s"[ab2] dense postings checkpointed: ${postD.count()} lists")
+      spark.conf.set(thKey, graft.functions.ObjectHashFallbackKeys.toString)
+      def densePairs = postD
+        .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
+      def aggDense = densePairs.repartition(col("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c")).count()
+      aggDense // warm
+      (1 to 2).foreach { r =>
+        time(s"pairCounts DENSE-PACKED   rep$r")(aggDense)
+        time(s"pairCounts STRUCT (ctrl)  rep$r")(agg(structPairs))
+      }
+
+      // ---- 4. initialPartitionNum A/B on the winning count shape ------
+      // (the r13 session-wide 16x raise measurably hurts the co-probe
+      // family; does the pair count actually need it, or does AQE
+      // coalescing make 32-wide starts equivalent here?)
+      val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+      val tuned = spark.conf.get(initKey)
+      (1 to 2).foreach { r =>
+        spark.conf.set(initKey, tuned)
+        time(s"pairCounts DENSE INIT=$tuned rep$r")(aggDense)
+        spark.conf.set(initKey, "32")
+        time(s"pairCounts DENSE INIT=32   rep$r")(aggDense)
+      }
+      spark.conf.set(initKey, tuned)
+    }
     spark.stop()
   }
 }

@@ -86,7 +86,17 @@ object BenchScale {
       // directory existence): a crashed prior run's partial corpus would
       // otherwise be silently benchmarked as scaling evidence
       if (fs.exists(new org.apache.hadoop.fs.Path(done, "_SUCCESS"))) return
-      (0 until reps).map(make).reduce(_.unionByName(_))
+      // BALANCED union tree (depth log2(reps), not reps): a left-deep
+      // 1000-way union is deep enough to stack-overflow the analyzer's
+      // recursive traversals; the balanced fold generates the same rows
+      @annotation.tailrec
+      def treeUnion(dfs: Seq[DataFrame]): DataFrame =
+        if (dfs.size == 1) dfs.head
+        else treeUnion(dfs.grouped(2).map {
+          case Seq(a, b) => a.unionByName(b)
+          case Seq(a) => a
+        }.toSeq)
+      treeUnion((0 until reps).map(make))
         .write.mode("overwrite").parquet(done.toString)
     }
     replicate({ r =>
@@ -151,7 +161,7 @@ object BenchScale {
     // silently benchmark the old corpus under the new sfN label
     val dimOverride = sys.env.get("SPARK_GRAFT_SCALE_DIM").map(_.toInt)
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      java.nio.file.Files.createTempDirectory("graft_sf1").toString) +
+      graft.util.TempDirs.create("graft_sf1").toString) +
       s"/x$reps" + dimOverride.map(d => s"_d$d").getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -67,7 +67,7 @@ object IndexQueries {
 
   def indexFor(spark: SparkSession, sfDir: String): String =
     cache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_ivf").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_ivf").resolve("index").toString
       val emb = Tables.embeddings(spark, sfDir)
       IvfIndex.build(emb, path, lists = listsFor(emb.count()))
       path
@@ -76,7 +76,7 @@ object IndexQueries {
   /** vector_l2_ops analog: the same IVF machinery keyed to the L2 metric. */
   def l2IndexFor(spark: SparkSession, sfDir: String): String =
     l2Cache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_ivf_l2").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_ivf_l2").resolve("index").toString
       IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists, metric = "l2")
       path
     })
@@ -84,14 +84,14 @@ object IndexQueries {
   /** vector_ip_ops analog: Euclidean-clustered lists ranked by -IP. */
   def ipIndexFor(spark: SparkSession, sfDir: String): String =
     ipCache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_ivf_ip").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_ivf_ip").resolve("index").toString
       IvfIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists, metric = "ip")
       path
     })
 
   def nswIndexFor(spark: SparkSession, sfDir: String): String =
     nswCache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_nsw").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_nsw").resolve("index").toString
       NswIndex.build(Tables.embeddings(spark, sfDir), path, shards = NswShards)
       path
     })
@@ -105,7 +105,7 @@ object IndexQueries {
 
   def halfIndexFor(spark: SparkSession, sfDir: String): String =
     halfCache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_ivf_half").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_ivf_half").resolve("index").toString
       import graft.functions.{half_pack, half_unpack}
       val halfEmb = Tables.embeddings(spark, sfDir)
         .withColumn("embedding", half_unpack(half_pack(col("embedding"))))
@@ -123,7 +123,7 @@ object IndexQueries {
 
   def halfNswIndexFor(spark: SparkSession, sfDir: String): String =
     halfNswCache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_nsw_half").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_nsw_half").resolve("index").toString
       import graft.functions.{half_pack, half_unpack}
       val halfEmb = Tables.embeddings(spark, sfDir)
         .withColumn("embedding", half_unpack(half_pack(col("embedding"))))
@@ -190,7 +190,7 @@ object IndexQueries {
 
   def sparseNswIndexFor(spark: SparkSession, sfDir: String): String =
     sparseNswCache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_nsw_sparse").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_nsw_sparse").resolve("index").toString
       NswIndex.build(
         Tables.embeddings(spark, sfDir).withColumn("embedding", maskedEmbedding),
         path, shards = NswShards)
@@ -281,7 +281,7 @@ object IndexQueries {
 
   def pqIndexFor(spark: SparkSession, sfDir: String): String =
     pqCache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_pq").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_pq").resolve("index").toString
       PqIndex.build(Tables.embeddings(spark, sfDir), path)
       path
     })
@@ -290,7 +290,7 @@ object IndexQueries {
 
   def ivfPqIndexFor(spark: SparkSession, sfDir: String): String =
     ivfpqCache.computeIfAbsent(sfDir, { _ =>
-      val path = Files.createTempDirectory("graft_ivfpq").resolve("index").toString
+      val path = graft.util.TempDirs.create("graft_ivfpq").resolve("index").toString
       IvfPqIndex.build(Tables.embeddings(spark, sfDir), path, lists = Lists)
       path
     })

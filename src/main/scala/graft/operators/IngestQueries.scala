@@ -20,7 +20,7 @@ object IngestQueries {
   val EmbedDim = 384 // reference default (README.md:38)
 
   private def freshDir(prefix: String): String =
-    Files.createTempDirectory(prefix).resolve("table").toString
+    graft.util.TempDirs.create(prefix).resolve("table").toString
 
   /** pg_insert-analog round-trip: embed → validated batched append → read
     * back → (row count, embedding dim). */

@@ -454,8 +454,8 @@ object SimilarityQueries {
           graft.util.StaleSidecars.supersede(
             spark.sessionState.newHadoopConf(), s"sparse:$sfDir", old._2)
         import graft.functions.sparse_vectorize
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_sparse").resolve("index").toString
+        val path = graft.util.TempDirs
+          .create("graft_sparse").resolve("index").toString
         graft.index.SparseIndex.build(
           Tables.embeddings(spark, sfDir)
             .select(col("vec_id"), sparse_vectorize(col("embedding"), SparseEps).as("sv")),

@@ -196,8 +196,8 @@ object TextAnalysis {
       else {
         if (old != null)
           graft.util.StaleSidecars.supersede(conf, s"bm25:$sfDir", old._2)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_bm25").resolve("index").toString
+        val path = graft.util.TempDirs
+          .create("graft_bm25").resolve("index").toString
         graft.index.Bm25Index.build(Tables.documents(spark, sfDir), path)
         (fp, path)
       })._2

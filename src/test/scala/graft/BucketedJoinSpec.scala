@@ -12,7 +12,7 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed lineitem ⋈ orders plans without a shuffle exchange") {
     // external table paths (warehouse.dir is a static conf on a live session)
-    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val wh = graft.util.TempDirs.create("graft_wh").toString
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
     Tables.lineitem(spark, Sf0001)

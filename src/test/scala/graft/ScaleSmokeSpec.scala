@@ -79,7 +79,7 @@ class ScaleSmokeSpec extends SparkSpec {
       col("id").as("vec_id"),
       hashNoise(col("id"), 64).as("embedding"))
       .persist()
-    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_scale").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("graft_nsw_scale").resolve("idx").toString
     val t0 = System.nanoTime()
     val (rows, _) = graft.index.NswIndex.build(sub, dir, shards = 16)
     val buildSecs = (System.nanoTime() - t0) / 1e9
@@ -112,7 +112,7 @@ class ScaleSmokeSpec extends SparkSpec {
       col("id").as("vec_id"),
       hashNoise(col("id"), 64).as("embedding"))
       .persist()
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_scale").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("graft_ivfpq_scale").resolve("idx").toString
     val lists = 32
     val t0 = System.nanoTime()
     val rows = graft.index.IvfPqIndex.build(sub, dir, lists = lists)
@@ -146,7 +146,7 @@ class ScaleSmokeSpec extends SparkSpec {
           .otherwise(lit(0.0f))).as("embedding"))
       .select(col("vec_id"), sparse_vectorize(col("embedding"), 0.0).as("sv"))
       .persist()
-    val dir = java.nio.file.Files.createTempDirectory("graft_sparse_scale").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("graft_sparse_scale").resolve("idx").toString
     val t0 = System.nanoTime()
     graft.index.SparseIndex.build(sub, dir)
     val buildSecs = (System.nanoTime() - t0) / 1e9
@@ -177,7 +177,7 @@ class ScaleSmokeSpec extends SparkSpec {
       col("id").as("vec_id"),
       hashNoise(col("id"), 64).as("embedding"))
       .persist()
-    val dir = java.nio.file.Files.createTempDirectory("graft_fknn_scale").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("graft_fknn_scale").resolve("idx").toString
     val t0 = System.nanoTime()
     graft.index.IvfIndex.build(sub, dir, lists = 32)
     val buildSecs = (System.nanoTime() - t0) / 1e9
@@ -213,8 +213,8 @@ class ScaleSmokeSpec extends SparkSpec {
     // training cap genuinely ENGAGED (n >> cap) — not a spec override
     val lists = graft.operators.IndexQueries.listsFor(n)
     assert(lists === (n / graft.operators.IndexQueries.TargetOccupancy).toInt)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_adaptive_scale").resolve("idx").toString
+    val dir = graft.util.TempDirs
+      .create("graft_adaptive_scale").resolve("idx").toString
     val t0 = System.nanoTime()
     graft.index.IvfIndex.build(sub, dir, lists = lists)
     val buildSecs = (System.nanoTime() - t0) / 1e9
@@ -421,7 +421,7 @@ class ScaleSmokeSpec extends SparkSpec {
       when(col("id") < 110000L, uniq(col("id") - 100000L))
         .when(col("id") >= 115000L && col("id") < 120000L, uniq(col("id") - 5000L))
         .otherwise(uniq(col("id"))).as("text"))
-    val tmp = java.nio.file.Files.createTempDirectory("mh_soak")
+    val tmp = graft.util.TempDirs.create("mh_soak")
     val src = tmp.resolve("src").toString
     val store = tmp.resolve("store").toString
     val out = tmp.resolve("out").toString
@@ -475,7 +475,7 @@ class ScaleSmokeSpec extends SparkSpec {
       when(col("id") < 525000L, uniq(col("id") - 500000L))
         .when(col("id") >= 900000L && col("id") < 925000L, uniq(col("id") - 25000L))
         .otherwise(uniq(col("id"))).as("text"))
-    val tmp = java.nio.file.Files.createTempDirectory("cur_soak")
+    val tmp = graft.util.TempDirs.create("cur_soak")
     val srcDir = tmp.resolve("src").toString
     val store = tmp.resolve("store").toString
     val corpusP = tmp.resolve("corpus").toString
@@ -599,7 +599,7 @@ class ScaleSmokeSpec extends SparkSpec {
       col("id").as("vec_id"),
       zip_with(base, hashNoise(col("id"), dim),
         (b, n) => (b + lit(0.15f) * n).cast("float")).as("embedding"))
-    val tmp = java.nio.file.Files.createTempDirectory("ivf_soak")
+    val tmp = graft.util.TempDirs.create("ivf_soak")
     val src = tmp.resolve("src").toString
     // 4 source files → with maxFilesPerTrigger=1, 4 micro-batches
     blob.repartitionByRange(4, col("vec_id")).write.parquet(src)
@@ -652,7 +652,7 @@ class ScaleSmokeSpec extends SparkSpec {
         lit(" t"), (col("id") % 50000).cast("string")).as("text"),
       lit("s").as("source"),
       lit(30L).as("n_chars"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_hh_scale").toString
+    val dir = graft.util.TempDirs.create("graft_hh_scale").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val expected = docs
       .select(explode(split(trim(col("text")), "\\s+")).as("token"))

@@ -55,7 +55,7 @@ class EmbedderSpec extends SparkSpec {
   test("resolveModelDir mangles / to - (utils.py path contract)") {
     val dir = EmbedderRegistry.resolveModelDir(
       "sentence-transformers/all-MiniLM-L6-v2",
-      java.nio.file.Files.createTempDirectory("models").toString)
+      graft.util.TempDirs.create("models").toString)
     assert(dir.endsWith("sentence-transformers-all-MiniLM-L6-v2"))
     assert(new java.io.File(dir).isDirectory)
   }

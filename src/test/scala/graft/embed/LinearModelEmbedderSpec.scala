@@ -13,7 +13,7 @@ class LinearModelEmbedderSpec extends SparkSpec {
 
   private lazy val modelDir: String = {
     // M5 path mangling: "org/model" → "org-model" cache dir
-    val base = java.nio.file.Files.createTempDirectory("graft_models").toString
+    val base = graft.util.TempDirs.create("graft_models").toString
     val dir = EmbedderRegistry.resolveModelDir("fixture/linear-64", base)
     assert(dir.endsWith("fixture-linear-64"))
     LinearModelEmbedder.writeFixture(dir, vocabBuckets = 512, dim = 64)

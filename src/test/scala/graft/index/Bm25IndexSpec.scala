@@ -81,10 +81,10 @@ class Bm25IndexSpec extends SparkSpec {
   test("append equals full rebuild bit-for-bit (postings, stats, scores)") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")
-    val incremental = java.nio.file.Files
-      .createTempDirectory("graft_bm25_inc").resolve("idx").toString
-    val full = java.nio.file.Files
-      .createTempDirectory("graft_bm25_full").resolve("idx").toString
+    val incremental = graft.util.TempDirs
+      .create("graft_bm25_inc").resolve("idx").toString
+    val full = graft.util.TempDirs
+      .create("graft_bm25_full").resolve("idx").toString
     Bm25Index.build(docs.filter(col("doc_id") < 250), incremental)
     Bm25Index.append(docs.filter(col("doc_id") >= 250), incremental)
     Bm25Index.build(docs, full)
@@ -135,8 +135,8 @@ class Bm25IndexSpec extends SparkSpec {
       assert(got === single, s"qid $qid diverged")
     }
     // e2e: the same batch through the streaming serving path
-    val src = java.nio.file.Files.createTempDirectory("bm25_src").resolve("q").toString
-    val out = java.nio.file.Files.createTempDirectory("bm25_out").resolve("r").toString
+    val src = graft.util.TempDirs.create("bm25_src").resolve("q").toString
+    val out = graft.util.TempDirs.create("bm25_out").resolve("r").toString
     queries.coalesce(1).write.parquet(src)
     val q = StreamingIngest.startBm25Serving(spark, src, queries.schema,
       idxPath, out, 10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
@@ -150,8 +150,8 @@ class Bm25IndexSpec extends SparkSpec {
   test("append onto a pre-positions index skips positions; phrase falls back to scan") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bm25_nopos").resolve("idx").toString
+    val idx = graft.util.TempDirs
+      .create("graft_bm25_nopos").resolve("idx").toString
     Bm25Index.build(docs.filter(col("doc_id") < 250), idx)
     // simulate a catalog-restored pre-positions sidecar
     val conf = spark.sessionState.newHadoopConf()
@@ -171,10 +171,10 @@ class Bm25IndexSpec extends SparkSpec {
       (2L, "hash table scan"), (3L, null.asInstanceOf[String]),
       (4L, "join vector vector"))
       .toDF("doc_id", "text")
-    val inc = java.nio.file.Files
-      .createTempDirectory("graft_bm25_null_inc").resolve("idx").toString
-    val full = java.nio.file.Files
-      .createTempDirectory("graft_bm25_null_full").resolve("idx").toString
+    val inc = graft.util.TempDirs
+      .create("graft_bm25_null_inc").resolve("idx").toString
+    val full = graft.util.TempDirs
+      .create("graft_bm25_null_full").resolve("idx").toString
     Bm25Index.build(docs.filter(col("doc_id") < 2), inc)
     Bm25Index.append(docs.filter(col("doc_id") >= 2), inc)
     Bm25Index.build(docs, full)
@@ -192,16 +192,16 @@ class Bm25IndexSpec extends SparkSpec {
   test("empty-corpus build works; streamed appends populate it") {
     import org.apache.spark.sql.functions._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bm25_empty").resolve("idx").toString
+    val idx = graft.util.TempDirs
+      .create("graft_bm25_empty").resolve("idx").toString
     Bm25Index.build(empty, idx) // must not NPE (index created before data)
     val s0 = spark.read.parquet(s"$idx/stats").head()
     assert(s0.getDouble(0) === 0.0 && s0.getDouble(2) === 0.0)
     val docs = graft.Tables.documents(spark, Sf0001)
       .select("doc_id", "text").filter(col("doc_id") < 100)
     Bm25Index.append(docs, idx)
-    val full = java.nio.file.Files
-      .createTempDirectory("graft_bm25_empty_full").resolve("idx").toString
+    val full = graft.util.TempDirs
+      .create("graft_bm25_empty_full").resolve("idx").toString
     Bm25Index.build(docs, full)
     def top(p: String) = Bm25Index.topK(spark, p, TextAnalysis.Bm25Query,
         10, TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
@@ -212,8 +212,8 @@ class Bm25IndexSpec extends SparkSpec {
   test("compact merges append fragments; scores unchanged") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, Sf0001).select("doc_id", "text")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bm25_compact").resolve("idx").toString
+    val idx = graft.util.TempDirs
+      .create("graft_bm25_compact").resolve("idx").toString
     Bm25Index.build(docs.filter(col("doc_id") < 200), idx)
     for (lo <- 200L until 500L by 100L)
       Bm25Index.append(docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 100L), idx)
@@ -227,7 +227,7 @@ class Bm25IndexSpec extends SparkSpec {
   }
 
   test("mtime staleness: corpus rewrite triggers sidecar rebuild") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_stale").toString
+    val dir = graft.util.TempDirs.create("graft_bm25_stale").toString
     Seq((0L, "vector hash join"), (1L, "hash hash hash"))
       .toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -92,8 +92,8 @@ class FilteredKnnSpec extends SparkSpec {
   }
 
   test("legacy sidecar without radius column: no early stop, still exact") {
-    val legacy = java.nio.file.Files
-      .createTempDirectory("graft_legacy_idx").resolve("idx").toString
+    val legacy = graft.util.TempDirs
+      .create("graft_legacy_idx").resolve("idx").toString
     spark.read.parquet(s"$indexPath/centroids").drop("radius")
       .coalesce(1).write.parquet(s"$legacy/centroids")
     // lists + meta reused via copy
@@ -112,8 +112,8 @@ class FilteredKnnSpec extends SparkSpec {
     // the killer case: a radius-less index that receives appends must not
     // fabricate radius 0.0 for its existing members — the bound would then
     // "prove" far-from-centroid members can't win and drop true neighbors
-    val legacy = java.nio.file.Files
-      .createTempDirectory("graft_legacy_app").resolve("idx").toString
+    val legacy = graft.util.TempDirs
+      .create("graft_legacy_app").resolve("idx").toString
     spark.read.parquet(s"$indexPath/centroids").drop("radius")
       .coalesce(1).write.parquet(s"$legacy/centroids")
     spark.read.parquet(s"$indexPath/lists").drop("bucket")
@@ -148,8 +148,8 @@ class FilteredKnnSpec extends SparkSpec {
       (i, v, (i % 3).toInt)
     }
     val df = rows.toDF("vec_id", "embedding", "label")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_clustered_idx").resolve("idx").toString
+    val path = graft.util.TempDirs
+      .create("graft_clustered_idx").resolve("idx").toString
     IvfIndex.build(df, path, lists = 8)
     val q = base(0).clone(); q(dim - 1) = 0.0005f
     val (res, probed) = IvfIndex.filteredKnnStats(

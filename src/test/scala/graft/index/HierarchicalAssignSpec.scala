@@ -35,7 +35,7 @@ class HierarchicalAssignSpec extends SparkSpec {
     val e = spark.range(N)
       .select(col("id").as("vec_id"), (col("id") % Clusters).cast("int").as("label"))
       .select(col("vec_id"), col("label"), emb.as("embedding"))
-    val path = java.nio.file.Files.createTempDirectory("graft_hier")
+    val path = graft.util.TempDirs.create("graft_hier")
       .resolve("index").toString
     IvfIndex.build(e, path, lists = Lists)
     (e, path)
@@ -198,7 +198,7 @@ class HierarchicalAssignSpec extends SparkSpec {
     val e = spark.range(N)
       .select(col("id").as("vec_id"), (col("id") % Clusters).cast("int").as("label"))
       .select(col("vec_id"), col("label"), emb.as("embedding"))
-    val path = java.nio.file.Files.createTempDirectory("graft_hier_ip")
+    val path = graft.util.TempDirs.create("graft_hier_ip")
       .resolve("index").toString
     IvfIndex.build(e, path, lists = Lists, metric = "ip")
     val ipCents = spark.read.parquet(s"$path/centroids").select("list_id", "centroid")

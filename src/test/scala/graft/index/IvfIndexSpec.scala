@@ -164,7 +164,7 @@ class IvfIndexSpec extends SparkSpec {
     // full corpus is still assigned (cardinality pinned below)
     val emb = graft.Tables.embeddings(spark, Sf0001)
     def buildOnce(): (String, Array[(Int, Seq[Float])]) = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sampled")
+      val dir = graft.util.TempDirs.create("graft_ivf_sampled")
         .resolve("index").toString
       IvfIndex.build(emb, dir, lists = 8, trainCap = 64)
       val cents = spark.read.parquet(s"$dir/centroids")
@@ -242,8 +242,8 @@ class IvfIndexSpec extends SparkSpec {
     // assignment frame straight through writeLists/pruneLists — the exact
     // code path build and every probe share
     val nLists = 1200
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_bucketed").resolve("lists").toString
+    val dir = graft.util.TempDirs
+      .create("graft_bucketed").resolve("lists").toString
     val assigned = spark.range(12000).select(
       col("id").as("vec_id"),
       hashNoise(col("id"), 4).as("embedding"),

@@ -12,7 +12,7 @@ class IvfMaintenanceSpec extends SparkSpec {
 
   test("append assigns new vectors to existing centroids; probe finds them") {
     // fresh index copy so we don't mutate the cached shared one
-    val path = Files.createTempDirectory("ivf_maint").resolve("index").toString
+    val path = graft.util.TempDirs.create("ivf_maint").resolve("index").toString
     IvfIndex.build(graft.Tables.embeddings(spark, Sf0001), path, lists = 8)
     val before = spark.read.parquet(s"$path/lists").count()
 
@@ -34,7 +34,7 @@ class IvfMaintenanceSpec extends SparkSpec {
   }
 
   test("compact merges append fragments; rows, probes and sidecars unchanged") {
-    val path = Files.createTempDirectory("ivf_compact").resolve("index").toString
+    val path = graft.util.TempDirs.create("ivf_compact").resolve("index").toString
     val e = graft.Tables.embeddings(spark, Sf0001)
     IvfIndex.build(e.filter(col("vec_id") < 200), path, lists = 4)
     // five appends → file fragments in every touched list partition
@@ -60,7 +60,7 @@ class IvfMaintenanceSpec extends SparkSpec {
 
   test("rebalance: skew-triggered rebuild rebalances lists; probe-all stays exact") {
     import graft.functions.{cosine_distance, vector_lit}
-    val path = Files.createTempDirectory("ivf_rebal").resolve("index").toString
+    val path = graft.util.TempDirs.create("ivf_rebal").resolve("index").toString
     val e = graft.Tables.embeddings(spark, Sf0001)
     // build on a 100-row subset: its 8 centroids model only that sample
     IvfIndex.build(e.filter(col("vec_id") < 100), path, lists = 8)
@@ -115,7 +115,7 @@ class IvfMaintenanceSpec extends SparkSpec {
   test("streaming maintenance with periodic rebalance keeps list skew bounded") {
     import graft.functions.{cosine_distance, vector_lit}
     import graft.streaming.StreamingIngest
-    val path = Files.createTempDirectory("ivf_srebal").resolve("index").toString
+    val path = graft.util.TempDirs.create("ivf_srebal").resolve("index").toString
     val e = graft.Tables.embeddings(spark, Sf0001)
     IvfIndex.build(e.filter(col("vec_id") < 100), path, lists = 8)
     // the drifting-ingest stream: a tight jittered blob the frozen
@@ -127,10 +127,10 @@ class IvfMaintenanceSpec extends SparkSpec {
       (2000L + i, base.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq, 999)
     }.toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
-    val src = Files.createTempDirectory("ivf_srebal_src").resolve("d").toString
+    val src = graft.util.TempDirs.create("ivf_srebal_src").resolve("d").toString
     blob.coalesce(1).write.parquet(src)
     // control: the same stream into a second index WITHOUT rebalance
-    val ctlPath = Files.createTempDirectory("ivf_srebal_ctl").resolve("index").toString
+    val ctlPath = graft.util.TempDirs.create("ivf_srebal_ctl").resolve("index").toString
     IvfIndex.build(e.filter(col("vec_id") < 100), ctlPath, lists = 8)
     val qc = StreamingIngest.startIvfMaintenance(spark, src,
       spark.read.parquet(src).schema, ctlPath,
@@ -164,8 +164,8 @@ class IvfMaintenanceSpec extends SparkSpec {
   test("streaming knn serving resolves query batches against the index") {
     import graft.streaming.StreamingIngest
     val indexPath = IndexQueries.indexFor(spark, Sf0001)
-    val src = Files.createTempDirectory("knn_src").resolve("q").toString
-    val out = Files.createTempDirectory("knn_out").resolve("r").toString
+    val src = graft.util.TempDirs.create("knn_src").resolve("q").toString
+    val out = graft.util.TempDirs.create("knn_out").resolve("r").toString
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

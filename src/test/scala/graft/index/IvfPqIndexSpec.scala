@@ -10,7 +10,7 @@ class IvfPqIndexSpec extends SparkSpec {
   private val Lists = 8
 
   private lazy val indexPath = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq").resolve("idx").toString
+    val p = graft.util.TempDirs.create("graft_ivfpq").resolve("idx").toString
     IvfPqIndex.build(graft.Tables.embeddings(spark, Sf0001), p, lists = Lists)
     p
   }
@@ -125,8 +125,8 @@ class IvfPqIndexSpec extends SparkSpec {
       .persist()
     val q = emb.filter(col("vec_id") === 7)
       .head().getAs[collection.Seq[Float]]("embedding").toArray
-    val pqPath = java.nio.file.Files.createTempDirectory("graft_pq_cmp").resolve("idx").toString
-    val ivfpqPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").resolve("idx").toString
+    val pqPath = graft.util.TempDirs.create("graft_pq_cmp").resolve("idx").toString
+    val ivfpqPath = graft.util.TempDirs.create("graft_ivfpq_cmp").resolve("idx").toString
     PqIndex.build(emb, pqPath)
     IvfPqIndex.build(emb, ivfpqPath, lists = nClusters)
     import graft.functions.{cosine_distance, vector_lit}

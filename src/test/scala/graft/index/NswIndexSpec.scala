@@ -91,7 +91,7 @@ class NswIndexSpec extends SparkSpec {
   }
 
   test("append inserts into existing shard graphs; appended vectors searchable") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_app").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("graft_nsw_app").resolve("idx").toString
     val e = graft.Tables.embeddings(spark, Sf0001)
     NswIndex.build(e.filter(col("vec_id") < 450), dir, shards = IndexQueries.NswShards)
     val n = NswIndex.append(spark, dir, e.filter(col("vec_id") >= 450))
@@ -110,11 +110,11 @@ class NswIndexSpec extends SparkSpec {
 
   test("streaming NSW maintenance extends the graph per micro-batch; streamed vectors searchable") {
     import graft.streaming.StreamingIngest
-    val dir = java.nio.file.Files.createTempDirectory("nsw_maint").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("nsw_maint").resolve("idx").toString
     val e = graft.Tables.embeddings(spark, Sf0001)
     NswIndex.build(e.filter(col("vec_id") < 400), dir, shards = IndexQueries.NswShards)
     // two source files + maxFilesPerTrigger=1 → two append micro-batches
-    val src = java.nio.file.Files.createTempDirectory("nsw_maint_src").resolve("v").toString
+    val src = graft.util.TempDirs.create("nsw_maint_src").resolve("v").toString
     val newRows = e.filter(col("vec_id") >= 400)
     newRows.filter(col("vec_id") < 450).coalesce(1).write.mode("append").parquet(src)
     newRows.filter(col("vec_id") >= 450).coalesce(1).write.mode("append").parquet(src)
@@ -137,8 +137,8 @@ class NswIndexSpec extends SparkSpec {
 
   test("streaming NSW serving resolves query batches against the graph") {
     import graft.streaming.StreamingIngest
-    val src = java.nio.file.Files.createTempDirectory("nsw_srv_src").resolve("q").toString
-    val out = java.nio.file.Files.createTempDirectory("nsw_srv_out").resolve("r").toString
+    val src = graft.util.TempDirs.create("nsw_srv_src").resolve("q").toString
+    val out = graft.util.TempDirs.create("nsw_srv_out").resolve("r").toString
     val queries = graft.Tables.embeddings(spark, Sf0001)
       .filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -199,7 +199,7 @@ class NswIndexSpec extends SparkSpec {
   }
 
   test("rebuilding the graph is bit-reproducible") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_re").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("graft_nsw_re").resolve("idx").toString
     NswIndex.build(graft.Tables.embeddings(spark, Sf0001), dir,
       shards = IndexQueries.NswShards)
     val a = spark.read.parquet(s"$indexPath/graph")

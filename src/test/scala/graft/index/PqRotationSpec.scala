@@ -13,7 +13,7 @@ import graft.SparkSpec
 class PqRotationSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(p: String) = Files.createTempDirectory(p).resolve("d").toString
+  private def tmp(p: String) = graft.util.TempDirs.create(p).resolve("d").toString
 
   test("rotationMatrix is orthonormal; rotation preserves dot products") {
     val dim = 32

@@ -19,7 +19,7 @@ class SparseIndexSpec extends SparkSpec {
       }
       (id, v)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_sparse_fix").toString
+    val dir = graft.util.TempDirs.create("graft_sparse_fix").toString
     rows.toDF("vec_id", "embedding").coalesce(2)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val idx = s"$dir/index"
@@ -76,8 +76,8 @@ class SparseIndexSpec extends SparkSpec {
     // a query living on its own private dims: only itself is a candidate
     val dims = Array(990, 991, 992)
     val vals = Array(1.0f, 2.0f, 3.0f)
-    val idx2 = java.nio.file.Files
-      .createTempDirectory("graft_sparse_pad").resolve("idx").toString
+    val idx2 = graft.util.TempDirs
+      .create("graft_sparse_pad").resolve("idx").toString
     val rows = Seq(
       (0L, Array(990, 991, 992), Array(1.0f, 2.0f, 3.0f)),
       (1L, Array(1, 2), Array(1.0f, 1.0f)),

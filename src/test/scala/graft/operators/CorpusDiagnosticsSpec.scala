@@ -10,7 +10,7 @@ class CorpusDiagnosticsSpec extends SparkSpec {
   /** Throwaway documents.parquet with the columns corpus-level operators
     * read (doc_id, text, source, n_chars). */
   private def corpusDir(rows: (Long, String, String)*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_diag").toString
+    val dir = graft.util.TempDirs.create("graft_diag").toString
     rows.toSeq.toDF("doc_id", "text", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -167,7 +167,7 @@ class CorpusDiagnosticsSpec extends SparkSpec {
         else ((i * 31 + j * 17) % 13 - 6) / 100.0f)
       (i.toLong, v)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    val dir = graft.util.TempDirs.create("graft_pca").toString
     rows.toDF("vec_id", "embedding").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = SimilarityQueries.pcaProject(spark, dir).collect()

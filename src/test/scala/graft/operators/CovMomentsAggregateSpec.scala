@@ -171,7 +171,7 @@ class CovMomentsAggregateSpec extends SparkSpec {
         else ((i * 31 + j * 17) % 13 - 6) / 100.0f)
       (i.toLong, v)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_pca384").toString
+    val dir = graft.util.TempDirs.create("graft_pca384").toString
     rows.toDF("vec_id", "embedding").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = SimilarityQueries.pcaProject(spark, dir).collect()

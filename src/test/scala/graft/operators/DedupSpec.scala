@@ -6,7 +6,7 @@ class DedupSpec extends SparkSpec {
 
   test("dedup_keep_best keeps the longest member, min doc_id on length ties") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_keepbest").toString
+    val dir = graft.util.TempDirs.create("graft_keepbest").toString
     val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val rows = Seq(
       // cluster {0,1,2}: identical text (jaccard 1), lengths favor doc 1
@@ -83,7 +83,7 @@ class DedupSpec extends SparkSpec {
         (x / sqrt(aggregate(col("mix"), lit(0.0d), (acc, v) => acc + v * v))).cast("float"))
         .as("embedding"))
       .persist()
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_prune").resolve("idx").toString
+    val dir = graft.util.TempDirs.create("graft_dedup_prune").resolve("idx").toString
     graft.index.IvfIndex.build(emb, dir, lists = nClusters)
     val members = spark.read.parquet(s"$dir/lists").select("vec_id", "embedding", "list_id")
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -118,7 +118,7 @@ class DedupSpec extends SparkSpec {
       hash_embed(concat(lit("nz"), col("id").cast("string")), 64).as("noise"))
     val mixed = raw.select(col("vec_id"),
       zip_with(col("base"), col("noise"), (b, nz) => b + nz * lit(0.15f)).as("mix"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ivf").toString
+    val dir = graft.util.TempDirs.create("graft_dedup_ivf").toString
     mixed.select(col("vec_id"),
         transform(col("mix"), x =>
           (x / sqrt(aggregate(col("mix"), lit(0.0d), (acc, v) => acc + v * v))).cast("float"))
@@ -261,7 +261,7 @@ class DedupSpec extends SparkSpec {
 
   test("dedup_spans finds a cross-doc pasted passage and merges its windows into one span") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val dir = graft.util.TempDirs.create("graft_spans").toString
     // prefixes/suffixes abut the shared passage with DIFFERENT characters on
     // each side, so no boundary-crossing window matches across docs and the
     // merged span is exactly the shared region

@@ -15,7 +15,7 @@ class SimilarityQueriesSpec extends SparkSpec {
     * embeddings.parquet so the dir drops into every IVF-keyed query
     * unchanged (indexFor caches per dir). */
   lazy val clusteredDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    val dir = graft.util.TempDirs.create("graft_clustered").toString
     val c = 12
     val dim = 64
     val center = transform(sequence(lit(0), lit(dim - 1)), d =>
@@ -76,7 +76,7 @@ class SimilarityQueriesSpec extends SparkSpec {
   }
 
   test("embedding_outliers surfaces a planted garbage vector at rank 1") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_outlier").toString
+    val dir = graft.util.TempDirs.create("graft_outlier").toString
     // 10 clusters of 30 near-identical vectors + one flipped-sign intruder
     // mislabeled into cluster 0
     val dim = 16
@@ -105,7 +105,7 @@ class SimilarityQueriesSpec extends SparkSpec {
   }
 
   test("kmeans_assign: one-hot copies converge to their seed clusters at distance 0") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans").toString
+    val dir = graft.util.TempDirs.create("graft_kmeans").toString
     // vec 0..7 are the 8 orthogonal one-hots (the seeds); vecs 8..39 are
     // exact copies — every cosine distance is exactly 0 or 1, the centroid
     // update reproduces the one-hot bit-for-bit, so the whole run is

@@ -27,7 +27,7 @@ class SkewJoinSpec extends SparkSpec {
     * assign them ALL to one list — centroid duplicates resolve to the
     * first), plus a spread tail on distinct axes. */
   private lazy val skewDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_skew_fix").toString
+    val dir = graft.util.TempDirs.create("graft_skew_fix").toString
     val dim = 16
     val hot = 1600
     val tail = 400

@@ -8,7 +8,7 @@ class StarSchemaQueriesSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // user 1: v c v c → edges v→c:2, c→v:1; user 2: v p → v→p:1
-    val dir = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    val dir = graft.util.TempDirs.create("graft_pr").toString
     Seq((1L, 1L, "v"), (2L, 1L, "c"), (3L, 1L, "v"), (4L, 1L, "c"),
       (5L, 2L, "v"), (6L, 2L, "p"))
       .toDF("event_id", "user_id", "event_type")

@@ -8,7 +8,7 @@ class TextAnalysisSpec extends SparkSpec {
   /** Write a throwaway documents.parquet so corpus-level operators can run
     * on handcrafted texts. */
   private def corpusDir(texts: (Long, String)*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    val dir = graft.util.TempDirs.create("graft_txt").toString
     texts.toSeq.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -103,7 +103,7 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("stupid_backoff_score: seen bigrams use c2/c1, unseen ride the α backoff") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sb").toString
+    val dir = graft.util.TempDirs.create("graft_sb").toString
     Seq((0L, "a b", "en"), (1L, "a b", "en"), (2L, "a c", "en"),
       (3L, "a b z a", "fr"))
       .toDF("doc_id", "text", "lang").coalesce(1)
@@ -132,7 +132,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("stupid_backoff_score: salted bigram join is row-identical to the plain join on a skewed fixture") {
     // Zipfian head: "of the" dominates the bigram stream (the key shape
     // that piles one reducer at scale); salt=1 IS the plain equi-join
-    val dir = java.nio.file.Files.createTempDirectory("graft_sb_skew").toString
+    val dir = graft.util.TempDirs.create("graft_sb_skew").toString
     val head = Array.fill(40)("of the").mkString(" ")
     Seq((0L, s"$head tail one", "en"), (1L, s"$head tail two", "en"),
       (2L, "of the of the of the", "en"), (3L, "novel words here", "fr"),
@@ -149,13 +149,13 @@ class TextAnalysisSpec extends SparkSpec {
   test("stupid_backoff_score: adaptive probe engages on a hot head, stays plain when uniform") {
     // 200 docs so the deterministic ~5% salted-bucket sample is non-empty
     // (fixed doc_ids + fixed salt → a fixed sampled subset)
-    val skewDir = java.nio.file.Files.createTempDirectory("graft_sb_hot").toString
+    val skewDir = graft.util.TempDirs.create("graft_sb_hot").toString
     (0L until 200L).map(i => (i, "of the of the of the of the", "en"))
       .toDF("doc_id", "text", "lang").coalesce(1)
       .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
     assert(TextAnalysis.adaptiveSbSalt(spark, skewDir) === TextAnalysis.SbJoinSalt,
       "every doc is the head bigram — the probe must engage the salt")
-    val uniDir = java.nio.file.Files.createTempDirectory("graft_sb_uni").toString
+    val uniDir = graft.util.TempDirs.create("graft_sb_uni").toString
     (0L until 200L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "en"))
       .toDF("doc_id", "text", "lang").coalesce(1)
       .write.mode("overwrite").parquet(s"$uniDir/documents.parquet")
@@ -166,7 +166,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("adaptiveSbSalt memoizes: the skew probe runs NO second job within a session") {
     // fresh corpus path → fresh memo key (the memo is keyed on
     // path + mtime, shared across the suite's session)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sb_memo").toString
+    val dir = graft.util.TempDirs.create("graft_sb_memo").toString
     (0L until 200L).map(i => (i, "one two three four five", "en"))
       .toDF("doc_id", "text", "lang").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -314,7 +314,7 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("corpus_mix: digit-less source names default to keep-everything") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_mix_nodigit").toString
+    val dir = graft.util.TempDirs.create("graft_mix_nodigit").toString
     (0L until 10L).map(i => (i, s"doc $i", if (i < 5) "wiki" else "src3"))
       .toDF("doc_id", "text", "source").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -343,7 +343,7 @@ class TextAnalysisSpec extends SparkSpec {
     // positive class = NbPositiveSources members; a crawl doc WITH
     // curated-looking text must still score positive — that rescue is the
     // entire point of the GPT-3-style classifier gate
-    val dir = java.nio.file.Files.createTempDirectory("graft_nbq").toString
+    val dir = graft.util.TempDirs.create("graft_nbq").toString
     val curated = "fine curated encyclopedic prose paragraph"
     val spam = "click casino win prize casino click"
     val rows = ((0L to 4L).map(i => (i, curated, "src0")) ++
@@ -557,7 +557,7 @@ class TextAnalysisSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     // a two-lang micro corpus where the target unigram distribution is
     // hand-checkable: 'en' docs use token A, the other lang token B
-    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val dir = graft.util.TempDirs.create("graft_dsir").toString
     val rows = Seq(
       (0L, "alpha alpha alpha", "en", "s", 17L),
       (1L, "alpha alpha alpha", "en", "s", 17L),

@@ -137,8 +137,8 @@ class AnnRewriteSpec extends SparkSpec {
 
   test("index schema drift: plan left unrewritten instead of failing") {
     // an index built before `label` existed on the base table
-    val stale = java.nio.file.Files
-      .createTempDirectory("graft_stale_idx").resolve("idx").toString
+    val stale = graft.util.TempDirs
+      .create("graft_stale_idx").resolve("idx").toString
     spark.read.parquet(s"$indexPath/lists").drop("label", "bucket")
       .write.partitionBy("list_id").parquet(s"$stale/lists")
     spark.read.parquet(s"$indexPath/centroids")
@@ -208,7 +208,7 @@ class AnnRewriteSpec extends SparkSpec {
   test("two vector columns: each sort probes the index built on ITS column") {
     // 3-arg register records no column — the rewrite must fall back to the
     // index meta's vec_col, or a sort could prune with the wrong geometry
-    val base = java.nio.file.Files.createTempDirectory("graft_twocol").toString
+    val base = graft.util.TempDirs.create("graft_twocol").toString
     spark.read.parquet(tablePath)
       .withColumn("embedding2", reverse(col("embedding")))
       .write.parquet(s"$base/t.parquet")
@@ -235,8 +235,8 @@ class AnnRewriteSpec extends SparkSpec {
   }
 
   test("catalog save/load round-trips registrations across 'sessions'") {
-    val catalog = java.nio.file.Files
-      .createTempDirectory("graft_catalog").resolve("cat.parquet").toString
+    val catalog = graft.util.TempDirs
+      .create("graft_catalog").resolve("cat.parquet").toString
     AnnIndexRegistry.register(tablePath, indexPath, nprobe = 4,
       column = Some("embedding"))
     VectorIndexCatalog.put("items_saved_idx", tablePath, indexPath)
@@ -253,7 +253,7 @@ class AnnRewriteSpec extends SparkSpec {
     assert(VectorIndexCatalog.contains("items_saved_idx"),
       "DDL name must survive the round-trip")
     // a cataloged index whose data dir vanished is skipped, not registered
-    val gone = java.nio.file.Files.createTempDirectory("graft_gone").toString
+    val gone = graft.util.TempDirs.create("graft_gone").toString
     AnnIndexRegistry.unregister(tablePath)
     VectorIndexCatalog.remove("items_saved_idx")
     AnnIndexRegistry.register(tablePath, s"$gone/idx", nprobe = 4)
@@ -266,8 +266,8 @@ class AnnRewriteSpec extends SparkSpec {
 
   test("a pre-kind catalog (5 columns) still loads as ivfflat registrations") {
     import spark.implicits._
-    val catalog = java.nio.file.Files
-      .createTempDirectory("graft_catalog_legacy").resolve("cat.parquet").toString
+    val catalog = graft.util.TempDirs
+      .create("graft_catalog_legacy").resolve("cat.parquet").toString
     // the round-4 schema: no kind / fingerprint columns
     Seq(("items_legacy_idx", tablePath, indexPath, 4, "embedding"))
       .toDF("index_name", "table_path", "index_path", "nprobe", "vec_col")
@@ -283,10 +283,10 @@ class AnnRewriteSpec extends SparkSpec {
   }
 
   test("hnsw-kind registrations survive the catalog round-trip and stay off the rewrite") {
-    val catalog = java.nio.file.Files
-      .createTempDirectory("graft_catalog_hnsw").resolve("cat.parquet").toString
+    val catalog = graft.util.TempDirs
+      .create("graft_catalog_hnsw").resolve("cat.parquet").toString
     // any existing directory works: loadCatalog only checks presence
-    val graphDir = java.nio.file.Files.createTempDirectory("graft_nsw_cat").toString
+    val graphDir = graft.util.TempDirs.create("graft_nsw_cat").toString
     AnnIndexRegistry.register(tablePath, graphDir, nprobe = 0,
       column = Some("embedding"), kind = "hnsw")
     Graft.saveCatalog(spark, catalog)
@@ -306,8 +306,8 @@ class AnnRewriteSpec extends SparkSpec {
 
   test("catalog persists bm25 + sparse registrations; fresh session serves without rebuild") {
     import graft.operators.{SimilarityQueries, TextAnalysis}
-    val catalog = java.nio.file.Files
-      .createTempDirectory("graft_catalog_bs").resolve("cat.parquet").toString
+    val catalog = graft.util.TempDirs
+      .create("graft_catalog_bs").resolve("cat.parquet").toString
     // build both sidecars live, then persist
     val bm25Path = TextAnalysis.bm25IndexFor(spark, Sf0001)
     val sparsePath = SimilarityQueries.sparseIndexFor(spark, Sf0001)
@@ -329,7 +329,7 @@ class AnnRewriteSpec extends SparkSpec {
     // staleness survives the round-trip: a corpus whose mtime moved past
     // the cataloged fingerprint rebuilds on first use instead of serving
     // the stale sidecar
-    val dir = java.nio.file.Files.createTempDirectory("graft_stale_corpus")
+    val dir = graft.util.TempDirs.create("graft_stale_corpus")
     val docsCopy = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = docsCopy.getFileSystem(spark.sessionState.newHadoopConf())
     org.apache.hadoop.fs.FileUtil.copy(
@@ -350,7 +350,7 @@ class AnnRewriteSpec extends SparkSpec {
     import spark.implicits._
     // own table + index: rebalance mutates state, so the shared cached
     // fixtures must stay untouched
-    val dir = java.nio.file.Files.createTempDirectory("ann_rebal").toString
+    val dir = graft.util.TempDirs.create("ann_rebal").toString
     val tbl = s"$dir/embeddings.parquet"
     val e = graft.Tables.embeddings(spark, Sf0001)
     e.filter(col("vec_id") < 100).write.parquet(tbl)
@@ -400,8 +400,8 @@ class AnnRewriteSpec extends SparkSpec {
   }
 
   test("in-place index rebuild invalidates the probe memo (mtime fingerprint)") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_rebuild_idx").resolve("idx").toString
+    val dir = graft.util.TempDirs
+      .create("graft_rebuild_idx").resolve("idx").toString
     val src = spark.read.parquet(s"$indexPath/centroids")
     src.coalesce(1).write.parquet(s"$dir/centroids")
     val entry = AnnIndexRegistry.Entry(dir, 2)

@@ -13,7 +13,7 @@ class DocumentStoreSpec extends SparkSpec {
   import spark.implicits._
   implicit def s: SparkSession = spark
 
-  private def tmp(p: String) = Files.createTempDirectory(p).resolve("t").toString
+  private def tmp(p: String) = graft.util.TempDirs.create(p).resolve("t").toString
 
   // the reference's dim-3 fixtures (tests/test_pg.py:55, 76-81)
   private def fixture = Seq(

@@ -9,7 +9,7 @@ import graft.SparkSpec
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(p: String) = Files.createTempDirectory(p).resolve("d").toString
+  private def tmp(p: String) = graft.util.TempDirs.create(p).resolve("d").toString
 
   test("streaming dedup keeps one doc per fingerprint within the watermark window") {
     val srcDir = tmp("dedup_src")

@@ -12,7 +12,7 @@ import graft.operators.TextAnalysis
   * equivalent to one built over the full data. */
 class StreamingIndexMaintenanceSpec extends SparkSpec {
 
-  private def tmp(p: String) = Files.createTempDirectory(p).resolve("d").toString
+  private def tmp(p: String) = graft.util.TempDirs.create(p).resolve("d").toString
 
   test("streamed IVF appends: probe-all equals exact over old+new vectors") {
     val e = graft.Tables.embeddings(spark, Sf0001)

@@ -17,7 +17,7 @@ import graft.index.Bm25Index
 class StreamingPipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(p: String) = Files.createTempDirectory(p).resolve("d").toString
+  private def tmp(p: String) = graft.util.TempDirs.create(p).resolve("d").toString
 
   test("curation pipeline: gate → append → maintain → serve, end-state ≡ batch") {
     val srcDir = tmp("cur_src")

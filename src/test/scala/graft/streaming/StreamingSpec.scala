@@ -11,7 +11,7 @@ import graft.sources.{DocumentStore, TableConfig}
 
 class StreamingSpec extends SparkSpec {
 
-  private def tmp(p: String) = Files.createTempDirectory(p).resolve("d").toString
+  private def tmp(p: String) = graft.util.TempDirs.create(p).resolve("d").toString
 
   test("micro-batch file-source ingest: embed + append with latency metrics (ST1/ST2)") {
     val src = tmp("stream_src")

@@ -330,8 +330,8 @@ object PlanGallery {
             graft.operators.Dedup.hashedShingleRelOf(batch))
           // the store side: an ON-DISK band relation of previously
           // accepted docs, read exactly as the gate reads it
-          val storeDir = java.nio.file.Files
-            .createTempDirectory("gallery_store").toString
+          val storeDir = graft.util.TempDirs
+            .create("gallery_store").toString
           bands.select((col("doc_id") + 1000000L).as("doc_id"),
               col("band"), col("band_sig"))
             .write.mode("overwrite").parquet(storeDir)

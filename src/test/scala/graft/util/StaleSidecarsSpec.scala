@@ -9,7 +9,7 @@ class StaleSidecarsSpec extends AnyFunSuite {
 
   private val conf = new Configuration()
   private def tempDir(): String =
-    Files.createTempDirectory("graft_stale_sidecar").toString
+    graft.util.TempDirs.create("graft_stale_sidecar").toString
 
   test("tombstones are reclaimed per key only after the grace window") {
     val key = s"test:${java.util.UUID.randomUUID()}"

@@ -78,7 +78,18 @@ case class TopKByDistance(
 
 /** Size-bounded max-heap on (dist, id): the root is the WORST retained
   * entry, so an incoming candidate replaces it iff strictly better under
-  * (dist ASC, id ASC) — ties broken by id for cross-engine determinism. */
+  * (dist ASC, id ASC) — ties broken by id for cross-engine determinism.
+  *
+  * ID-DISTINCT: a candidate whose id is already retained replaces the
+  * retained entry iff its distance is better, instead of occupying a
+  * second slot. Exact top-k inputs never repeat an id (a member belongs
+  * to exactly one IVF list; cross-join pairs are distinct), so this only
+  * engages for SYMMETRIC co-probe candidate streams
+  * ([[graft.operators.SimilarityQueries.knnGraphIvf]] scores each pair
+  * from both directions), where a duplicate would otherwise burn a slot
+  * of every heap it reaches — including across partial buffers at merge
+  * time, which no pre-aggregation distinct can see. The membership scan
+  * is O(k) per offer with k ≤ tens everywhere in this engine. */
 final class TopKBuffer(k: Int) {
   // parallel arrays, heap-ordered; size ≤ k
   private val ds = new Array[Double](k)
@@ -95,6 +106,18 @@ final class TopKBuffer(k: Int) {
     // invariant (the window formulation this replaces sorted NaN last;
     // cosine_distance yields NaN for a zero-norm vector)
     if (java.lang.Double.isNaN(d)) return
+    // id-distinct (see class doc): an already-retained id improves in
+    // place or is ignored — improving shrinks the key, which in a
+    // worst-at-root heap can only violate the invariant toward the
+    // leaves, so siftDown restores it
+    var j = 0
+    while (j < n) {
+      if (ids(j) == id) {
+        if (worse(ds(j), ids(j), d, id)) { ds(j) = d; siftDown(j) }
+        return
+      }
+      j += 1
+    }
     if (n < k) {
       ds(n) = d; ids(n) = id; n += 1
       siftUp(n - 1)

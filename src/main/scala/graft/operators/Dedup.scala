@@ -136,9 +136,7 @@ object Dedup {
     * wide start in this engine. */
   private[graft] val PairAggRowsPerPartition = 2L * 1000 * 1000
   private[graft] def pairAggPartitions(nPairs: Long, sessionParts: Int): Int =
-    math.min(8192L,
-      math.max(sessionParts.toLong,
-        (nPairs + PairAggRowsPerPartition - 1) / PairAggRowsPerPartition)).toInt
+    graft.util.Exchanges.widthFor(nPairs, sessionParts, PairAggRowsPerPartition)
 
   /** All candidate pairs sharing ≥1 shingle, with exact Jaccard over the
     * hashed shingle space. Inverted-index formulation: group the hashed
@@ -240,18 +238,25 @@ object Dedup {
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // exact pair volume off the materialized postings (one sub-second
-    // column scan) sizes the pair-count exchange; fixture scale keeps the
-    // session width (the narrow packed path doesn't take numParts anyway)
+    // column scan) sizes EVERY pair-stream exchange below — the pair-count
+    // aggregate (wide ids only: the narrow packed path keeps map-side
+    // combine and doesn't take numParts) and, past the broadcast tier, the
+    // sizes joins; fixture scale keeps the session width
     val wide = idsWide(Tables.documents(spark, sfDir))
-    val pairParts =
-      if (!big || !wide) None
+    val nPairs: Option[Long] =
+      if (!big) None
       else {
         val sz = size(col("ids")).cast("long")
-        val nPairs = postings
-          .agg(sum(sz * (sz - lit(1L)) / lit(2L)).cast("long")).head().getLong(0)
-        Some(pairAggPartitions(nPairs, sessionParts))
+        Some(postings
+          .agg(sum(sz * (sz - lit(1L)) / lit(2L)).cast("long")).head().getLong(0))
       }
+    val pairParts = if (wide) nPairs.map(pairAggPartitions(_, sessionParts)) else None
     val common = pairCounts(postings, wide, pairParts)
+    def jaccardOf(joined: DataFrame): DataFrame = joined
+      .select(col("a"), col("b"),
+        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+      .orderBy("a", "b")
     // The sizes joins are TIERED on corpus size: `sizes` is one 16-byte
     // row per doc, so up to [[SizesBroadcastMaxDocs]] documents it
     // broadcasts — the corpus-sized pair relation then streams through
@@ -259,18 +264,25 @@ object Dedup {
     // shuffle_hash alternative moved the 336M-row pair relation through
     // two more full shuffles, ~10 GB). Past the tier — doc counts where a
     // per-executor hash of all docs stops being sane — shuffle_hash keeps
-    // the joins sort-free; plain sort-merge is never the right shape here.
-    def sized(df: DataFrame): DataFrame =
-      if (!big) broadcast(df) // fixture scale: same BHJ AQE picks, pinned
-      else if (docCount(spark, sfDir) <= SizesBroadcastMaxDocs) broadcast(df)
-      else df.hint("shuffle_hash")
-    common
-      .join(sized(sizes.as("sa")), col("a") === col("sa.doc_id"))
-      .join(sized(sizes.as("sb")), col("b") === col("sb.doc_id"))
-      .select(col("a"), col("b"),
-        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= NgramThreshold)
-      .orderBy("a", "b")
+    // the joins sort-free, and the pair-stream exchanges get an EXPLICIT
+    // width from the exact pair count: at the session width a 10⁹-row
+    // pair stream lands ~35M rows in each post-shuffle partition and the
+    // per-partition join hash tables sort-spill (measured ~80 GB spill
+    // each for dedup_clean / dedup_ngram_capped at 1000× data,
+    // bench_sf100.json r14 — the 5M-doc corpus was the first point past
+    // the 4M-doc tier). Plain sort-merge is never the right shape here.
+    if (!big || docCount(spark, sfDir) <= SizesBroadcastMaxDocs)
+      jaccardOf(common
+        .join(broadcast(sizes.as("sa")), col("a") === col("sa.doc_id"))
+        .join(broadcast(sizes.as("sb")), col("b") === col("sb.doc_id")))
+    else {
+      val w = pairAggPartitions(nPairs.get, sessionParts)
+      jaccardOf(common
+        .repartition(w, col("a"))
+        .join(sizes.as("sa").hint("shuffle_hash"), col("a") === col("sa.doc_id"))
+        .repartition(w, col("b"))
+        .join(sizes.as("sb").hint("shuffle_hash"), col("b") === col("sb.doc_id")))
+    }
   }
 
   /** Embedding cosine near-dup pairs — EXACT answer WITHOUT the all-pairs
@@ -376,16 +388,50 @@ object Dedup {
     // y's home list and y probing x's — elementwise product commutes, so
     // both directions score BIT-EQUAL sim) → distinct on the thresholded
     // survivors is exact and survivor-sized, not candidate-sized
-    assigned
-      .join(home, Seq("list_id"))
+    def scoredOf(asg: DataFrame, hm: DataFrame): DataFrame = asg
+      .join(hm, Seq("list_id"))
       .filter(col("qid") =!= col("m"))
       .select(least(col("qid"), col("m")).as("a"),
         greatest(col("qid"), col("m")).as("b"),
         cosine_similarity(col("qv"), col("mv")).as("sim"))
       .filter(col("sim") >= EmbeddingThreshold)
-      .distinct()
-      .orderBy("a", "b")
+    // The candidate stream's exchanges scale with the CANDIDATE volume
+    // (probes · occupancy · n — known exactly from the index sidecar), not
+    // the session width: at 1000× data the constant-width plan put ~16M
+    // survivor rows into every post-shuffle partition and the candidate
+    // join + distinct sort-spilled 177 GB (bench_sf100.json r14). At the
+    // session floor the plan is untouched — fixture scale keeps AQE's
+    // auto-broadcast of the tiny home side and its skew-join splitting
+    // (SkewJoinSpec pins the latter; an explicit repartition origin would
+    // disable both).
+    val n = IndexQueries.vecCount(spark, sfDir)
+    val nLists = math.max(1L, IndexQueries.listCount(spark, idx).toLong)
+    val occupancy = (n + nLists - 1) / nLists
+    val cands = probes.toLong * n * occupancy
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val w = graft.util.Exchanges.widthFor(cands, sessionParts, CandidateRowsPerPartition)
+    if (w <= sessionParts)
+      scoredOf(assigned, home).distinct().orderBy("a", "b")
+    else {
+      // distinct's aggregate reuses the (a, b) partitioning (a subset of
+      // its grouping keys); the global sort gets the same explicit width
+      // via range partitioning — identical output order to orderBy
+      scoredOf(assigned.repartition(w, col("list_id")), home.hint("shuffle_hash"))
+        .repartition(w, col("a"), col("b"))
+        .distinct()
+        .repartitionByRange(w, col("a"), col("b"))
+        .sortWithinPartitions("a", "b")
+    }
   }
+
+  /** Rows per post-shuffle partition for the IVF co-probe candidate
+    * exchanges ([[dedupEmbeddingIvf]],
+    * [[graft.operators.SimilarityQueries.knnGraphIvf]]): candidate rows
+    * are narrow (two ids + a double), and the stage's working set is the
+    * partial hash structure over them — 4M rows ≈ 100-200 MB with
+    * aggregate overhead, inside task execution memory at 32 concurrent
+    * tasks on the bench box and comfortable on a real executor. */
+  private[graft] val CandidateRowsPerPartition = 4L * 1000 * 1000
 
   // ---- MinHash LSH ---------------------------------------------------------
 

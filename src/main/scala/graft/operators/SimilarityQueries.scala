@@ -741,11 +741,50 @@ object SimilarityQueries {
     // paths — IvfIndex.searchMany, this graph, dedup_embedding_ivf)
     val assigned = graft.index.IvfIndex.assignProbes(
       e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
-    spark.read.parquet(s"$idx/lists")
-      .join(assigned, Seq("list_id"))
+    // Candidate-join width scales with the candidate volume (probes ·
+    // occupancy · n, known from the index sidecar), like every pair-stream
+    // exchange in the engine (graft.util.Exchanges): at the session floor
+    // the plan is untouched — fixtures keep AQE auto-broadcast of the tiny
+    // lists side and skew-join splitting (SkewJoinSpec pins it; an
+    // explicit-repartition origin would disable both). Past the floor the
+    // width bounds the per-task candidate stream AND lifts the stage's
+    // parallelism cap off the session constant — on a real cluster a
+    // 32-wide exchange is a 32-way parallelism ceiling however many
+    // executors exist.
+    val n = IndexQueries.vecCount(spark, sfDir)
+    val nLists = math.max(1L, IndexQueries.listCount(spark, idx).toLong)
+    val cands = probes.toLong * n * ((n + nLists - 1) / nLists)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val w = graft.util.Exchanges.widthFor(
+      cands, sessionParts, graft.operators.Dedup.CandidateRowsPerPartition)
+    val lists = spark.read.parquet(s"$idx/lists")
+    val (homeSide, assignedSide) =
+      if (w <= sessionParts) (lists, assigned)
+      else (lists.hint("shuffle_hash"), assigned.repartition(w, col("list_id")))
+    homeSide
+      .join(assignedSide, Seq("list_id"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         cosine_distance(col("embedding"), col("qv")).as("dist"))
+      // SYMMETRIC co-probe: every scored (prober, member) pair feeds BOTH
+      // endpoints' heaps — the pair (x, y) surfaces if x probes y's home
+      // list OR y probes x's, doubling effective coverage for free (the
+      // join is computed once; the explode pipelines inside the same
+      // stage, and cosine commutes elementwise so the flipped row's dist
+      // is bit-equal — no second scoring). One-directional coverage is
+      // what decayed at 1000× data: list count grows with n at constant
+      // occupancy, so a FIXED probe count covers a shrinking fraction of
+      // each natural cluster's sub-lists (recall@3 0.990 at 300× → 0.708
+      // at 1000×, bench_sf100.json r14). A pair missed in one direction
+      // is usually caught in the other (independent-ish quantization
+      // error at the two endpoints). Duplicates — both directions firing
+      // — are absorbed by the id-distinct heap (TopKBuffer), which no
+      // pre-aggregation distinct could do across partial buffers.
+      .select(explode(array(
+          struct(col("qid").as("q"), col("vec_id").as("v")),
+          struct(col("vec_id").as("q"), col("qid").as("v")))).as("e2"),
+        col("dist"))
+      .select(col("e2.q").as("qid"), col("e2.v").as("vec_id"), col("dist"))
       .groupBy("qid")
       .agg(top_k_by_distance(col("dist"), col("vec_id"), KnnGraphK).as("top"))
       .select(col("qid").as("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))

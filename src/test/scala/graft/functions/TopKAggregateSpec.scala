@@ -62,4 +62,41 @@ class TopKAggregateSpec extends SparkSpec {
       assert(spark.conf.get(key) === graft.functions.ObjectHashFallbackKeys.toString)
     } finally before.foreach(spark.conf.set(key, _))
   }
+
+  test("id-distinct heap: a duplicate id never occupies two slots, across merges too") {
+    // direct buffer: dup id with bit-equal dist (the symmetric co-probe
+    // case) occupies one slot; a better dist for a retained id improves
+    // it in place
+    val buf = new TopKBuffer(3)
+    buf.offer(0.5, 10L); buf.offer(0.5, 10L); buf.offer(0.7, 20L)
+    assert(buf.sorted.toSeq === Seq((0.5, 10L), (0.7, 20L)))
+    buf.offer(0.3, 20L) // same id, better dist → replaces, heap stays valid
+    assert(buf.sorted.toSeq === Seq((0.3, 20L), (0.5, 10L)))
+    buf.offer(0.9, 30L); buf.offer(0.8, 40L) // 30 evicted by 40
+    assert(buf.sorted.toSeq === Seq((0.3, 20L), (0.5, 10L), (0.8, 40L)))
+    // merge path (partial buffers from different partitions both saw id 10)
+    val other = new TopKBuffer(3)
+    other.offer(0.5, 10L); other.offer(0.1, 50L)
+    buf.mergeFrom(other)
+    assert(buf.sorted.toSeq === Seq((0.1, 50L), (0.3, 20L), (0.5, 10L)))
+  }
+
+  test("id-distinct heap through the aggregate: symmetric duplicate rows collapse") {
+    // every (g, rid) candidate appears twice with bit-equal dist — the
+    // exact stream shape knnGraphIvf's symmetric explode produces; top-k
+    // must hold k DISTINCT neighbors, not k/2 duplicated ones
+    val once = spark.range(40).select(
+      (col("id") % 4).as("g"), col("id").as("rid"),
+      (col("id").cast("double") / 40.0).as("dist"))
+    val twice = once.unionAll(once)
+    val k = 5
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("g").agg(top_k_by_distance(col("dist"), col("rid"), k).as("top"))
+      .select(col("g"), explode(col("top.vec_id")).as("nbr"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val s1 = topSets(once)
+    val s2 = topSets(twice)
+    assert(s2 === s1)
+    assert(s2.forall(_._2.size === k))
+  }
 }

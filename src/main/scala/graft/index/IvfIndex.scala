@@ -555,14 +555,15 @@ object IvfIndex {
     * the level-1 broadcast bounded at the 65536-list cap). */
   val CoarseGroupsMax = 256
 
-  /** Member-sidecar bytes past which the descent stops BROADCASTING the
-    * full |lists| centroid set (IvfIndex.scala's one per-executor copy is
-    * ~100 MB at 384 dims × 65,536 lists — past sane broadcast sizes, and
-    * stacked on the driver-side sidecar collect) and instead ships members
-    * through a SHUFFLED equi-join on coarse_id. The coarse-center
-    * broadcast (≤ [[CoarseGroupsMax]] rows) stays a broadcast either
-    * way. */
-  val MemberBroadcastMaxBytes: Long = 16L << 20
+  /** Hard ceiling on the broadcast coarse-structure bytes (centroid
+    * sidecar + grouping): at the [[graft.operators.IndexQueries.listsFor]]
+    * 65,536-list cap and 1536 dims this is ~400 MB — the worst case the
+    * engine can construct, one copy per executor, the standard
+    * coarse-quantizer serving footprint (every IVF node holds the full
+    * centroid table). The require documents the assumption rather than
+    * silently degrading: an index past it needs a deeper quantizer
+    * hierarchy, not a bigger broadcast. */
+  val CoarseStructureMaxBytes: Long = 1L << 30
 
   /** Fixed Lloyd iterations / training cap for the coarse clustering —
     * deterministic (evenly-spaced init over the list_id order, no RNG),
@@ -637,17 +638,24 @@ object IvfIndex {
     * which for cosine is scale-invariant so un-normalized coarse means
     * rank correctly).
     *
-    * Level 1-2 (distributed): each query ranks the BROADCAST coarse
-    * centers in a bounded heap (n·√lists work), descends into its top
-    * `descend` groups (budget-scaled — see [[CoarseProbes]] /
-    * [[CoarseDescendSlack]]) via ONE equi-join on coarse_id, and
-    * heap-ranks only those groups' member centroids
-    * (n·descend·lists/groups work). Both heaps are the shared
-    * [[graft.functions.top_k_by_distance]]; stage 2 reuses stage 1's
-    * qid hash partitioning. The member side is BROADCAST while the
-    * sidecar fits [[MemberBroadcastMaxBytes]] (one shuffle total) and a
-    * shuffled hash join past it (the 384-dim × 65k-list regime, where a
-    * ~100 MB broadcast would be the new hazard).
+    * Level 1-2 (distributed): ONE map pass. The full two-level structure
+    * (coarse centers + per-group member centroid arrays — the same bytes
+    * the driver already collected for Lloyd) ships once as a broadcast,
+    * and a deterministic UDF ranks per query row: top-`descend` coarse
+    * groups (budget-scaled — see [[CoarseProbes]] /
+    * [[CoarseDescendSlack]]), then top-`probes` member lists within
+    * them, n·(√lists + descend·lists/groups) scalar work with NO row
+    * expansion. The first cut expressed both levels as crossJoin →
+    * top-k aggregates: each level exploded (query × candidate) rows
+    * CARRYING the query vector into a near-unique-key
+    * ObjectHashAggregate, whose sort-based fallback then externally
+    * sorted candidate-volume × vector-width bytes — measured 307 GB of
+    * spill and 150-280 s for ONE assignment of a 2M × 64-dim corpus at
+    * 31,250 lists (ProfileEmbeddingIvf, 1000× point, r14) — per
+    * co-probe query, since each recomputes its assignment. The map
+    * form's only non-driver cost is the broadcast (guarded by
+    * [[CoarseStructureMaxBytes]]) and one q-sized exchange for the
+    * duplicate-qid collapse.
     *
     * For the `ip` opclass the coarse ranking uses the MIPS-safe group
     * bound −(⟨q, mean_g⟩ + ‖q‖·r_g) (r_g = max member distance from the
@@ -665,11 +673,7 @@ object IvfIndex {
   private[graft] def assignProbesHierarchical(queries: DataFrame,
       cents: DataFrame, qidCol: String, qvecCol: String, probes: Int,
       dist: (Column, Column) => Column,
-      metric: String = "cosine",
-      // overridable so the join path is spec-testable without a 65k-row
-      // sidecar; production callers always use the default
-      memberBroadcastMax: Long = MemberBroadcastMaxBytes): DataFrame = {
-    import graft.functions.top_k_by_distance
+      metric: String = "cosine"): DataFrame = {
     val spark = queries.sparkSession
     val pts = cents.select("list_id", "centroid").collect().map { r =>
       (r.getInt(0), r.getAs[collection.Seq[Float]](1).toArray)
@@ -684,6 +688,14 @@ object IvfIndex {
       math.ceil(probes.toDouble * groups / nLists).toInt * CoarseDescendSlack)
     if (descend >= groups) // no pruning left at this budget — flat is exact
       return assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
+    require(metric == "cosine" || metric == "l2" || metric == "ip",
+      s"assignProbesHierarchical: unsupported metric '$metric' " +
+        s"(expected one of ${Metrics.mkString(", ")})")
+    val structureBytes = nLists.toLong * (4L * dim + 8L)
+    require(structureBytes <= CoarseStructureMaxBytes,
+      s"coarse structure is $structureBytes bytes for $nLists lists × $dim " +
+        s"dims — past CoarseStructureMaxBytes ($CoarseStructureMaxBytes); " +
+        "an index this size needs a deeper quantizer hierarchy")
     val (centers, grouping) = lloydCoarse(pts.map(_._2), groups)
     // per-group covering radius over MEMBER CENTROIDS (driver-side, one
     // pass over index metadata) — only the ip ranking consumes it
@@ -696,46 +708,134 @@ object IvfIndex {
       val r = math.sqrt(s)
       if (r > radii(g)) radii(g) = r
     }
-    val coarseDf = spark.createDataFrame(
-      centers.zipWithIndex.map { case (v, i) => (i, v, radii(i)) }.toIndexedSeq)
-      .toDF("coarse_id", "ccent", "cradius")
-    val memberDf = spark.createDataFrame(
-      pts.zip(grouping).map { case ((lid, v), g) => (g, lid, v) }.toIndexedSeq)
-      .toDF("coarse_id", "list_id", "centroid")
-    // coarse rank: the opclass distance to the group mean, except ip's
-    // norm-aware lower bound (neg_inner_product(mean, q) − ‖q‖·r_g —
-    // ascending order = best-potential-first, the ball-tree MIPS bound)
-    val coarseRank: Column =
-      if (metric == "ip")
-        dist(col("ccent"), col("qv")) -
-          sqrt(graft.functions.inner_product(col("qv"), col("qv"))) * col("cradius")
-      else dist(col("ccent"), col("qv"))
-    val descended = queries
+    // pack members per coarse group (flat arrays, no per-row objects)
+    val memberCount = new Array[Int](centers.length)
+    grouping.foreach(g => memberCount(g) += 1)
+    val memberLids = Array.tabulate(centers.length)(g => new Array[Int](memberCount(g)))
+    val memberVecs = Array.tabulate(centers.length)(g => new Array[Array[Float]](memberCount(g)))
+    locally {
+      val fill = new Array[Int](centers.length)
+      var i = 0
+      while (i < pts.length) {
+        val g = grouping(i)
+        memberLids(g)(fill(g)) = pts(i)._1
+        memberVecs(g)(fill(g)) = pts(i)._2
+        fill(g) += 1
+        i += 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast(
+      CoarseIndex(centers, radii, memberLids, memberVecs, metric, descend, probes))
+    val assign = udf { (qv: collection.Seq[Float]) =>
+      if (qv == null) Array.empty[Int]
+      else bc.value.assign(qv.toArray)
+    }
+    queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("qv"))
-      .crossJoin(broadcast(coarseDf))
-      .select(col("qid"), col("qv"),
-        col("coarse_id").cast("long").as("cid"),
-        coarseRank.as("cdist"))
-      .groupBy("qid")
-      .agg(first(col("qv")).as("qv"),
-        top_k_by_distance(col("cdist"), col("cid"), descend).as("top"))
-      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("cid"))
-      .select(col("qid"), col("qv"), col("cid").cast("int").as("coarse_id"))
-    val memberBytes = nLists.toLong * (4L * dim + 24L)
-    val withMembers =
-      if (memberBytes <= memberBroadcastMax)
-        descended.join(broadcast(memberDf), Seq("coarse_id"))
-      else // oversize sidecar: shuffled hash join, members as build side
-        descended.join(memberDf.hint("shuffle_hash"), Seq("coarse_id"))
-    withMembers
-      .select(col("qid"), col("qv"),
-        col("list_id").cast("long").as("lid"),
-        dist(col("centroid"), col("qv")).as("cdist"))
-      .groupBy("qid")
-      .agg(first(col("qv")).as("qv"),
-        top_k_by_distance(col("cdist"), col("lid"), probes).as("top"))
-      .select(col("qid"), col("qv"), explode(col("top.vec_id")).as("lid"))
-      .select(col("qid"), col("qv"), col("lid").cast("int").as("list_id"))
+      // duplicate-qid collapse per the assignProbes contract (one
+      // representative vector); q-sized, the only exchange this stage plans
+      .groupBy("qid").agg(first(col("qv")).as("qv"))
+      .select(col("qid"), col("qv"), explode(assign(col("qv"))).as("list_id"))
+  }
+
+  /** The broadcast payload of [[assignProbesHierarchical]]: coarse
+    * centers, per-group MIPS radii and per-group member centroid arrays,
+    * with the full two-level ranking as one scalar method. The distance
+    * scalars mirror the Catalyst expressions (VectorExpressions.scala)
+    * operation-for-operation — same sequential double accumulation, same
+    * final expression shape — so the map-form assignment selects
+    * bit-identically to the crossJoin + top-k-aggregate form it replaced
+    * (both rank by (dist ASC, id ASC) with NaN candidates skipped, the
+    * TopKBuffer contract). */
+  private[index] final case class CoarseIndex(
+      centers: Array[Array[Float]],
+      radii: Array[Double],
+      memberLids: Array[Array[Int]],
+      memberVecs: Array[Array[Array[Float]]],
+      metric: String,
+      descend: Int,
+      probes: Int) {
+
+    /** Opclass distance (ip = NEGATIVE inner product, ascending = best,
+      * like [[metricDistance]]); the ip coarse BOUND is applied by the
+      * caller, not here. */
+    private def score(c: Array[Float], q: Array[Float]): Double = {
+      val n = q.length
+      metric match {
+        case "cosine" =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            val x = c(i).toDouble; val y = q(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+        case "l2" =>
+          var acc = 0.0; var i = 0
+          while (i < n) {
+            val d = c(i).toDouble - q(i).toDouble; acc += d * d; i += 1
+          }
+          math.sqrt(acc)
+        case _ => // ip
+          var dot = 0.0; var i = 0
+          while (i < n) { dot += c(i).toDouble * q(i).toDouble; i += 1 }
+          -dot
+      }
+    }
+
+    /** Insert (d, id) into the ascending-(d, id)-sorted prefix [0, n) of
+      * k-capacity arrays; returns the new live count. O(k) per offer with
+      * production k in the tens — the TopKBuffer selection contract
+      * without the heap (candidates arrive in one pass here, so a plain
+      * sorted prefix is simpler and branch-predictable). */
+    private def insert(ds: Array[Double], ids: Array[Int], n: Int, k: Int,
+                       d: Double, id: Int): Int = {
+      var lo = 0
+      while (lo < n && (ds(lo) < d || (ds(lo) == d && ids(lo) < id))) lo += 1
+      if (lo >= k) return n
+      val newN = math.min(n + 1, k)
+      var j = newN - 1
+      while (j > lo) { ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1 }
+      ds(lo) = d; ids(lo) = id
+      newN
+    }
+
+    /** Top-`probes` list ids for one query vector: rank the coarse groups
+      * (ip: ball bound −⟨q,mean⟩ − ‖q‖·r), descend into the best
+      * `descend`, rank their member lists. Returns ids best-first;
+      * empty for all-NaN scores (zero-norm cosine query). */
+    def assign(q: Array[Float]): Array[Int] = {
+      val qn = if (metric == "ip") {
+        var s = 0.0; var i = 0
+        while (i < q.length) { s += q(i).toDouble * q(i).toDouble; i += 1 }
+        math.sqrt(s)
+      } else 0.0
+      val gd = new Array[Double](descend)
+      val gi = new Array[Int](descend)
+      var gn = 0
+      var g = 0
+      while (g < centers.length) {
+        var s = score(centers(g), q)
+        if (metric == "ip") s -= qn * radii(g)
+        if (!java.lang.Double.isNaN(s)) gn = insert(gd, gi, gn, descend, s, g)
+        g += 1
+      }
+      val ld = new Array[Double](probes)
+      val li = new Array[Int](probes)
+      var ln = 0
+      var gg = 0
+      while (gg < gn) {
+        val vecs = memberVecs(gi(gg))
+        val lids = memberLids(gi(gg))
+        var m = 0
+        while (m < vecs.length) {
+          val s = score(vecs(m), q)
+          if (!java.lang.Double.isNaN(s)) ln = insert(ld, li, ln, probes, s, lids(m))
+          m += 1
+        }
+        gg += 1
+      }
+      java.util.Arrays.copyOf(li, ln)
+    }
   }
 
   /** Deterministic driver-side Lloyd over the centroid sidecar: evenly

@@ -121,8 +121,19 @@ object Dedup {
       // was combining anyway), no corpus-sized hash map. The packed
       // (narrow-id) branch above keeps map-side combine: its 8-byte keys
       // spill-cap at fixture scale where combine is free.
+      //
+      // The sized exchange keys on `a` ALONE: HashPartitioning(a) is a
+      // subset of the (a, b) grouping keys, so it satisfies the
+      // aggregate's clustered distribution (every (a, b) group lives in
+      // one partition) AND the consumer's next join key (dedupNgramCapped
+      // joins per-doc sizes on a) — ONE exchange of the corpus-scale pair
+      // stream serves both, where keying on (a, b) forced the sa join to
+      // re-shuffle the full counted stream (measured: two extra ~17 GB
+      // exchanges of a 1.12B-row stream at 1000× data, bench_sf100 r14).
+      // Skew bound: pairs per doc a ≤ sz_a · (MaxShingleDf − 1), both
+      // capped, so no single a can dominate a partition.
       val parted = numParts match {
-        case Some(n) => pairs.repartition(n, col("a"), col("b"))
+        case Some(n) => pairs.repartition(n, col("a"))
         case None => pairs.repartition(col("a"), col("b"))
       }
       parted.groupBy("a", "b").agg(count(lit(1)).as("c"))
@@ -264,23 +275,34 @@ object Dedup {
     // shuffle_hash alternative moved the 336M-row pair relation through
     // two more full shuffles, ~10 GB). Past the tier — doc counts where a
     // per-executor hash of all docs stops being sane — shuffle_hash keeps
-    // the joins sort-free, and the pair-stream exchanges get an EXPLICIT
-    // width from the exact pair count: at the session width a 10⁹-row
-    // pair stream lands ~35M rows in each post-shuffle partition and the
-    // per-partition join hash tables sort-spill (measured ~80 GB spill
-    // each for dedup_clean / dedup_ngram_capped at 1000× data,
-    // bench_sf100.json r14 — the 5M-doc corpus was the first point past
-    // the 4M-doc tier). Plain sort-merge is never the right shape here.
+    // the joins sort-free, and the pair stream is NEVER re-exchanged:
+    // pairCounts already partitioned it by `a` (one sized exchange
+    // serving its aggregate AND the sa join), the sa join streams in
+    // place, and an EXACT prefilter — c ≤ sb ⟹ |a ∪ b| ≥ sa ⟹
+    // jaccard ≤ c/sa, so jaccard ≥ t needs c ≥ t·sa — cuts the stream to
+    // near-candidates before the b-keyed join, which therefore exchanges
+    // a survivor-sized relation, not the corpus-scale pair stream. (The
+    // first sized shape re-shuffled the full counted stream twice more —
+    // two extra ~17 GB exchanges at 1000× data with map-side sorter
+    // spill to match, bench_sf100.json r14.) Plain sort-merge is never
+    // the right shape here.
     if (!big || docCount(spark, sfDir) <= SizesBroadcastMaxDocs)
       jaccardOf(common
         .join(broadcast(sizes.as("sa")), col("a") === col("sa.doc_id"))
         .join(broadcast(sizes.as("sb")), col("b") === col("sb.doc_id")))
     else {
       val w = pairAggPartitions(nPairs.get, sessionParts)
-      jaccardOf(common
-        .repartition(w, col("a"))
+      // wide ids: common is already HashPartitioning(a, w) from
+      // pairCounts' sized exchange; narrow ids past the tier: the packed
+      // path kept map-side combine, so co-locate on a here
+      val streamA = if (wide) common else common.repartition(w, col("a"))
+      val afterA = streamA
         .join(sizes.as("sa").hint("shuffle_hash"), col("a") === col("sa.doc_id"))
-        .repartition(w, col("b"))
+        // ε keeps double rounding from dropping an exact-boundary pair;
+        // false keeps are re-filtered exactly by jaccardOf
+        .filter(col("c").cast("double") >=
+          lit(NgramThreshold) * col("sa.sz").cast("double") - lit(1e-9))
+      jaccardOf(afterA
         .join(sizes.as("sb").hint("shuffle_hash"), col("b") === col("sb.doc_id")))
     }
   }

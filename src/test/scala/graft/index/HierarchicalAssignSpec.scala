@@ -172,16 +172,20 @@ class HierarchicalAssignSpec extends SparkSpec {
         s"min=${perQid.min} (fixed-descent band regression)")
   }
 
-  test("oversize member sidecar: shuffled-join descent ≡ broadcast descent") {
+  test("map-form assignment is invariant to the query frame's " +
+      "partitioning (per-row, no cross-partition state)") {
     val (e, _) = fixture
     import graft.functions.cosine_distance
     val q = e.limit(128)
-    def run(maxBytes: Long) = collectAssign(IvfIndex.assignProbesHierarchical(
-      q, cents, "vec_id", "embedding", 4, cosine_distance(_, _),
-      memberBroadcastMax = maxBytes))
-    // 1-byte cap forces the shuffle-hash-join path; rows must be IDENTICAL
-    assert(run(1L) === run(Long.MaxValue),
-      "join-path descent must be row-identical with the broadcast path")
+    def run(frame: org.apache.spark.sql.DataFrame) =
+      collectAssign(IvfIndex.assignProbesHierarchical(
+        frame, cents, "vec_id", "embedding", 4, cosine_distance(_, _)))
+    // the single-map design (broadcast coarse structure, deterministic
+    // UDF) must produce IDENTICAL rows however the input is partitioned —
+    // the invariant that replaced the broadcast-vs-shuffled-join parity
+    // pin when the member join was removed
+    assert(run(q.repartition(7)) === run(q.coalesce(1)),
+      "assignment rows must not depend on input partitioning")
   }
 
   test("ip opclass at the engaging list count: MIPS-aware coarse ranking " +

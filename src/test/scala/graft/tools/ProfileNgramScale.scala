@@ -47,15 +47,40 @@ object ProfileNgramScale {
     time("sizes from postings")(sizes.count())
     val wide = graft.operators.Dedup.idsWide(docs)
     println(s"[pfl] idsWide=$wide")
-    val common = graft.operators.Dedup.pairCounts(postings, wide)
-    time("pairCounts (explode pairs + groupBy)")(common.count())
-    val joined = common
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+    // SIZED variants — exactly the shapes dedupNgramCapped plans past the
+    // broadcast tier, isolated so spill can be attributed per stage
+    val nPairs = {
+      val sz = size(col("ids")).cast("long")
+      postings.agg(sum(sz * (sz - lit(1L)) / lit(2L)).cast("long")).head().getLong(0)
+    }
+    val w = graft.operators.Dedup.pairAggPartitions(
+      nPairs, spark.sessionState.conf.numShufflePartitions)
+    println(s"[pfl] nPairs=$nPairs sizedWidth=$w")
+    val commonSized = graft.operators.Dedup.pairCounts(postings, wide, Some(w))
+    time(s"pairCounts SIZED (w=$w)")(commonSized.count())
+    // the single-exchange shape dedupNgramCapped plans past the broadcast
+    // tier: sa join reuses pairCounts' a-partitioning, prefilter
+    // c ≥ t·sa, survivor-sized b join
+    val joinedSized = commonSized
+      .join(sizes.as("sa").hint("shuffle_hash"), col("a") === col("sa.doc_id"))
+      .filter(col("c").cast("double") >=
+        lit(graft.operators.Dedup.NgramThreshold) * col("sa.sz").cast("double") - lit(1e-9))
+      .join(sizes.as("sb").hint("shuffle_hash"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"),
         (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= graft.operators.Dedup.NgramThreshold)
-    time("jaccard join + filter")(joined.count())
+    time("jaccard join SIZED (1-exchange + prefilter)")(joinedSized.count())
+    if (sys.env.get("SPARK_GRAFT_PROFILE_UNSIZED").contains("1")) {
+      val common = graft.operators.Dedup.pairCounts(postings, wide)
+      time("pairCounts (explode pairs + groupBy)")(common.count())
+      val joined = common
+        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"),
+          (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
+        .filter(col("jaccard") >= graft.operators.Dedup.NgramThreshold)
+      time("jaccard join + filter")(joined.count())
+    }
     time("FULL dedup_ngram_capped")(
       graft.operators.Dedup.dedupNgramCapped(spark, sfDir).count())
     time("FULL dedup_clean")(

@@ -421,18 +421,21 @@ object Dedup {
     // (probes · occupancy · n — known exactly from the index sidecar), not
     // the session width: at 1000× data the constant-width plan put ~16M
     // survivor rows into every post-shuffle partition and the candidate
-    // join + distinct sort-spilled 177 GB (bench_sf100.json r14). At the
-    // session floor the plan is untouched — fixture scale keeps AQE's
-    // auto-broadcast of the tiny home side and its skew-join splitting
-    // (SkewJoinSpec pins the latter; an explicit repartition origin would
-    // disable both).
+    // join + distinct sort-spilled 177 GB (bench_sf100.json r14). Through
+    // [[WideBranchFactor]]× the session floor the plan is untouched —
+    // fixture scale keeps AQE's auto-broadcast of the tiny home side and
+    // its skew-join splitting (SkewJoinSpec pins the latter; an explicit
+    // repartition origin would disable both), and near the floor the AQE
+    // plan WINS: the sized branch pays two extra full exchanges of the
+    // assigned/candidate stream, measured +8 s at 300× data where the
+    // computed width (39) barely cleared the session width (r14).
     val n = IndexQueries.vecCount(spark, sfDir)
     val nLists = math.max(1L, IndexQueries.listCount(spark, idx).toLong)
     val occupancy = (n + nLists - 1) / nLists
     val cands = probes.toLong * n * occupancy
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val w = graft.util.Exchanges.widthFor(cands, sessionParts, CandidateRowsPerPartition)
-    if (w <= sessionParts)
+    if (w <= WideBranchFactor * sessionParts)
       scoredOf(assigned, home).distinct().orderBy("a", "b")
     else {
       // distinct's aggregate reuses the (a, b) partitioning (a subset of
@@ -454,6 +457,15 @@ object Dedup {
     * aggregate overhead, inside task execution memory at 32 concurrent
     * tasks on the bench box and comfortable on a real executor. */
   private[graft] val CandidateRowsPerPartition = 4L * 1000 * 1000
+
+  /** Hysteresis on the co-probe sized-exchange branch: the explicit-width
+    * plan replaces AQE's (auto-broadcast, skew-split, coalesce) and adds
+    * full exchanges of the candidate stream, which only pays for itself
+    * once the computed width is a MULTIPLE of the session floor — at
+    * width ≈ floor the session plan measured 8 s faster at 300× data
+    * while at 4× the floor the sized plan is the one that avoids 177 GB
+    * of spill (bench_sf100/30, r14). */
+  private[graft] val WideBranchFactor = 2
 
   // ---- MinHash LSH ---------------------------------------------------------
 

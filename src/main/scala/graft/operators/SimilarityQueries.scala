@@ -743,11 +743,14 @@ object SimilarityQueries {
       e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
     // Candidate-join width scales with the candidate volume (probes ·
     // occupancy · n, known from the index sidecar), like every pair-stream
-    // exchange in the engine (graft.util.Exchanges): at the session floor
-    // the plan is untouched — fixtures keep AQE auto-broadcast of the tiny
-    // lists side and skew-join splitting (SkewJoinSpec pins it; an
-    // explicit-repartition origin would disable both). Past the floor the
-    // width bounds the per-task candidate stream AND lifts the stage's
+    // exchange in the engine (graft.util.Exchanges): through
+    // Dedup.WideBranchFactor× the session floor the plan is untouched —
+    // fixtures keep AQE auto-broadcast of the tiny lists side and
+    // skew-join splitting (SkewJoinSpec pins it; an explicit-repartition
+    // origin would disable both), and near the floor the AQE plan's saved
+    // exchange outweighs the width (the hysteresis rationale measured on
+    // dedup_embedding_ivf at 300×, r14). Well past the floor the width
+    // bounds the per-task candidate stream AND lifts the stage's
     // parallelism cap off the session constant — on a real cluster a
     // 32-wide exchange is a 32-way parallelism ceiling however many
     // executors exist.
@@ -759,7 +762,8 @@ object SimilarityQueries {
       cands, sessionParts, graft.operators.Dedup.CandidateRowsPerPartition)
     val lists = spark.read.parquet(s"$idx/lists")
     val (homeSide, assignedSide) =
-      if (w <= sessionParts) (lists, assigned)
+      if (w <= graft.operators.Dedup.WideBranchFactor * sessionParts)
+        (lists, assigned)
       else (lists.hint("shuffle_hash"), assigned.repartition(w, col("list_id")))
     homeSide
       .join(assignedSide, Seq("list_id"))

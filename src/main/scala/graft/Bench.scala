@@ -188,7 +188,14 @@ object Bench {
     val slowest = results.sortBy(-_.sec).take(15)
       .map(r => jstr(r.name) + ":" + f3(r.sec))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
+    val contractLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(contractLine)
+    // …and to stderr: sbt prefixes every stdout line with "[info] " and
+    // appends "[success]", which has defeated the consumer's JSON parse
+    // for fourteen straight rounds (BENCH_r01–r14 parsed:null). stderr
+    // passes through sbt unprefixed; the consumer tails both streams.
+    System.err.println(contractLine)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

@@ -592,16 +592,20 @@ object IvfIndex {
     * n²/occupancy, the measured 100× scale wall. */
   private[graft] def assignProbes(queries: DataFrame, cents: DataFrame,
       qidCol: String, qvecCol: String, probes: Int,
-      dist: (Column, Column) => Column,
       metric: String = "cosine"): DataFrame = {
-    // one metadata-count job on the sidecar frame (single-file parquet —
-    // a footer read) decides the path
+    // ONE ranking authority: both dispatch paths derive their distance
+    // from `metric` (the flat path via metricDistance, the hierarchical
+    // path via CoarseIndex.score, which mirrors the same expressions) —
+    // a separate dist parameter let a caller hand the two paths
+    // silently divergent rankings (r14 advice).
+    // One metadata-count job on the sidecar frame (single-file parquet —
+    // a footer read) decides the path.
     val nLists = cents.count()
     if (nLists < HierarchicalAssignLists || probes.toLong * 4 >= nLists)
-      assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
+      assignProbesFlat(queries, cents, qidCol, qvecCol, probes,
+        metricDistance(metric))
     else
-      assignProbesHierarchical(queries, cents, qidCol, qvecCol, probes, dist,
-        metric)
+      assignProbesHierarchical(queries, cents, qidCol, qvecCol, probes, metric)
   }
 
   /** Flat assignment: rank ALL centroids per query against the broadcast
@@ -672,8 +676,13 @@ object IvfIndex {
     * path. */
   private[graft] def assignProbesHierarchical(queries: DataFrame,
       cents: DataFrame, qidCol: String, qvecCol: String, probes: Int,
-      dist: (Column, Column) => Column,
       metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2" || metric == "ip",
+      s"assignProbesHierarchical: unsupported metric '$metric' " +
+        s"(expected one of ${Metrics.mkString(", ")})")
+    // the flat fallback's Catalyst distance derives from the SAME metric
+    // that drives CoarseIndex.score — one ranking authority per call
+    val dist = metricDistance(metric) _
     val spark = queries.sparkSession
     val pts = cents.select("list_id", "centroid").collect().map { r =>
       (r.getInt(0), r.getAs[collection.Seq[Float]](1).toArray)
@@ -688,14 +697,29 @@ object IvfIndex {
       math.ceil(probes.toDouble * groups / nLists).toInt * CoarseDescendSlack)
     if (descend >= groups) // no pruning left at this budget — flat is exact
       return assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
-    require(metric == "cosine" || metric == "l2" || metric == "ip",
-      s"assignProbesHierarchical: unsupported metric '$metric' " +
-        s"(expected one of ${Metrics.mkString(", ")})")
-    val structureBytes = nLists.toLong * (4L * dim + 8L)
-    require(structureBytes <= CoarseStructureMaxBytes,
-      s"coarse structure is $structureBytes bytes for $nLists lists × $dim " +
-        s"dims — past CoarseStructureMaxBytes ($CoarseStructureMaxBytes); " +
-        "an index this size needs a deeper quantizer hierarchy")
+    // JVM footprint of the broadcast CoarseIndex, per-object overhead
+    // included: each member centroid is a float[] (16-byte header + 4·dim
+    // data) plus an 8-byte ref and a 4-byte lid slot; each group adds a
+    // center array, a radius and two container arrays. The flat estimate
+    // nLists·(4·dim+8) undercounted this by ~20-30% at small dims (r14
+    // advice).
+    val structureBytes =
+      nLists.toLong * (4L * dim + 28L) + groups.toLong * (4L * dim + 64L)
+    if (structureBytes > CoarseStructureMaxBytes) {
+      // degrade, don't die: an index whose coarse structure exceeds the
+      // per-executor broadcast budget (65k lists at ~4096 dims) answers
+      // via the exact flat assignment — broadcast-hash-join against the
+      // sidecar RELATION, which Spark spills to disk-backed blocks
+      // instead of pinning one deserialized object per executor. Slower
+      // (n·lists work) but correct; the former hard `require` turned an
+      // oversized index into a query-time crash (r14 advice).
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"coarse structure ~$structureBytes bytes for $nLists lists × $dim " +
+          s"dims exceeds CoarseStructureMaxBytes ($CoarseStructureMaxBytes); " +
+          "degrading to exact flat assignment — consider a deeper quantizer " +
+          "hierarchy for an index this size")
+      return assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
+    }
     val (centers, grouping) = lloydCoarse(pts.map(_._2), groups)
     // per-group covering radius over MEMBER CENTROIDS (driver-side, one
     // pass over index metadata) — only the ip ranking consumes it
@@ -928,7 +952,7 @@ object IvfIndex {
     val dist = metricDistance(metric) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
     // the shared assignment stage — same definition as searchMany's
-    val probed = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist, metric)
+    val probed = assignProbes(queries, cents, qidCol, qvecCol, nprobe, metric)
     // ONE driver-side action computes the centroid ranking (|queries|×nprobe
     // (qid, list_id) pairs — index metadata); the join side is then rebuilt
     // from the collected pairs + the original queries frame, so the ranking
@@ -993,7 +1017,7 @@ object IvfIndex {
     val dist = metricDistance(metric) _
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val vecCol = columnOf(spark, indexPath).getOrElse("embedding")
-    val assigned = assignProbes(queries, cents, qidCol, qvecCol, nprobe, dist, metric)
+    val assigned = assignProbes(queries, cents, qidCol, qvecCol, nprobe, metric)
     val lists = spark.read.parquet(s"$indexPath/lists")
     predicate.fold(lists)(lists.filter)
       .join(assigned, Seq("list_id"))

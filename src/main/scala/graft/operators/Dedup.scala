@@ -102,7 +102,8 @@ object Dedup {
     * zero spill at ~16× wider (300× data, AbPairStages) — so its width
     * must scale with the pair count, not sit at the session constant. */
   private[graft] def pairCounts(postings: DataFrame, wide: Boolean,
-                                numParts: Option[Int] = None): DataFrame =
+                                numParts: Option[Int] = None,
+                                skewSafe: Boolean = false): DataFrame =
     if (!wide)
       unpackPairCounts(postings
         .select(explode(graft.functions.sorted_pair_keys(col("ids"))).as("pk"))
@@ -130,9 +131,21 @@ object Dedup {
       // stream serves both, where keying on (a, b) forced the sa join to
       // re-shuffle the full counted stream (measured: two extra ~17 GB
       // exchanges of a 1.12B-row stream at 1000× data, bench_sf100 r14).
-      // Skew bound: pairs per doc a ≤ sz_a · (MaxShingleDf − 1), both
-      // capped, so no single a can dominate a partition.
+      // Skew bound: pairs keyed on doc a number ≤ sz_a · (MaxShingleDf − 1)
+      // — MaxShingleDf caps the per-SHINGLE document frequency, but sz_a
+      // (a's surviving shingle count) tracks DOCUMENT LENGTH and is
+      // unbounded, so one pathologically long document can concentrate its
+      // whole pair set on a single a-keyed partition (and the explicit
+      // repartition origin disables AQE skew splitting). Callers that can
+      // bound max(sz) pass `skewSafe = true` when that bound overruns
+      // [[PairAggRowsPerPartition]]: the exchange then keys on (a, b) —
+      // near-unique, skew-immune — and the a-keyed join downstream takes a
+      // planner exchange (AQE-managed, skew-splittable) instead of reusing
+      // this one. The re-shuffle is the price of correctness only in the
+      // pathological-length regime; the common path keeps the one-exchange
+      // shape.
       val parted = numParts match {
+        case Some(n) if skewSafe => pairs.repartition(n, col("a"), col("b"))
         case Some(n) => pairs.repartition(n, col("a"))
         case None => pairs.repartition(col("a"), col("b"))
       }
@@ -261,8 +274,20 @@ object Dedup {
         Some(postings
           .agg(sum(sz * (sz - lit(1L)) / lit(2L)).cast("long")).head().getLong(0))
       }
+    // Length-skew gate for the sized a-keyed exchange: pairs keyed on one
+    // doc ≤ maxSz·(MaxShingleDf−1) (see pairCounts). maxSz tracks DOCUMENT
+    // LENGTH, which no df cap bounds — a boilerplate mega-document would
+    // concentrate its whole pair set on one a-keyed partition. One extra
+    // max() over the sizes relation (reads materialized posting blocks)
+    // detects the regime; skewSafe then keys the exchange on (a, b).
+    val skewSafe = big && wide && {
+      val m = postings.select(explode(col("ids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz"))).head()
+      !m.isNullAt(0) && m.getLong(0) * (MaxShingleDf - 1L) > PairAggRowsPerPartition
+    }
     val pairParts = if (wide) nPairs.map(pairAggPartitions(_, sessionParts)) else None
-    val common = pairCounts(postings, wide, pairParts)
+    val common = pairCounts(postings, wide, pairParts, skewSafe)
     def jaccardOf(joined: DataFrame): DataFrame = joined
       .select(col("a"), col("b"),
         (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
@@ -293,8 +318,11 @@ object Dedup {
     else {
       val w = pairAggPartitions(nPairs.get, sessionParts)
       // wide ids: common is already HashPartitioning(a, w) from
-      // pairCounts' sized exchange; narrow ids past the tier: the packed
-      // path kept map-side combine, so co-locate on a here
+      // pairCounts' sized exchange (under skewSafe it is (a, b)-keyed
+      // instead, and the join below gets a fresh planner exchange —
+      // AQE-managed, skew-splittable, the point of the gate); narrow ids
+      // past the tier: the packed path kept map-side combine, so
+      // co-locate on a here
       val streamA = if (wide) common else common.repartition(w, col("a"))
       val afterA = streamA
         .join(sizes.as("sa").hint("shuffle_hash"), col("a") === col("sa.doc_id"))
@@ -392,7 +420,6 @@ object Dedup {
     * every emitted pair is exact-verified against the same threshold. */
   def dedupEmbeddingIvf(spark: SparkSession, sfDir: String,
                         probes: Int = EmbeddingIvfProbes): DataFrame = {
-    import graft.functions.cosine_distance
     val e = Tables.embeddings(spark, sfDir)
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
@@ -403,7 +430,7 @@ object Dedup {
     // the raw pair ids then joined e twice: three candidate-volume
     // shuffles, measured 2.7 GB / 448× at 100× data)
     val assigned = graft.index.IvfIndex.assignProbes(
-      e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
+      e, cents, "vec_id", "embedding", probes, metric = "cosine")
     val home = spark.read.parquet(s"$idx/lists")
       .select(col("vec_id").as("m"), col("embedding").as("mv"), col("list_id"))
     // a pair survives threshold-first scoring at most twice (x probing

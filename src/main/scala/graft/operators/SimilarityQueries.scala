@@ -740,7 +740,7 @@ object SimilarityQueries {
     // the shared assignment stage (one definition across the IVF scale
     // paths — IvfIndex.searchMany, this graph, dedup_embedding_ivf)
     val assigned = graft.index.IvfIndex.assignProbes(
-      e, cents, "vec_id", "embedding", probes, cosine_distance(_, _))
+      e, cents, "vec_id", "embedding", probes, metric = "cosine")
     // Candidate-join width scales with the candidate volume (probes ·
     // occupancy · n, known from the index sidecar), like every pair-stream
     // exchange in the engine (graft.util.Exchanges): through

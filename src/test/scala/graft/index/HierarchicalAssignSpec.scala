@@ -55,14 +55,14 @@ class HierarchicalAssignSpec extends SparkSpec {
     val (e, _) = fixture
     import graft.functions.cosine_distance
     val dispatched = collectAssign(IvfIndex.assignProbes(
-      e, cents, "vec_id", "embedding", 4, cosine_distance(_, _)))
+      e, cents, "vec_id", "embedding", 4))
     val hier = collectAssign(IvfIndex.assignProbesHierarchical(
-      e, cents, "vec_id", "embedding", 4, cosine_distance(_, _)))
+      e, cents, "vec_id", "embedding", 4))
     assert(dispatched === hier, "dispatch at 640 lists must be hierarchical")
     // the exactness escape hatch: probes·4 ≥ lists routes flat, so
     // searchMany(nprobe = lists) keeps its exact probe-all contract
     val wide = collectAssign(IvfIndex.assignProbes(
-      e.limit(64), cents, "vec_id", "embedding", Lists / 4, cosine_distance(_, _)))
+      e.limit(64), cents, "vec_id", "embedding", Lists / 4))
     val wideFlat = collectAssign(IvfIndex.assignProbesFlat(
       e.limit(64), cents, "vec_id", "embedding", Lists / 4, cosine_distance(_, _)))
     assert(wide === wideFlat, "probes*4 >= lists must take the flat path")
@@ -76,7 +76,7 @@ class HierarchicalAssignSpec extends SparkSpec {
     val (e, _) = fixture
     import graft.functions.cosine_distance
     def run() = collectAssign(IvfIndex.assignProbesHierarchical(
-      e, cents, "vec_id", "embedding", 4, cosine_distance(_, _)))
+      e, cents, "vec_id", "embedding", 4))
     assert(run() === run())
   }
 
@@ -91,7 +91,7 @@ class HierarchicalAssignSpec extends SparkSpec {
       .select(col("vec_id").cast("long").as("qid"), col("list_id"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     val probeSets = collectAssign(IvfIndex.assignProbes(
-        e, cents, "vec_id", "embedding", 4, cosine_distance(_, _)))
+        e, cents, "vec_id", "embedding", 4))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val covered = home.count { case (qid, lid) =>
       probeSets.getOrElse(qid, Set.empty).contains(lid)
@@ -162,7 +162,7 @@ class HierarchicalAssignSpec extends SparkSpec {
     // Gate stays under the flat dispatch (100·4 < 640 → hierarchical).
     val q = e.limit(64)
     val assigned = IvfIndex.assignProbesHierarchical(
-      q, cents, "vec_id", "embedding", 100, cosine_distance(_, _))
+      q, cents, "vec_id", "embedding", 100)
     val perQid = assigned.groupBy("qid").agg(countDistinct("list_id").as("n"))
       .select("n").as[Long].collect()
     assert(perQid.length === 64)
@@ -179,7 +179,7 @@ class HierarchicalAssignSpec extends SparkSpec {
     val q = e.limit(128)
     def run(frame: org.apache.spark.sql.DataFrame) =
       collectAssign(IvfIndex.assignProbesHierarchical(
-        frame, cents, "vec_id", "embedding", 4, cosine_distance(_, _)))
+        frame, cents, "vec_id", "embedding", 4))
     // the single-map design (broadcast coarse structure, deterministic
     // UDF) must produce IDENTICAL rows however the input is partitioned —
     // the invariant that replaced the broadcast-vs-shuffled-join parity
@@ -221,8 +221,7 @@ class HierarchicalAssignSpec extends SparkSpec {
     val flat = topOf(IvfIndex.assignProbesFlat(
       q, ipCents, "vec_id", "embedding", 16, neg_inner_product(_, _)))
     val hier = topOf(IvfIndex.assignProbesHierarchical(
-      q, ipCents, "vec_id", "embedding", 16, neg_inner_product(_, _),
-      metric = "ip"))
+      q, ipCents, "vec_id", "embedding", 16, metric = "ip"))
     val agree = flat.map { case (qid, f) =>
       hier.getOrElse(qid, Set.empty).intersect(f).size.toDouble / f.size
     }.sum / flat.size

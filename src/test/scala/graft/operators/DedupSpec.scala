@@ -368,4 +368,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.idsWide(Seq((3000000000L, "t")).toDF("doc_id", "text")))
     assert(!Dedup.idsWide(Seq((7L, "t")).toDF("doc_id", "text")))
   }
+
+  test("pairCounts: skew-safe (a,b)-keyed sized exchange is row-identical " +
+      "to the a-keyed one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a "mega-doc" (id 1) that co-occurs everywhere — the length-skew
+    // regime the (a,b) keying exists for: every pair keyed on a=1 would
+    // land in one a-keyed partition
+    val postings = Seq(
+      Array(3000000000L, 1L, 9L), Array(1L, 5L), Array(9L, 5L, 1L, 7L),
+      Array(1L, 7L), Array(1L, 3000000000L))
+      .toDF("ids")
+    def collected(skewSafe: Boolean) =
+      Dedup.pairCounts(postings, wide = true, Some(5), skewSafe)
+        .orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(collected(skewSafe = true) === collected(skewSafe = false),
+      "skew-safe keying must change only the partitioning, never the counts")
+  }
 }

@@ -41,8 +41,7 @@ object ProfileEmbeddingIvf {
     println(s"[pfl] n=$n lists=$nLists occupancy=${(n + nLists - 1) / nLists} probes=${Dedup.EmbeddingIvfProbes}")
 
     val assigned = graft.index.IvfIndex.assignProbes(
-      e, cents, "vec_id", "embedding", Dedup.EmbeddingIvfProbes,
-      cosine_distance(_, _))
+      e, cents, "vec_id", "embedding", Dedup.EmbeddingIvfProbes, metric = "cosine")
     time("assignProbes")(assigned.count())
     time("assignProbes (2nd)")(assigned.count())
 

@@ -35,8 +35,7 @@ object ProfileKnnGraphIvf {
     println(s"corpus n=$n lists=$nLists probes=${SimilarityQueries.KnnGraphProbes}")
 
     val assigned = graft.index.IvfIndex.assignProbes(
-      e, cents, "vec_id", "embedding", SimilarityQueries.KnnGraphProbes,
-      cosine_distance(_, _))
+      e, cents, "vec_id", "embedding", SimilarityQueries.KnnGraphProbes, metric = "cosine")
     time("assignProbes count")(println(s"  assigned rows: ${assigned.count()}"))
     time("assignProbes count (2nd)")(assigned.count())
 

@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   *
   * The quadratic parity anchors are not in the headline set (Bench itself
   * skips them past 10k rows — the `skipped` contract); the scale twins
-  * are what runs here. `dedup_embedding` likewise runs as its IVF
-  * co-probe twin: the exact form's triangle-inequality bound is
-  * data-dependent and the near-uniform synthetic embeddings are its
-  * documented adversarial case (80× measured at 10× data — the
-  * motivation for the twin).
+  * are what runs here. `dedup_embedding` likewise runs as its
+  * DEGREE-BOUNDED co-probe twin (`dedup_embedding_knn`): the exact form's
+  * triangle-inequality bound is data-dependent (80× measured at 10× data),
+  * and the all-pairs-output `dedup_embedding_ivf` twin is itself
+  * Θ(n²/bases) rows on this replica corpus — every replica of a base is a
+  * true near-dup, 693M output pairs / 187× at 1000× (r14) — so the scale
+  * set times the O(n·k)-output form a 100 TB cleaning pipeline would run.
   *
   * READING the shuffle ratios: `shuffle_x_vs_sf0.1` far above the data
   * ratio is usually the BROADCAST→shuffle-join transition, not
@@ -51,7 +53,7 @@ object BenchScale {
     * two heaviest event-analytics shapes. */
   val Headline: Seq[String] = Seq(
     "knn_topk", "ivf_build", "dedup_exact", "dedup_minhash", "dedup_clean",
-    "dedup_ngram_capped", "dedup_embedding_ivf", "kmeans_assign", "bm25_topk",
+    "dedup_ngram_capped", "dedup_embedding_knn", "kmeans_assign", "bm25_topk",
     "knn_graph_ivf", "semantic_clusters_ivf", "pca_project",
     "stupid_backoff_score", "events_sessions", "events_hourly")
 

@@ -476,6 +476,87 @@ object Dedup {
     }
   }
 
+  /** Per-node degree bound of [[dedupEmbeddingIvfKnn]]: each node keeps
+    * its 8 most-similar above-threshold neighbors. Near-dup graphs are
+    * clumps, and for CLEANING (connectivity → one representative per
+    * cluster) a clump stays connected through far fewer than all-pairs
+    * edges; 8 leaves slack over the fixtures' observed max useful degree
+    * while bounding output at 2·n·k rows on ANY corpus. */
+  val EmbeddingKnnDegree = 8
+
+  /** Degree-bounded twin of [[dedupEmbeddingIvf]] — the 100 TB default for
+    * CLEANING. The full-pairs form emits Θ(n²/bases) rows on
+    * duplicate-heavy corpora (693M pairs / 187× time ratio at 1000× data,
+    * bench_sf100 r14: every replica of a boilerplate base is a true
+    * near-dup of every other, so ALL-pairs output is the scale wall even
+    * with every join right). Cleaning doesn't need all pairs — it needs
+    * CONNECTIVITY (the CC/representative pipeline) plus the drop rule, and
+    * a per-node k-nearest-above-threshold edge set preserves both: every
+    * node with an above-threshold neighbor keeps ≥1 edge, mega-clusters
+    * stay connected through their mutual-kNN backbone, and output is
+    * O(n·k) by construction.
+    *
+    * Same candidate generation as [[dedupEmbeddingIvf]] (co-probe join,
+    * exact cosine, same threshold — precision stays 1); each scored pair
+    * feeds BOTH endpoints' bounded heaps (the knnGraphIvf symmetric
+    * explode — cosine commutes so the flipped row is free), each endpoint
+    * keeps its k best by (sim DESC, id ASC) via the id-distinct
+    * [[graft.functions.top_k_by_distance]] heap, and kept directed edges
+    * canonicalize to (a < b) with a survivor-sized distinct. The
+    * candidate-sized distinct of the full-pairs form — the other half of
+    * its 1000× cost — is GONE: the heap aggregate is the only wide stage,
+    * with map-side partial combine and k-bounded buffers.
+    *
+    * DedupSpec pins (1) the [[dropNearDuplicates]] drop set identical to
+    * the full-pairs twin on the fixtures and a clustered corpus, and
+    * (2) the O(n·k) output bound. */
+  def dedupEmbeddingIvfKnn(spark: SparkSession, sfDir: String,
+                           probes: Int = EmbeddingIvfProbes,
+                           k: Int = EmbeddingKnnDegree): DataFrame = {
+    import graft.functions.top_k_by_distance
+    val e = Tables.embeddings(spark, sfDir)
+    val idx = IndexQueries.indexFor(spark, sfDir)
+    val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
+    val assigned = graft.index.IvfIndex.assignProbes(
+      e, cents, "vec_id", "embedding", probes, metric = "cosine")
+    val home = spark.read.parquet(s"$idx/lists")
+      .select(col("vec_id").as("m"), col("embedding").as("mv"), col("list_id"))
+    // exchange sizing: same candidate-volume rule + hysteresis as the
+    // full-pairs twin (the candidate stream is identical; only what
+    // happens after scoring differs)
+    val n = IndexQueries.vecCount(spark, sfDir)
+    val nLists = math.max(1L, IndexQueries.listCount(spark, idx).toLong)
+    val cands = probes.toLong * n * ((n + nLists - 1) / nLists)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val w = graft.util.Exchanges.widthFor(cands, sessionParts, CandidateRowsPerPartition)
+    val (asgSide, homeSide) =
+      if (w <= WideBranchFactor * sessionParts) (assigned, home)
+      else (assigned.repartition(w, col("list_id")), home.hint("shuffle_hash"))
+    val kept = asgSide
+      .join(homeSide, Seq("list_id"))
+      .filter(col("qid") =!= col("m"))
+      .select(col("qid"), col("m"),
+        cosine_similarity(col("qv"), col("mv")).as("sim"))
+      .filter(col("sim") >= EmbeddingThreshold)
+      // symmetric: the survivor (x, y) enters both x's and y's heaps —
+      // sim commutes bit-exactly, no second scoring; heap key −sim ranks
+      // (sim DESC, id ASC), duplicates absorbed by the id-distinct heap
+      .select(explode(array(
+          struct(col("qid").as("node"), col("m").as("nbr")),
+          struct(col("m").as("node"), col("qid").as("nbr")))).as("p"),
+        col("sim"))
+      .select(col("p.node").as("node"), col("p.nbr").as("nbr"), col("sim"))
+      .groupBy("node")
+      .agg(top_k_by_distance(-col("sim"), col("nbr"), k).as("top"))
+      .select(col("node"), explode(col("top")).as("s"))
+      .select(least(col("node"), col("s.vec_id")).as("a"),
+        greatest(col("node"), col("s.vec_id")).as("b"),
+        (-col("s.dist")).as("sim"))
+    // ≤ 2·n·k rows here — the distinct and global sort are O(n·k), never
+    // candidate- or pair-squared-sized
+    kept.distinct().orderBy("a", "b")
+  }
+
   /** Rows per post-shuffle partition for the IVF co-probe candidate
     * exchanges ([[dedupEmbeddingIvf]],
     * [[graft.operators.SimilarityQueries.knnGraphIvf]]): candidate rows
@@ -1072,6 +1153,7 @@ object Dedup {
     "dedup_ngram_capped" -> ((s, d) => dedupNgramCapped(s, d)),
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_embedding_ivf" -> ((s, d) => dedupEmbeddingIvf(s, d)),
+    "dedup_embedding_knn" -> ((s, d) => dedupEmbeddingIvfKnn(s, d)),
     "dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
   )
@@ -1344,9 +1426,10 @@ object Dedup {
          |JOIN sizes sb ON b = sb.doc_id
          |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $NgramThreshold
          |ORDER BY a, b""".stripMargin,
-    // dedup_embedding_ivf is deliberately ABSENT: it is the approximate
-    // co-probe scale twin (rows-only gate, recall spec-pinned in
-    // DedupSpec); dedup_embedding below is its exact oracle anchor
+    // dedup_embedding_ivf and dedup_embedding_knn are deliberately
+    // ABSENT: they are the approximate co-probe scale twins (rows-only
+    // gate; recall / drop-set parity spec-pinned in DedupSpec);
+    // dedup_embedding below is their exact oracle anchor
     "dedup_embedding" ->
       s"""SELECT e1.vec_id AS a, e2.vec_id AS b,
          |  ${O.cosSim("e1.embedding", "e2.embedding")} AS sim

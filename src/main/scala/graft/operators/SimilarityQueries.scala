@@ -679,8 +679,26 @@ object SimilarityQueries {
 
   /** Neighbors per node in the kNN graph queries. */
   val KnnGraphK = 3
-  /** Lists each vector probes in [[knnGraphIvf]]. */
+  /** Floor on the lists each vector probes in [[knnGraphIvf]]. */
   val KnnGraphProbes = 4
+
+  /** Probe count for a corpus whose index has `nLists` lists: the
+    * [[KnnGraphProbes]] floor through every fixture and mid-scale point,
+    * then growing ∝ √lists (the faiss nprobe-∝-√nlist practice). A FIXED
+    * probe count cannot hold recall under corpus-proportional list counts:
+    * each natural cluster spans ~lists/clusters sub-lists, so constant
+    * probes cover a shrinking fraction of every cluster as the corpus
+    * grows — measured recall@3 0.990 at 300× (9,375 lists, probes 4) →
+    * 0.875 at 1000× (31,250 lists), bench_sf100 r14, after the symmetric
+    * co-probe had already bought one doubling. √-growth keeps candidate
+    * volume (probes·n·occupancy) at ~n^1.25 — probes ∝ lists would be the
+    * n² this family exists to avoid. Calibration: divisor 22 keeps every
+    * point ≤ 300× at the measured probes-4 plans (√9375/22 = 4.4 → 4) and
+    * doubles the 1000× point (√31250/22 = 8.0 → 8); the 65,536-list cap
+    * lands at 12. */
+  def probesFor(nLists: Long): Int =
+    math.max(KnnGraphProbes,
+      math.round(math.sqrt(math.max(1L, nLists).toDouble) / 22.0).toInt)
 
   /** Exact embedding kNN graph — top-[[KnnGraphK]] neighbors for EVERY
     * vector: the curation primitive under SemDeDup, kNN-LM data
@@ -732,15 +750,20 @@ object SimilarityQueries {
     * (spec-pinned on a clustered fixture); the un-clustered hash fixture
     * is the adversarial floor (0.5 gate). */
   def knnGraphIvf(spark: SparkSession, sfDir: String,
-                  probes: Int = KnnGraphProbes): DataFrame = {
+                  probes: Int = 0): DataFrame = {
     import graft.functions.top_k_by_distance
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // probes ≤ 0 → list-count-scaled default (see probesFor): fixture and
+    // mid-scale corpora keep the KnnGraphProbes floor, large-list indexes
+    // grow ∝ √lists so recall doesn't decay with the corpus
+    val nProbes = if (probes > 0) probes
+      else probesFor(IndexQueries.listCount(spark, idx).toLong)
     // the shared assignment stage (one definition across the IVF scale
     // paths — IvfIndex.searchMany, this graph, dedup_embedding_ivf)
     val assigned = graft.index.IvfIndex.assignProbes(
-      e, cents, "vec_id", "embedding", probes, metric = "cosine")
+      e, cents, "vec_id", "embedding", nProbes, metric = "cosine")
     // Candidate-join width scales with the candidate volume (probes ·
     // occupancy · n, known from the index sidecar), like every pair-stream
     // exchange in the engine (graft.util.Exchanges): through
@@ -756,7 +779,7 @@ object SimilarityQueries {
     // executors exist.
     val n = IndexQueries.vecCount(spark, sfDir)
     val nLists = math.max(1L, IndexQueries.listCount(spark, idx).toLong)
-    val cands = probes.toLong * n * ((n + nLists - 1) / nLists)
+    val cands = nProbes.toLong * n * ((n + nLists - 1) / nLists)
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val w = graft.util.Exchanges.widthFor(
       cands, sessionParts, graft.operators.Dedup.CandidateRowsPerPartition)

@@ -140,6 +140,50 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"scale twin must plan equi-joins:\n$plan")
   }
 
+  test("dedup_embedding_knn: degree-bounded edges — precision 1, O(n*k) " +
+      "output, drop set identical to the full-pairs twin (fixture + clustered)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.hash_embed
+    // same clustered geometry as the recall spec above, fresh dir so the
+    // index cache keys don't collide
+    val nClusters = 20; val perCluster = 10; val n = nClusters * perCluster
+    val raw = spark.range(n).select(
+      col("id").as("vec_id"),
+      hash_embed(concat(lit("cl"), (col("id") % nClusters).cast("string")), 64).as("base"),
+      hash_embed(concat(lit("nz"), col("id").cast("string")), 64).as("noise"))
+    val mixed = raw.select(col("vec_id"),
+      zip_with(col("base"), col("noise"), (b, nz) => b + nz * lit(0.15f)).as("mix"))
+    val dir = graft.util.TempDirs.create("graft_dedup_knn").toString
+    mixed.select(col("vec_id"),
+        transform(col("mix"), x =>
+          (x / sqrt(aggregate(col("mix"), lit(0.0d), (acc, v) => acc + v * v))).cast("float"))
+          .as("embedding"),
+        (col("vec_id") % nClusters).cast("int").as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    for (d <- Seq(dir, Sf0001)) {
+      val full = Dedup.dedupEmbeddingIvf(spark, d).collect()
+      val knn = Dedup.dedupEmbeddingIvfKnn(spark, d)
+      val rows = knn.collect()
+      // precision 1: same exact verification, same threshold
+      assert(rows.forall(r => r.getDouble(2) >= Dedup.EmbeddingThreshold))
+      val knnPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fullPairs = full.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(knnPairs.subsetOf(fullPairs),
+        s"knn edges must be a subset of the full pair set at $d")
+      // degree bound: at most 2*n*k undirected edges, at most k per node
+      // from its own heap + up to k more where it was kept by neighbors
+      val nVec = graft.Tables.embeddings(spark, d).count()
+      assert(rows.length <= 2L * nVec * Dedup.EmbeddingKnnDegree)
+      // THE cleaning contract: identical dropNearDuplicates drop set —
+      // same distinct-b relation means bit-identical cleaned corpora
+      val dropFull = fullPairs.map(_._2)
+      val dropKnn = knnPairs.map(_._2)
+      assert(dropKnn === dropFull,
+        s"drop sets diverged at $d: missing=${dropFull -- dropKnn} " +
+          s"extra=${dropKnn -- dropFull}")
+    }
+  }
+
   test("capped and uncapped ngram pair sources agree on the drop set (dedup_clean contract)") {
     val uncapped = Dedup.dedupNgram(spark, Sf0001)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -327,6 +327,19 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"mean recall@$KnnGraphK was $recall")
   }
 
+  test("probesFor: KnnGraphProbes floor through mid-scale, sqrt growth past it") {
+    import SimilarityQueries.{probesFor, KnnGraphProbes}
+    // fixture and every point <= 300x keep the measured probes-4 plans
+    assert(probesFor(16) === KnnGraphProbes)
+    assert(probesFor(640) === KnnGraphProbes)
+    assert(probesFor(9375) === KnnGraphProbes) // 300x point (r14 recall 0.979)
+    // the 1000x point (recall 0.875 at fixed probes, r14) doubles
+    assert(probesFor(31250) === 8)
+    // the 65,536-list cap: 256/22 -> 12, still ~sqrt — never ∝ lists
+    assert(probesFor(65536) === 12)
+    assert(probesFor(0) === KnnGraphProbes) // degenerate guard
+  }
+
   test("knn_graph_ivf: default probes reach recall >= 0.8 on a clustered corpus") {
     import SimilarityQueries.{knnGraph, knnGraphIvf}
     val exactSets = knnGraph(spark, clusteredDir).collect()

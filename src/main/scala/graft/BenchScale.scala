@@ -227,7 +227,8 @@ object BenchScale {
     // measure, don't assume: exact top-k neighbors for a deterministic
     // sample of query nodes vs the timed knn_graph_ivf edges. A speedup
     // bought by silently answering worse would show up here.
-    val graphRecall: Double = {
+    val graphRecall: Double = if (
+        sys.env.get("SPARK_GRAFT_SCALE_NO_RECALL").contains("1")) -1.0 else {
       import graft.functions.{cosine_distance, top_k_by_distance}
       val k = graft.operators.SimilarityQueries.KnnGraphK
       val e = Tables.embeddings(spark, scaleDir)

@@ -162,6 +162,7 @@ object Dedup {
   private[graft] def pairAggPartitions(nPairs: Long, sessionParts: Int): Int =
     graft.util.Exchanges.widthFor(nPairs, sessionParts, PairAggRowsPerPartition)
 
+
   /** All candidate pairs sharing ≥1 shingle, with exact Jaccard over the
     * hashed shingle space. Inverted-index formulation: group the hashed
     * shingle relation ONCE into posting lists and expand pairs with the
@@ -242,11 +243,23 @@ object Dedup {
     // single-live checkpoint: a re-invocation (bench reps, notebook
     // re-runs) frees the previous postings blocks instead of stacking
     // corpus-sized dead copies in the block manager
-    // The build's own shuffles start WIDE (statement-scoped, not the r13
-    // session-wide setting — see InitialShufflePartitionsFor for the
-    // measured tax that moved it here): the sort-fallback aggregate's
-    // per-task volume is what the width bounds, and the eager
-    // localCheckpoint means the scope provably covers this job.
+    //
+    // Shape note (r15, three alternatives measured at 1000× and NOT
+    // adopted): the pipeline's residual spill is volume-proportional
+    // shuffle-writer buffer recycling, not a plan defect — the pair
+    // EXCHANGE alone (no aggregate) reproduces the full 52 GB
+    // (ProfileNgramScale r15 decomposition), and reshaping the postings
+    // build moved spill between stages without beating this shape's wall
+    // clock: an explicit pre-aggregate h-exchange (final-only agg, no
+    // partial) cut postings-stage spill 4× but ran ~40% slower end-to-end
+    // (row-handling of 260M raw instance rows exchanged instead of 27M
+    // compacted list-rows), and a widened pre-explode doc fan-out
+    // (bounding the partial agg's per-task sort slices) measured time
+    // parity with MORE total spill in bench context. The exact operator's
+    // scale ceiling is candidate volume itself (99.98% of pair groups are
+    // c=1 pairs that die at the threshold, knowable only after the
+    // exchange; prefix/length filtering prunes ~nothing at t=0.1) — the
+    // family's scale path remains dedup_minhash (zero spill at 1000×).
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val postings = graft.util.CheckpointOps.trackSingleLive(
       s"dedup_ngram_postings:$sfDir",
@@ -277,14 +290,17 @@ object Dedup {
     // Length-skew gate for the sized a-keyed exchange: pairs keyed on one
     // doc ≤ maxSz·(MaxShingleDf−1) (see pairCounts). maxSz tracks DOCUMENT
     // LENGTH, which no df cap bounds — a boilerplate mega-document would
-    // concentrate its whole pair set on one a-keyed partition. One extra
-    // max() over the sizes relation (reads materialized posting blocks)
-    // detects the regime; skewSafe then keys the exchange on (a, b).
+    // concentrate its whole pair set on one a-keyed partition. Detection
+    // is footer-stat-cheap: per-doc shingle count ≤ n_chars/2 (3-gram
+    // shingles ≤ tokens, tokens ≤ chars/2 even for single-char tokens),
+    // so max(n_chars)/2 over-estimates maxSz — the safe direction, since
+    // skewSafe trades one re-exchange for skew immunity. Engages only
+    // past ~200k-char documents; fixture and replica-corpus plans are
+    // untouched.
     val skewSafe = big && wide && {
-      val m = postings.select(explode(col("ids")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        .agg(max(col("sz"))).head()
-      !m.isNullAt(0) && m.getLong(0) * (MaxShingleDf - 1L) > PairAggRowsPerPartition
+      val m = Tables.documents(spark, sfDir).agg(max(col("n_chars"))).head()
+      !m.isNullAt(0) &&
+        (m.getLong(0) / 2L) * (MaxShingleDf - 1L) > PairAggRowsPerPartition
     }
     val pairParts = if (wide) nPairs.map(pairAggPartitions(_, sessionParts)) else None
     val common = pairCounts(postings, wide, pairParts, skewSafe)
@@ -588,7 +604,8 @@ object Dedup {
     * ([[graft.functions.MinhashSignature]]) — the naive form explodes every
     * shingle into 64 rows (64× shuffle amplification). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairs(hashedShingleRel(spark, sfDir), corpusIsBig(spark, sfDir))
+    minhashPairs(hashedShingleRel(spark, sfDir), corpusIsBig(spark, sfDir),
+      nDocs = Some(docCount(spark, sfDir)))
 
   /** Corpus-size gate for the LSH pipeline's join-strategy hints: below
     * this documents.parquet size (~50× the sf0.1 fixture) the band/verify
@@ -662,7 +679,18 @@ object Dedup {
   /** The MinHash-LSH pipeline over an arbitrary hashed-shingle relation
     * ((doc_id, h) rows, [[hashedShingleRelOf]]) — shared by the fixture
     * query and the 1M-doc scale smoke. */
-  private[graft] def minhashPairs(sh: DataFrame, big: Boolean = true): DataFrame = {
+  /** Rows per post-shuffle partition for the band self-join's sized
+    * exchange: the shuffled-hash BUILD side holds its partition's band
+    * rows in a per-task hash map (~100 B/row with map overhead → ~100 MB
+    * at 1M), and per-task execution memory on a 32-way local box is
+    * ~445 MB. At the session width a 1000× corpus put 2.5M build rows
+    * (80M bands / 32) into every task — right at the acquisition edge,
+    * and measured to tip into SparkOutOfMemoryError ("not enough memory
+    * to build hash map") under today's ambient memory (r15). */
+  private[graft] val BandRowsPerPartition = 1L * 1000 * 1000
+
+  private[graft] def minhashPairs(sh: DataFrame, big: Boolean = true,
+                                  nDocs: Option[Long] = None): DataFrame = {
     // join-strategy hints only at scale (see ShuffleHashMinDocBytes); the
     // 1M-doc smoke and any caller that doesn't know its size default to
     // the scale plan — this engine is scale-first
@@ -689,7 +717,27 @@ object Dedup {
     // graceful degradation when a partition outgrows memory — is the
     // shuffle-partition sizing contract every operator in this engine
     // already documents.
-    val cand = bands.as("x").join(hinted(bands).as("y"),
+    // The band self-join's exchange width scales with the KNOWN band-row
+    // count (16 rows per doc) like every big-relation exchange in this
+    // engine (Exchanges.widthFor): at the session width the build-side
+    // hash map is bands/width rows PER TASK, which stops fitting task
+    // execution memory at corpus scale (see BandRowsPerPartition). Same
+    // hysteresis as the co-probe family: through WideBranchFactor× the
+    // session floor the plan is untouched (fixtures and the 300× point
+    // keep AQE's choices — r14 measured the explicit plan's extra
+    // exchanges as pure overhead near the floor). Both sides co-partition
+    // on the equi-keys (one reused exchange — self-join), so the sized
+    // branch adds no third exchange.
+    val sessionParts = sh.sparkSession.sessionState.conf.numShufflePartitions
+    val bandW = nDocs.map(n => graft.util.Exchanges.widthFor(
+      n * (NumPerms / BandRows), sessionParts, BandRowsPerPartition))
+    val (bandX, bandY) = bandW match {
+      case Some(w) if big && w > WideBranchFactor * sessionParts =>
+        (bands.repartition(w, col("band"), col("band_sig")),
+          bands.repartition(w, col("band"), col("band_sig")).hint("shuffle_hash"))
+      case _ => (bands, hinted(bands))
+    }
+    val cand = bandX.as("x").join(bandY.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -37,11 +37,39 @@ object ProfileNgramScale {
 
     time("docs scan")(docs.count())
     time("hashedShingleRel")(sh.count())
+    val sessionParts0 = spark.sessionState.conf.numShufflePartitions
+    // the EXACT postings shape dedupNgramCapped plans (scoped 128-key sort
+    // fallback + wide initial partitions) — isolates the r14 suspect: the
+    // MAP-SIDE partial ObjectHashAggregate's sort fallback externally
+    // sorting the whole shingle stream at input partitioning
+    time("postings SCOPED (fallback=128 + initParts, partial agg)") {
+      graft.functions.withSqlConf(spark,
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+          graft.functions.InitialShufflePartitionsFor(sessionParts0).toString) {
+        sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= graft.operators.Dedup.MaxShingleDf)
+          .localCheckpoint().count()
+      }
+    }
+    // candidate fix: explicit sized exchange on h BEFORE the aggregate —
+    // distribution satisfied => planner plans a FINAL-ONLY agg (no
+    // map-side partial to sort-fallback over the raw scan partitioning)
+    val wPost = graft.util.Exchanges.widthFor(
+      260L * 1000 * 1000, sessionParts0, 4L * 1000 * 1000)
+    time(s"postings EXCHANGED (repartition h w=$wPost, final-only agg)") {
+      graft.functions.withSqlConf(spark,
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128") {
+        sh.repartition(wPost, col("h"))
+          .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= graft.operators.Dedup.MaxShingleDf)
+          .localCheckpoint().count()
+      }
+    }
     val postingsNoCk = sh.groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= graft.operators.Dedup.MaxShingleDf)
-    time("postings (groupBy h collect_list, no ckpt)")(postingsNoCk.count())
     val postings = postingsNoCk.localCheckpoint()
-    time("postings localCheckpoint (already built)")(postings.count())
+    time("postings (session-threshold build + ckpt)")(postings.count())
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     time("sizes from postings")(sizes.count())
@@ -56,6 +84,16 @@ object ProfileNgramScale {
     val w = graft.operators.Dedup.pairAggPartitions(
       nPairs, spark.sessionState.conf.numShufflePartitions)
     println(s"[pfl] nPairs=$nPairs sizedWidth=$w")
+    // pairCounts decomposition: explode alone (no pair exchange), the
+    // exchange alone (toRdd foreach — write + read, no aggregate), then
+    // the full exchange + (a,b)-count — attributes the 1000× spill to
+    // volume (shuffle-writer buffer recycling) vs aggregate pathology
+    val rawPairs = postings
+      .select(explode(graft.functions.sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    time("pairs EXPLODE only (no exchange)")(rawPairs.count())
+    time(s"pairs EXCHANGE only (w=$w, no agg)")(
+      rawPairs.repartition(w, col("a")).queryExecution.toRdd.count())
     val commonSized = graft.operators.Dedup.pairCounts(postings, wide, Some(w))
     time(s"pairCounts SIZED (w=$w)")(commonSized.count())
     // the single-exchange shape dedupNgramCapped plans past the broadcast
@@ -81,10 +119,12 @@ object ProfileNgramScale {
         .filter(col("jaccard") >= graft.operators.Dedup.NgramThreshold)
       time("jaccard join + filter")(joined.count())
     }
-    time("FULL dedup_ngram_capped")(
-      graft.operators.Dedup.dedupNgramCapped(spark, sfDir).count())
-    time("FULL dedup_clean")(
-      graft.operators.Dedup.dedupClean(spark, sfDir).count())
+    if (!sys.env.get("SPARK_GRAFT_PROFILE_FULL").contains("0")) {
+      time("FULL dedup_ngram_capped")(
+        graft.operators.Dedup.dedupNgramCapped(spark, sfDir).count())
+      time("FULL dedup_clean")(
+        graft.operators.Dedup.dedupClean(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

@@ -282,6 +282,12 @@ object BenchScale {
     lines.append(s"""  "sf": "sf${reps / 10.0} (synthetic, ${reps}x $src${
       dimOverride.map(d => s", widened to d=$d").getOrElse("")})",\n""")
     lines.append(s"""  "total_s": ${f3(total)},\n""")
+    // the JVM heap is part of the measurement contract at scale: 1000×
+    // corpora exhaust task execution memory at the 24g default
+    // (UNABLE_TO_ACQUIRE_MEMORY, r15), so scale points run at
+    // SPARK_DRIVER_MEM=64g — recorded here so a future reader compares
+    // like with like
+    lines.append(s"""  "driver_mem": "${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",\n""")
     lines.append(s"""  "n": ${results.size},\n""")
     lines.append("  \"queries\": {\n")
     lines.append(results.map { r =>

@@ -191,11 +191,21 @@ object Bench {
     val contractLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n":${results.size},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
     println(contractLine)
-    // …and to stderr: sbt prefixes every stdout line with "[info] " and
-    // appends "[success]", which has defeated the consumer's JSON parse
-    // for fourteen straight rounds (BENCH_r01–r14 parsed:null). stderr
-    // passes through sbt unprefixed; the consumer tails both streams.
-    System.err.println(contractLine)
+    // sbt decorates BOTH streams — stdout gets "[info] ", and r15's
+    // captured tail shows the stderr copy arriving as "[error] {...}", so
+    // the r14 "stderr passes through unprefixed" theory is DISPROVEN
+    // (fifteen consecutive parsed:null). The durable machine-readable
+    // copy is therefore a FILE: bench/contract.json carries the bare
+    // contract line, and bench/bench_<sf>.json (above) is the artifact of
+    // record with the full per-query map — see README "Benchmarks".
+    try {
+      val outDir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
+      java.nio.file.Files.write(outDir.resolve("contract.json"),
+        (contractLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] contract write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

@@ -227,8 +227,11 @@ object BenchScale {
     // measure, don't assume: exact top-k neighbors for a deterministic
     // sample of query nodes vs the timed knn_graph_ivf edges. A speedup
     // bought by silently answering worse would show up here.
-    val graphRecall: Double = if (
-        sys.env.get("SPARK_GRAFT_SCALE_NO_RECALL").contains("1")) -1.0 else {
+    // None (JSON null) when the sample is disabled — a numeric sentinel
+    // (-1.0) leaked into a committed artifact in r15 where it read as a
+    // catastrophic recall regression instead of "not measured"
+    val graphRecall: Option[Double] = if (
+        sys.env.get("SPARK_GRAFT_SCALE_NO_RECALL").contains("1")) None else Some {
       import graft.functions.{cosine_distance, top_k_by_distance}
       val k = graft.operators.SimilarityQueries.KnnGraphK
       val e = Tables.embeddings(spark, scaleDir)
@@ -288,6 +291,16 @@ object BenchScale {
     // SPARK_DRIVER_MEM=64g — recorded here so a future reader compares
     // like with like
     lines.append(s"""  "driver_mem": "${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",\n""")
+    // plan-generation stamp: which commit's plans produced this artifact —
+    // sf1/sf3/d384 went three rounds stale without anything recording it
+    // (VERDICT r15 #3); "dirty" marks uncommitted plan changes
+    val head = try {
+      val p = new ProcessBuilder("git", "describe", "--always", "--dirty").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+    lines.append(s"""  "plans_at": "$head",\n""")
     lines.append(s"""  "n": ${results.size},\n""")
     lines.append("  \"queries\": {\n")
     lines.append(results.map { r =>
@@ -302,20 +315,26 @@ object BenchScale {
     }.mkString(",\n"))
     lines.append("\n  },\n")
     lines.append(s"""  "recall": {"knn_graph_ivf@${
-      graft.operators.SimilarityQueries.KnnGraphK}": ${f3(graphRecall)}}\n""")
+      graft.operators.SimilarityQueries.KnnGraphK}": ${
+      graphRecall.map(f3).getOrElse("null")}}\n""")
     lines.append("}\n")
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench"))
     java.nio.file.Files.createDirectories(outDir)
     // reps=10 → bench_sf1.json (10× the sf0.1 source), reps=30 → sf3 —
-    // two committed points make the scaling claim a LINE, not a sample
+    // two committed points make the scaling claim a LINE, not a sample.
+    // A SPARK_GRAFT_SCALE_QUERIES diagnostic subset writes to a DISTINCT
+    // `_subset` filename: in r15 a 2-query diagnostic clobbered the
+    // 9-query sf100 artifact of record (VERDICT r15 #1) — a subset run
+    // must never be able to overwrite full-set evidence
     val dimSuffix = dimOverride.map(d => s"_d$d").getOrElse("")
+    val subsetSuffix = if (subset.isDefined) "_subset" else ""
     val outName =
-      if (reps % 10 == 0) s"bench_sf${reps / 10}$dimSuffix.json"
-      else s"bench_sf0.1x$reps$dimSuffix.json"
+      if (reps % 10 == 0) s"bench_sf${reps / 10}$dimSuffix$subsetSuffix.json"
+      else s"bench_sf0.1x$reps$dimSuffix$subsetSuffix.json"
     java.nio.file.Files.write(outDir.resolve(outName),
       lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"recall_knn_graph_ivf":${f3(graphRecall)},"dir":"$scaleDir"}""")
+    println(s"""{"metric":"scale_total","value":${f3(total)},"unit":"sec","n":${results.size},"recall_knn_graph_ivf":${graphRecall.map(f3).getOrElse("null")},"dir":"$scaleDir"}""")
     results.sortBy(-_.sec).foreach { r =>
       val x = sf01.get(r.name)
         .map(s => f"  (${r.sec / s}%.1fx vs sf0.1)").getOrElse("")

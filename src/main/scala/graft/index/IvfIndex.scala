@@ -713,11 +713,19 @@ object IvfIndex {
       // instead of pinning one deserialized object per executor. Slower
       // (n·lists work) but correct; the former hard `require` turned an
       // oversized index into a query-time crash (r14 advice).
+      // RESIDUAL COST (r15 advice): the flat path still broadcast()s the
+      // same centroid bytes — relief is the storage form (disk-backed
+      // blocks vs one pinned CoarseIndex object), not the volume, and
+      // BroadcastExchange's own ceilings (8 GB relation, driver memory)
+      // still bound it. Past ~8 GB of centroids no assignment strategy
+      // here survives; that index needs a deeper quantizer hierarchy.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"coarse structure ~$structureBytes bytes for $nLists lists × $dim " +
           s"dims exceeds CoarseStructureMaxBytes ($CoarseStructureMaxBytes); " +
-          "degrading to exact flat assignment — consider a deeper quantizer " +
-          "hierarchy for an index this size")
+          "degrading to exact flat assignment (still broadcasts the " +
+          "centroid relation — disk-backed blocks, but BroadcastExchange's " +
+          "8 GB/driver-memory ceilings still apply) — consider a deeper " +
+          "quantizer hierarchy for an index this size")
       return assignProbesFlat(queries, cents, qidCol, qvecCol, probes, dist)
     }
     val (centers, grouping) = lloydCoarse(pts.map(_._2), groups)

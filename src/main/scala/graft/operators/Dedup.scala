@@ -298,9 +298,13 @@ object Dedup {
     // past ~200k-char documents; fixture and replica-corpus plans are
     // untouched.
     val skewSafe = big && wide && {
+      // getAs[Number]: external corpora may store n_chars as INT — a raw
+      // getLong would ClassCastException exactly (and only) in the
+      // at-scale path this gate protects (r15 advice)
       val m = Tables.documents(spark, sfDir).agg(max(col("n_chars"))).head()
       !m.isNullAt(0) &&
-        (m.getLong(0) / 2L) * (MaxShingleDf - 1L) > PairAggRowsPerPartition
+        (m.getAs[Number](0).longValue() / 2L) * (MaxShingleDf - 1L) >
+          PairAggRowsPerPartition
     }
     val pairParts = if (wide) nPairs.map(pairAggPartitions(_, sessionParts)) else None
     val common = pairCounts(postings, wide, pairParts, skewSafe)
@@ -523,8 +527,23 @@ object Dedup {
     * its 1000× cost — is GONE: the heap aggregate is the only wide stage,
     * with map-side partial combine and k-bounded buffers.
     *
+    * DROP-RULE COMPLETENESS (the r15 advice gap): a k-bounded heap alone
+    * does NOT preserve [[dropNearDuplicates]] in general — that rule drops
+    * a doc iff some kept edge has it as the larger endpoint, and a node
+    * whose k best neighbors all have LARGER ids, and which no smaller
+    * node's heap retained, would keep only (node, larger) edges and
+    * survive where the full-pairs twin drops it (reachable exactly in
+    * mega-clusters, the regime this operator targets). The same heap
+    * aggregate therefore also folds each node's MINIMUM smaller
+    * above-threshold neighbor (a min over a (nbr, sim) struct — free
+    * map-side combine, no extra wide stage) and emits that one extra edge
+    * per dropped-eligible node, restoring EXACT drop-set parity with the
+    * full-pairs twin over their shared co-probe candidate set on ANY
+    * corpus; the output bound becomes n·(2k+1) — still O(n·k).
+    *
     * DedupSpec pins (1) the [[dropNearDuplicates]] drop set identical to
-    * the full-pairs twin on the fixtures and a clustered corpus, and
+    * the full-pairs twin on the fixtures, a clustered corpus, AND an
+    * adversarial corpus built to trigger the heap-only divergence, and
     * (2) the O(n·k) output bound. */
   def dedupEmbeddingIvfKnn(spark: SparkSession, sfDir: String,
                            probes: Int = EmbeddingIvfProbes,
@@ -563,13 +582,25 @@ object Dedup {
         col("sim"))
       .select(col("p.node").as("node"), col("p.nbr").as("nbr"), col("sim"))
       .groupBy("node")
-      .agg(top_k_by_distance(-col("sim"), col("nbr"), k).as("top"))
-      .select(col("node"), explode(col("top")).as("s"))
+      .agg(top_k_by_distance(-col("sim"), col("nbr"), k).as("top"),
+        // min smaller above-threshold neighbor, carried with its sim:
+        // struct min orders by nbr first, so this is the smallest-id
+        // smaller neighbor — the one edge the drop rule needs (scaladoc)
+        min(when(col("nbr") < col("node"),
+          struct(col("nbr"), col("sim")))).as("ms"))
+      // append the drop-rule edge to the heap array in the SAME projection
+      // (a second subtree over the aggregate would re-run the final agg);
+      // the when() without otherwise yields a null element for nodes with
+      // no smaller neighbor, which array_compact removes
+      .select(col("node"), explode(array_compact(concat(col("top"),
+        array(when(col("ms").isNotNull,
+          struct(col("ms.nbr").as("vec_id"),
+            (-col("ms.sim")).as("dist"))))))).as("s"))
       .select(least(col("node"), col("s.vec_id")).as("a"),
         greatest(col("node"), col("s.vec_id")).as("b"),
         (-col("s.dist")).as("sim"))
-    // ≤ 2·n·k rows here — the distinct and global sort are O(n·k), never
-    // candidate- or pair-squared-sized
+    // ≤ n·(2k+1) rows here — the distinct and global sort are O(n·k),
+    // never candidate- or pair-squared-sized
     kept.distinct().orderBy("a", "b")
   }
 

@@ -170,10 +170,11 @@ class DedupSpec extends SparkSpec {
       val fullPairs = full.map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(knnPairs.subsetOf(fullPairs),
         s"knn edges must be a subset of the full pair set at $d")
-      // degree bound: at most 2*n*k undirected edges, at most k per node
-      // from its own heap + up to k more where it was kept by neighbors
+      // degree bound: at most n*(2k+1) undirected edges — k per node from
+      // its own heap, up to k more where it was kept by neighbors, plus
+      // one min-smaller-neighbor drop-rule edge per node
       val nVec = graft.Tables.embeddings(spark, d).count()
-      assert(rows.length <= 2L * nVec * Dedup.EmbeddingKnnDegree)
+      assert(rows.length <= nVec * (2L * Dedup.EmbeddingKnnDegree + 1L))
       // THE cleaning contract: identical dropNearDuplicates drop set —
       // same distinct-b relation means bit-identical cleaned corpora
       val dropFull = fullPairs.map(_._2)
@@ -182,6 +183,47 @@ class DedupSpec extends SparkSpec {
         s"drop sets diverged at $d: missing=${dropFull -- dropKnn} " +
           s"extra=${dropKnn -- dropFull}")
     }
+  }
+
+  test("dedup_embedding_knn: drop-set parity holds when a node's full heap " +
+      "is larger-id neighbors (r15 advice divergence scenario)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Unit vectors in the (dim0, dim1) plane at hand-picked angles, k=1.
+    // Node 4's only heap slot goes to 5 (sim .99 > sim(1,4) .50), and
+    // node 1's goes to 2 (.94) — so no HEAP edge has 4 as the larger
+    // endpoint, yet the full-pairs twin emits (1,4) and drops 4. The
+    // min-smaller-neighbor edge must restore the drop. Every other pair
+    // sits below the 0.45 threshold: fillers are ±one-hot on axes 2..7
+    // (sim 0 to the plane, 0/−1 to each other) and pad the corpus so the
+    // 16-list IVF build is well-posed.
+    def v(deg: Double) = Array.tabulate(8) {
+      case 0 => math.cos(math.toRadians(deg)).toFloat
+      case 1 => math.sin(math.toRadians(deg)).toFloat
+      case _ => 0f
+    }
+    val fillers = (0 until 12).map { i =>
+      val vec = Array.fill(8)(0f)
+      vec(2 + i / 2) = if (i % 2 == 0) 1f else -1f
+      (100L + i, vec, 2)
+    }
+    val dir = graft.util.TempDirs.create("graft_dedup_knn_adv").toString
+    (Seq((1L, v(0.0), 0), (2L, v(-20.0), 0), (4L, v(60.0), 1), (5L, v(68.0), 1))
+      ++ fillers)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val full = Dedup.dedupEmbeddingIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((1L, 2L), (1L, 4L), (4L, 5L)),
+      s"corpus must plant exactly the divergence geometry, got $full")
+    val knn = Dedup.dedupEmbeddingIvfKnn(spark, dir, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knn.subsetOf(full))
+    assert(knn.map(_._2) === full.map(_._2),
+      s"drop sets diverged: full=${full.map(_._2)} knn=${knn.map(_._2)}")
+    // the restoring edge itself: (1,4) must be kept even though neither
+    // endpoint's k=1 heap retains it
+    assert(knn.contains((1L, 4L)), s"min-smaller drop-rule edge missing: $knn")
   }
 
   test("capped and uncapped ngram pair sources agree on the drop set (dedup_clean contract)") {

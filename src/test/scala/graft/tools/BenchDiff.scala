@@ -13,11 +13,22 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * than the committed artifact (single-query drift on a shared box is
   * ±25% one-signed; the absolute floor keeps millisecond queries from
   * tripping the ratio). Exits non-zero with the offender list; new and
-  * removed queries are reported informationally. */
+  * removed queries are reported informationally.
+  *
+  * ANCHOR NORMALIZATION (VERDICT r15 #7): shared-box sessions drift ±2×
+  * as a whole (r14 dedup_keep_best, the r15 82.2 s baseline — both
+  * box state, not plans). Seconds are divided by the session drift
+  * factor — fresh(anchor)/committed(anchor) for [[Anchor]], a fast
+  * stable-plan query — before gating, and BOTH raw and normalized deltas
+  * print, so a diff separates plan changes from box state mechanically.
+  * The factor is clamped to [0.5, 2]: a drift estimate outside that says
+  * the anchor itself changed, and trusting it would mask real
+  * regressions. */
 object BenchDiff {
 
   val RatioGate = 1.30
   val AbsGateSec = 0.30
+  val Anchor = "knn_topk"
 
   private def queriesOf(json: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(json)
@@ -52,9 +63,24 @@ object BenchDiff {
       java.nio.charset.StandardCharsets.UTF_8)
     val base = queriesOf(committed)
     val now = queriesOf(fresh)
+    // session drift factor from the anchor query (see scaladoc); 1.0 when
+    // the anchor is absent on either side or the estimate is implausible
+    val drift: Double = (base.get(Anchor), now.get(Anchor)) match {
+      case (Some(b), Some(n)) if b > 0 =>
+        val d = n / b
+        if (d >= 0.5 && d <= 2.0) d else {
+          println(f"anchor $Anchor moved ${d}%.2fx — outside the plausible " +
+            "box-drift band, normalization disabled (did its plan change?)")
+          1.0
+        }
+      case _ => 1.0
+    }
+    if (drift != 1.0)
+      println(f"session drift (anchor $Anchor): ${drift}%.2fx — gating on " +
+        "anchor-normalized seconds; raw deltas shown alongside")
     val regressed = now.toSeq.sortBy(_._1).flatMap { case (q, sec) =>
       base.get(q).collect {
-        case b if sec > b * RatioGate && sec - b > AbsGateSec =>
+        case b if sec / drift > b * RatioGate && sec / drift - b > AbsGateSec =>
           (q, b, sec)
       }
     }
@@ -64,7 +90,7 @@ object BenchDiff {
     if (removed.nonEmpty) println(s"missing vs baseline: ${removed.mkString(", ")}")
     val totB = base.values.sum
     val totN = now.filterKeys(base.contains).values.sum
-    println(f"shared-query total: committed $totB%.1f s -> fresh $totN%.1f s (${now.size} fresh / ${base.size} committed)")
+    println(f"shared-query total: committed $totB%.1f s -> fresh $totN%.1f s (normalized ${totN / drift}%.1f s at drift ${drift}%.2fx; ${now.size} fresh / ${base.size} committed)")
     // Spill policy (VERDICT r12 item 5): moderate drift is FLAGGED (spill
     // bytes vary with box memory pressure — the 12.3x-vs-4.5x
     // dedup_ngram_capped variance this column exists to make visible),
@@ -97,7 +123,7 @@ object BenchDiff {
       println(s"OK: no query >${((RatioGate - 1) * 100).toInt}% and >$AbsGateSec s slower; no 0->1GB spill onset")
     else {
       regressed.foreach { case (q, b, n) =>
-        println(f"REGRESSED $q: $b%.3f s -> $n%.3f s (${(n / b - 1) * 100}%.0f%%)")
+        println(f"REGRESSED $q: $b%.3f s -> $n%.3f s raw (${(n / b - 1) * 100}%.0f%%), ${n / drift}%.3f s normalized (${(n / drift / b - 1) * 100}%.0f%%)")
       }
       sys.exit(1)
     }

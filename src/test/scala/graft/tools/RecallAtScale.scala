@@ -1,8 +1,10 @@
 // Recall@k of knn_graph_ivf vs brute-force exact, on a SCALE corpus, as
 // a function of the probe count — the measurement behind probesFor():
-//   SPARK_DRIVER_MEM=64g sbt "Test/runMain graft.tools.RecallAtScale /tmp/graft_scale/x1000 4,8,16"
+//   SPARK_DRIVER_MEM=64g sbt "Test/runMain graft.tools.RecallAtScale /tmp/graft_scale/x1000 4,8,16 bench/recall_sf100.json"
 // Mirrors BenchScale's recall block (same 32-node deterministic sample)
-// so numbers line up with the committed scale artifacts.
+// so numbers line up with the committed scale artifacts. The optional
+// third arg commits the probes × recall × wall table as a JSON sidecar —
+// the calibration evidence behind probesFor's divisor (VERDICT r15 #6).
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
@@ -41,7 +43,7 @@ object RecallAtScale {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     println(s"[recall] exact reference built over ${exact.size} sampled nodes")
 
-    probesList.foreach { p =>
+    val rows = probesList.map { p =>
       val t0 = System.nanoTime()
       val approx = graft.operators.SimilarityQueries
         .knnGraphIvf(spark, sfDir, probes = p)
@@ -55,6 +57,33 @@ object RecallAtScale {
       }
       val r = if (per.isEmpty) 0.0 else per.sum / per.size
       println(f"[recall] probes=$p%-3d recall@$k $r%.4f  full-graph wall ${dt}%7.2f s")
+      (p, r, dt)
+    }
+    args.drop(2).headOption.foreach { out =>
+      val nLists = graft.operators.IndexQueries.listCount(
+        spark, graft.operators.IndexQueries.indexFor(spark, sfDir))
+      val auto = graft.operators.SimilarityQueries.probesFor(nLists.toLong)
+      def f4(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      val body = rows.map { case (p, r, dt) =>
+        s"""    {"probes": $p, "recall_at_$k": ${f4(r)}, "full_graph_wall_s": ${f4(dt)}}"""
+      }.mkString(",\n")
+      val json =
+        s"""{
+  "corpus": "$sfDir",
+  "n_lists": $nLists,
+  "probes_for_auto": $auto,
+  "sample_nodes": ${exact.size},
+  "points": [
+$body
+  ]
+}
+"""
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(out).toAbsolutePath.getParent)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[recall] wrote $out")
     }
     spark.stop()
   }

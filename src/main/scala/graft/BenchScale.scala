@@ -293,12 +293,24 @@ object BenchScale {
     lines.append(s"""  "driver_mem": "${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",\n""")
     // plan-generation stamp: which commit's plans produced this artifact —
     // sf1/sf3/d384 went three rounds stale without anything recording it
-    // (VERDICT r15 #3); "dirty" marks uncommitted plan changes
+    // (VERDICT r15 #3). The stamp is the last commit that touched the
+    // CODE (src/ + build.sbt), not HEAD: a scale matrix is produced one
+    // artifact-commit at a time, and artifact-only commits between runs
+    // must not make same-plan points look like different generations.
+    // A dirty src tree appends "-dirty" (uncommitted plan changes).
     val head = try {
-      val p = new ProcessBuilder("git", "describe", "--always", "--dirty").start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      def run(cmd: String*): Option[String] = {
+        val p = new ProcessBuilder(cmd: _*).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      }
+      val srcHead = run("git", "log", "-1", "--format=%h",
+        "--", "src/main/scala", "build.sbt")
+      val srcDirty = run("git", "status", "--porcelain",
+        "--", "src/main/scala", "build.sbt")
+      srcHead.map(h => if (srcDirty.isDefined) s"$h-dirty" else h)
+        .getOrElse("unknown")
     } catch { case _: Exception => "unknown" }
     lines.append(s"""  "plans_at": "$head",\n""")
     lines.append(s"""  "n": ${results.size},\n""")

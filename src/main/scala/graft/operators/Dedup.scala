@@ -379,7 +379,15 @@ object Dedup {
     * vectors at threshold 0.45 (θ_t ≈ 63°) expand wide — the bound
     * degrades gracefully to candidate-join instead of failing. Pruning
     * engagement is pinned in DedupSpec on a clustered fixture. */
-  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbeddingPairs(spark, sfDir).orderBy("a", "b")
+
+  /** [[dedupEmbedding]] without the output-determinism sort — the pair
+    * source for [[dedupClusters]]/[[dedupClustersStar]], whose CC entry
+    * checkpoints the pairs eagerly (same rationale as
+    * [[dedupMinhashPairs]]: the sort's range-sample pass would re-execute
+    * the whole candidate+verify pipeline for an ordering CC ignores). */
+  private def dedupEmbeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
@@ -390,7 +398,6 @@ object Dedup {
       .join(e.select(col("vec_id").as("b"), col("embedding").as("v2")), "b")
       .select(col("a"), col("b"), cosine_similarity(col("v1"), col("v2")).as("sim"))
       .filter(col("sim") >= EmbeddingThreshold)
-      .orderBy("a", "b")
   }
 
   /** Candidate (a < b) id pairs that provably contain every pair with
@@ -635,6 +642,19 @@ object Dedup {
     * ([[graft.functions.MinhashSignature]]) — the naive form explodes every
     * shingle into 64 rows (64× shuffle amplification). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    dedupMinhashPairs(spark, sfDir).orderBy("a", "b")
+
+  /** [[dedupMinhash]] WITHOUT the output-determinism sort — the pair
+    * source for the composed cluster/cleaning queries. A global orderBy is
+    * TWO passes over its input (a range-partitioning sample pass + the
+    * sort), and the CC entry's eager localCheckpoint materializes it, so
+    * a sorted source re-executes the whole LSH pipeline once per
+    * composition for an ordering no consumer reads (CC labels, drop sets
+    * and aggregations are all order-free; every composed query applies
+    * its own final ORDER BY). Measured r16 at sf0.1: dedup_keep_best
+    * 4.2 → 2.6 s wall with the sort gone (guide §2.4 — an orderBy used
+    * only for output determinism is a removable exchange). */
+  private def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(hashedShingleRel(spark, sfDir), corpusIsBig(spark, sfDir),
       nDocs = Some(docCount(spark, sfDir)))
 
@@ -788,7 +808,10 @@ object Dedup {
       .select(col("a"), col("b"),
         (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= MinhashVerifyThreshold)
-      .orderBy("a", "b")
+    // UNSORTED by design (see dedupMinhashPairs): the public query adds
+    // its ORDER BY; composed consumers (CC, drop sets) are order-free and
+    // must not pay the sort's second pipeline execution under an eager
+    // checkpoint.
   }
 
   // ---- SimHash -------------------------------------------------------------
@@ -1049,7 +1072,7 @@ object Dedup {
     * same answer (both converge to component-minimum labels; the oracle is
     * identical), different superstep bound: O(log n) vs O(diameter). */
   def dedupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupEmbedding(spark, sfDir).select("a", "b")
+    val pairs = dedupEmbeddingPairs(spark, sfDir).select("a", "b")
     val labels = connectedComponentsStar(pairs)
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")
@@ -1104,7 +1127,7 @@ object Dedup {
     * O(log n)-superstep clustering. Oracle: the whole pipeline re-expressed
     * in DuckDB, MinHash banding included, closed with a recursive CTE. */
   def dedupCleanClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, sfDir).select("a", "b")
+    val pairs = dedupMinhashPairs(spark, sfDir).select("a", "b")
     val labels = connectedComponentsStar(pairs)
     // (rep, member) pairs: dropNearDuplicates removes the b side, so every
     // non-representative member of each cluster is dropped
@@ -1122,7 +1145,7 @@ object Dedup {
     * Deterministic argmax via `max_by` over a (n_chars, −doc_id) struct —
     * a bare max_by is nondeterministic on ties. */
   def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, sfDir).select("a", "b")
+    val pairs = dedupMinhashPairs(spark, sfDir).select("a", "b")
     val labels = connectedComponentsStar(pairs)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
     labels.join(docs, labels("node") === docs("doc_id"))
@@ -1140,7 +1163,7 @@ object Dedup {
     * cleaning rule "keep the representative" then drops n−1 docs per
     * cluster — transitive, unlike per-pair greedy drops. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupEmbedding(spark, sfDir).select("a", "b")
+    val pairs = dedupEmbeddingPairs(spark, sfDir).select("a", "b")
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")

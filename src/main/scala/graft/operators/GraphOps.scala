@@ -45,25 +45,35 @@ object GraphOps {
     // persist across dispatch-count + kernel consumption: the caller's
     // node/edge relations are typically corpus-sized distinct/aggregation
     // results that must not recompute once for count() and again per
-    // collect()/iteration (nodes is read 4x in a 2-iteration distributed
-    // run: count, rank init, one left join per iteration)
+    // collect()/iteration (nodes is read 3x in a 2-iteration distributed
+    // run: count plus one left join per iteration)
     val nodesS = nodes.select(col("node").cast("string").as("node")).persist()
     val edgesS = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
-      .persist()
     try {
-      val nEdges = edgesS.count()
-      if (!forceDistributed && nEdges <= driverMaxEdges) {
-        val e = edgesS.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        val n = nodesS.collect().map(_.getString(0)).sorted
-        val spark = nodes.sparkSession
-        import spark.implicits._
-        driverPageRank(n, e, iterations, damping).toSeq.toDF("node", "pagerank")
-      } else distributedPageRank(nodesS, edgesS, iterations, damping)
-      // (the distributed kernel materializes every generation inside its
-      // loop, so releasing the persists below cannot trigger a recompute
-      // of the returned, already-cached rank relation)
-    } finally { edgesS.unpersist(); nodesS.unpersist() }
+      if (forceDistributed) {
+        // no dispatch count, no edge persist: the distributed kernel
+        // consumes the edge relation exactly ONCE (its windowed wout pass
+        // — see distributedPageRank), so the former persist+count here was
+        // a full extra pass over a corpus-sized relation purely to decide
+        // a dispatch the caller already forced (r16, guide §1.2/§2.4)
+        distributedPageRank(nodesS, edgesS, iterations, damping)
+      } else {
+        val edgesP = edgesS.persist()
+        try {
+          if (edgesP.count() <= driverMaxEdges) {
+            val e = edgesP.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            val n = nodesS.collect().map(_.getString(0)).sorted
+            val spark = nodes.sparkSession
+            import spark.implicits._
+            driverPageRank(n, e, iterations, damping).toSeq.toDF("node", "pagerank")
+          } else distributedPageRank(nodesS, edgesP, iterations, damping)
+          // (the distributed kernel materializes the returned generation
+          // inside its loop, so releasing the persists below cannot
+          // trigger a recompute of the returned rank relation)
+        } finally edgesP.unpersist()
+      }
+    } finally nodesS.unpersist()
   }
 
   /** Exact local kernel — ≤ [[DriverMaxEdges]] edges (index-metadata
@@ -94,24 +104,39 @@ object GraphOps {
     nodes.map(v => (v, pk(v))).toSeq
   }
 
+  /** Supersteps per materialization in [[distributedPageRank]]: the
+    * recurrence composes LAZILY and only persists+counts every this-many
+    * iterations (and at the last one) — a fixed-iteration recurrence needs
+    * no per-superstep convergence read, so eagerly materializing every
+    * generation paid one full job + AQE replan per superstep for nothing
+    * but lineage hygiene, which a bounded plan depth provides just as well
+    * (the 2-iteration contract queries now run as ONE job). */
+  private[operators] val MaterializeEvery = 4
+
   /** Iterate-join kernel: per iteration ONE equi-join of the rank relation
     * to the (out-degree-annotated) edge relation on `src` and one decimal
     * hash agg on `dst` — both shuffles scale with |edges|, never |edges|²;
-    * ranks re-persist each superstep so lineage stays one step deep (the
-    * [[Dedup]] large-graph CC shape). */
+    * generations materialize every [[MaterializeEvery]] supersteps (plan
+    * depth stays bounded; the returned generation is always cached). The
+    * out-degree annotation is ONE window over the iteration join's own
+    * `src` key — the former groupBy + self-join computed the edge relation
+    * through two exchanges and a join where one shuffle serves both
+    * (guide §2.4), and the cached relation comes out hash-partitioned on
+    * `src`, which every iteration's join then reuses exchange-free. */
   private[operators] def distributedPageRank(
       nodes: DataFrame, edges: DataFrame,
       iterations: Int, damping: Double): DataFrame = {
     val nN = nodes.count().toDouble
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val wout = e.groupBy("src").agg(sum(col("w")).cast("double").as("wout"))
-    val ew = e.join(wout, "src").persist() // static across iterations
+    val srcW = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val ew = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .withColumn("wout", sum(col("w")).over(srcW).cast("double"))
+      .persist() // static across iterations
     ew.count()
-    var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank")).persist()
-    ranks.count()
-    var ok = false
+    var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank"))
+    val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         val contrib = ew
           .join(ranks.withColumnRenamed("node", "src"), "src")
           .select(col("dst"),
@@ -120,24 +145,27 @@ object GraphOps {
             round(col("rank") * col("w").cast("double") / col("wout"), 9)
               .cast("decimal(28,9)").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("s"))
-        val next = nodes
+        ranks = nodes
           .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"),
             (lit((1.0 - damping) / nN) + lit(damping) *
               coalesce(col("s").cast("double"), lit(0.0))).as("rank"))
-          .persist()
-        next.count() // materialize before dropping the previous generation
-        ranks.unpersist()
-        ranks = next
+        if (i % MaterializeEvery == 0 || i == iterations) {
+          val gen = ranks.persist()
+          gen.count() // materialize before dropping the previous generation
+          live.foreach(_.unpersist())
+          live.clear()
+          live += gen
+          ranks = gen
+        }
       }
-      ok = true
-      // the returned generation stays cached for the caller; once the
-      // caller drops the frame, ContextCleaner reclaims the blocks (the
-      // standard fate of a returned persisted relation)
+      // the returned (final, always-materialized) generation stays cached
+      // for the caller; once the caller drops the frame, ContextCleaner
+      // reclaims the blocks (the standard fate of a returned persisted
+      // relation)
       ranks.withColumnRenamed("rank", "pagerank")
-    } finally {
-      ew.unpersist()
-      if (!ok) ranks.unpersist() // mid-loop failure: don't leak the live gen
-    }
+    } catch {
+      case t: Throwable => live.foreach(_.unpersist()); throw t
+    } finally ew.unpersist()
   }
 }

@@ -710,7 +710,15 @@ object SimilarityQueries {
     * stays bounded — per-partition k-heaps mean ≤ k·|partitions| rows
     * per node move, never the n² scored pairs (the knn_batch two-phase
     * shape with the whole corpus as the query side). */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphEdges(spark, sfDir).orderBy("vec_id", "rank")
+
+  /** [[knnGraph]] without the output-determinism sort — the edge source
+    * for [[semanticClusters]]: a global orderBy is two passes over its
+    * input (range-sample + sort), and the mutual-kNN self-join +
+    * checkpointing CC tail neither read nor keep the order (same
+    * rationale as Dedup.dedupMinhashPairs). */
+  private def knnGraphEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val b = e.select(col("vec_id").as("nbr"), col("embedding").as("bv"))
     e.crossJoin(b).filter(col("vec_id") =!= col("nbr"))
@@ -721,7 +729,6 @@ object SimilarityQueries {
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.vec_id").as("nbr"), col("s.dist").as("dist"))
-      .orderBy("vec_id", "rank")
   }
 
   /** IVF-bucketed kNN graph — [[knnGraph]]'s scale path (the production
@@ -750,7 +757,13 @@ object SimilarityQueries {
     * (spec-pinned on a clustered fixture); the un-clustered hash fixture
     * is the adversarial floor (0.5 gate). */
   def knnGraphIvf(spark: SparkSession, sfDir: String,
-                  probes: Int = 0): DataFrame = {
+                  probes: Int = 0): DataFrame =
+    knnGraphIvfEdges(spark, sfDir, probes).orderBy("vec_id", "rank")
+
+  /** [[knnGraphIvf]] without the output-determinism sort — the edge source
+    * for [[semanticClustersIvf]] (see [[knnGraphEdges]]). */
+  private def knnGraphIvfEdges(spark: SparkSession, sfDir: String,
+                               probes: Int = 0): DataFrame = {
     import graft.functions.top_k_by_distance
     val idx = IndexQueries.indexFor(spark, sfDir)
     val cents = spark.read.parquet(s"$idx/centroids").select("list_id", "centroid")
@@ -817,7 +830,6 @@ object SimilarityQueries {
       .select(col("qid").as("vec_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("s.vec_id").as("nbr"), col("s.dist").as("dist"))
-      .orderBy("vec_id", "rank")
   }
 
   /** Semantic clusters over the MUTUAL-kNN graph — compose, don't
@@ -838,7 +850,7 @@ object SimilarityQueries {
     * order-free minima → oracle-exact against the recursive-CTE
     * closure. */
   def semanticClusters(spark: SparkSession, sfDir: String): DataFrame =
-    mutualKnnClusters(knnGraph(spark, sfDir))
+    mutualKnnClusters(knnGraphEdges(spark, sfDir))
 
   /** [[semanticClusters]]' scale path — the SAME mutual filter + star CC
     * over [[knnGraphIvf]]'s bucketed edge stage, so the full SemDeDup
@@ -850,7 +862,7 @@ object SimilarityQueries {
     * spec-pinned on the clustered fixture, and PlanGuardSpec sweeps the
     * plan (this query is deliberately NOT on the cartesian allowlist). */
   def semanticClustersIvf(spark: SparkSession, sfDir: String): DataFrame =
-    mutualKnnClusters(knnGraphIvf(spark, sfDir))
+    mutualKnnClusters(knnGraphIvfEdges(spark, sfDir))
 
   /** Shared mutual-kNN → star-CC tail of the semantic-cluster pair:
     * takes any (vec_id, nbr) kNN edge relation, keeps mutual edges

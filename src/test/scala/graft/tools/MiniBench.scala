@@ -20,6 +20,7 @@ object MiniBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.tuneSession(spark) // mirror Bench exactly (r16)
 
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)

@@ -42,12 +42,14 @@ final case class HashingSentenceEmbedder(dim: Int = 384) extends Embedder {
 final case class HashingTokenizer(vocabSize: Int = 30000) extends Embedder {
   val name = "hashing-token"
   val dim: Int = vocabSize
+  // tokens() = the byte-scanning ws_tokens expression (byte-exact with
+  // split(trim, "\\s+") — see WhitespaceTokensExpression)
   def embedColumn(text: Column): Column =
-    transform(split(trim(text), "\\s+"),
+    transform(graft.functions.TextFunctions.tokens(text),
       t => pmod(hash(t), lit(vocabSize)).cast("float"))
   /** Token ids as ints (the actual M2 output shape). */
   def tokenIds(text: Column): Column =
-    transform(split(trim(text), "\\s+"), t => pmod(hash(t), lit(vocabSize)))
+    transform(graft.functions.TextFunctions.tokens(text), t => pmod(hash(t), lit(vocabSize)))
 }
 
 /** Real-model-shaped embedder: a deterministic linear "model" whose weights

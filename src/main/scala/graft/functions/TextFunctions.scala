@@ -12,8 +12,15 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object TextFunctions {
 
-  /** Whitespace tokenization: `string_split_regex(trim(text), '\s+')`. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenization: `string_split_regex(trim(text), '\s+')`.
+    * Evaluated by the byte-scanning [[WhitespaceTokens]] expression —
+    * byte-exact with `split(trim(c), "\\s+")` (spec-pinned, including on
+    * the fixture corpus) but without the builtin's per-row UTF-16 decode +
+    * `Pattern.compile` + re-encode; this is the hottest per-row path of
+    * the whole text family (r16, guide §1.2 step 2: per-task work). */
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      WhitespaceTokens(org.apache.spark.sql.graftshim.ColumnBridge.expression(trim(c))))
 
   /** Distinct 3-gram token shingles via the codegen'd [[Shingles]]
     * expression (the higher-order-function formulation is CodegenFallback

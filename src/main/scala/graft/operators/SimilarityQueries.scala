@@ -867,14 +867,25 @@ object SimilarityQueries {
   /** Shared mutual-kNN → star-CC tail of the semantic-cluster pair:
     * takes any (vec_id, nbr) kNN edge relation, keeps mutual edges
     * (a ∈ top-k(b) AND b ∈ top-k(a)), labels components, and sizes the
-    * clusters. The mutual filter self-joins the n·k edge relation on
-    * both endpoints — an equi-join, k-bounded per node. */
+    * clusters. The mutual filter is ONE count aggregate over the
+    * canonicalized n·k edge relation (see below — the flipped-key
+    * self-join it replaced executed the edge pipeline twice). */
   private def mutualKnnClusters(knnEdges: DataFrame): DataFrame = {
-    val knn = knnEdges.select(col("vec_id").as("src"), col("nbr").as("dst"))
-    val mutual = knn.as("k1").join(knn.as("k2"),
-        col("k1.src") === col("k2.dst") && col("k1.dst") === col("k2.src"))
-      .filter(col("k1.src") < col("k1.dst"))
-      .select(col("k1.src").as("a"), col("k1.dst").as("b"))
+    // Mutuality WITHOUT the flipped-key self-join: each directed edge
+    // (src, dst) is unique (the per-node heap is id-distinct and
+    // self-edges are filtered), so a pair is mutual iff its canonical
+    // (min, max) form appears exactly TWICE — one count agg on the n·k
+    // edge relation. The former self-join keyed its two branches on
+    // (src, dst) vs (dst, src): different hash partitionings, so
+    // ReuseExchange could not fire and the WHOLE edge pipeline executed
+    // twice (for semantic_clusters that is the n² distance scan, twice) —
+    // measured r16 at sf0.1: 2.18 → 1.38 s (guide §2.4).
+    val mutual = knnEdges.select(
+        least(col("vec_id"), col("nbr")).as("a"),
+        greatest(col("vec_id"), col("nbr")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n2"))
+      .filter(col("n2") === 2)
+      .select("a", "b")
     val labels = graft.operators.Dedup.connectedComponentsStar(mutual)
     val sizes = labels.groupBy("lab").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lab")
